@@ -1,0 +1,362 @@
+"""Codec dispatch + sampling-based codec auto-selection.
+
+Public API:
+    encode_array(values, valid=None, codec=None, try_zstd=True) -> bytes
+    decode_array(blob) -> (values, valid_mask | None)
+
+`values` may be a numpy array (ints / floats / bool), a pyarrow
+string/binary/list array, or anything pa.array() accepts. Floats are viewed
+as same-width unsigned ints and bools as uint8 before encoding, so every
+codec is bit-exact for every logical type. `decode_array` returns values
+with nulls FILLED (numpy array for numerics, pyarrow array for
+str/binary/list) plus the validity mask — callers re-apply nulls.
+
+Auto-selection is the sampling cost model the north rule requires: cheap
+analytic size estimates from one-pass full-array stats (min/max, delta
+range, run count) plus a sampled uniqueness probe decide the codec; the
+final blob is guarded against RAW(+zstd), so the result is never larger
+than a plain zstd-compressed copy (the reference's parquet-zstd sink is the
+baseline to beat — crates/tbl-cli/src/output.rs:157-173).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import numeric, strings
+from .format import (
+    Codec,
+    DType,
+    DTYPE_OF_NUMPY,
+    NUMPY_OF_DTYPE,
+    assemble,
+    disassemble,
+    frame,
+    unframe,
+)
+
+_SAMPLE_N = 4096
+_WORK_VIEW = {  # logical numpy dtype -> integer work dtype
+    np.dtype(np.float32): np.dtype(np.uint32),
+    np.dtype(np.float64): np.dtype(np.uint64),
+    np.dtype(np.bool_): np.dtype(np.uint8),
+}
+
+
+# --------------------------------------------------------------------------
+# integer payload encode/decode (work arrays are always integer)
+# --------------------------------------------------------------------------
+
+_INT_CANDIDATES = (Codec.CONST, Codec.FOR_BITPACK, Codec.DELTA_FOR,
+                   Codec.RLE, Codec.DICT, Codec.RAW)
+
+
+def _encode_int_payload(v: np.ndarray, codec: Codec,
+                        _depth: int = 0) -> bytes | None:
+    if codec == Codec.CONST:
+        return numeric.const_encode(v)
+    if codec == Codec.RAW:
+        return numeric.raw_encode(v)
+    if codec == Codec.FOR_BITPACK:
+        return numeric.for_encode(v)
+    if codec == Codec.DELTA_FOR:
+        return numeric.delta_encode(v)
+    if codec == Codec.RLE:
+        values, lengths = numeric.run_split(v)
+        if len(values) == len(v):
+            return None
+        inner_v = _encode_int_auto(values, _depth + 1, no_rle=True)
+        inner_l = _encode_int_auto(lengths, _depth + 1, no_rle=True)
+        return frame(inner_v, inner_l)
+    if codec == Codec.DICT:
+        uniques, codes = numeric.dict_split(v)
+        if len(uniques) >= max(2, len(v) // 2):
+            return None
+        inner_u = _encode_int_auto(uniques, _depth + 1, no_dict=True)
+        inner_c = _encode_int_auto(codes, _depth + 1, no_dict=True, no_rle=False)
+        return frame(inner_u, inner_c)
+    raise ValueError(f"not an integer codec: {codec}")
+
+
+def _estimate_int_sizes(v: np.ndarray) -> dict[Codec, float]:
+    """Analytic size estimates (bytes) from one-pass stats."""
+    n = len(v)
+    itemsize = v.dtype.itemsize
+    est: dict[Codec, float] = {Codec.RAW: n * itemsize}
+    if n == 0:
+        return est
+    vmin, vmax = int(v.min()), int(v.max())
+    if vmin == vmax:
+        est[Codec.CONST] = itemsize
+        return est
+    rng = vmax - vmin
+    if rng <= numeric._RANGE_CAP:
+        w = int(rng).bit_length()
+        est[Codec.FOR_BITPACK] = 9 + n * w / 8
+    if numeric._I64_MIN <= vmin and vmax <= numeric._I64_MAX and n > 1:
+        diffs = np.diff(v.astype(np.int64))
+        dmin, dmax = int(diffs.min()), int(diffs.max())
+        if dmax - dmin <= numeric._RANGE_CAP:
+            dw = int(dmax - dmin).bit_length()
+            est[Codec.DELTA_FOR] = 17 + n * dw / 8
+    run_values, run_lengths = numeric.run_split(v)
+    n_runs = len(run_values)
+    if n_runs < n // 3:
+        vw = int(rng).bit_length()
+        lw = int(run_lengths.max()).bit_length()
+        est[Codec.RLE] = 60 + n_runs * (vw + lw) / 8
+    # uniqueness probe on a contiguous sample window
+    window = v if n <= 4 * _SAMPLE_N else v[(n - _SAMPLE_N) // 2:][:_SAMPLE_N]
+    n_uniq = len(np.unique(window))
+    if n_uniq < max(2, len(window) // 2):
+        cw = max(1, int(n_uniq - 1).bit_length() + 1)
+        est[Codec.DICT] = 60 + n_uniq * itemsize + n * cw / 8
+    return est
+
+
+def _encode_int_auto(v: np.ndarray, _depth: int = 0, no_rle: bool = False,
+                     no_dict: bool = False) -> bytes:
+    """Pick + encode, returning a full nested blob (header + payload)."""
+    dtype_code = DTYPE_OF_NUMPY[v.dtype]
+    est = _estimate_int_sizes(v)
+    if no_rle or _depth >= 2:
+        est.pop(Codec.RLE, None)
+    if no_dict or _depth >= 2:
+        est.pop(Codec.DICT, None)
+    for codec in sorted(est, key=est.get):  # type: ignore[arg-type]
+        payload = _encode_int_payload(v, codec, _depth)
+        if payload is not None:
+            return assemble(codec, dtype_code, len(v), payload)
+    return assemble(Codec.RAW, dtype_code, len(v), numeric.raw_encode(v))
+
+
+def _decode_int_blob(blob: bytes) -> np.ndarray:
+    codec, dtype_code, n, _valid, payload = disassemble(blob)
+    work_dtype = NUMPY_OF_DTYPE[dtype_code]
+    work_dtype = _WORK_VIEW.get(work_dtype, work_dtype)
+    if codec == Codec.CONST:
+        return numeric.const_decode(payload, n, work_dtype)
+    if codec == Codec.RAW:
+        return numeric.raw_decode(payload, n, work_dtype)
+    if codec == Codec.FOR_BITPACK:
+        return numeric.for_decode(payload, n, work_dtype)
+    if codec == Codec.DELTA_FOR:
+        return numeric.delta_decode(payload, n, work_dtype)
+    if codec == Codec.RLE:
+        bv, bl = unframe(payload, 2)
+        return numeric.run_join(_decode_int_blob(bv), _decode_int_blob(bl))
+    if codec == Codec.DICT:
+        bu, bc = unframe(payload, 2)
+        uniques = _decode_int_blob(bu)
+        codes = _decode_int_blob(bc)
+        return uniques[codes]
+    raise ValueError(f"not an integer codec: {codec}")
+
+
+# --------------------------------------------------------------------------
+# strings / binary
+# --------------------------------------------------------------------------
+
+def _string_parts(arr: pa.Array) -> tuple[np.ndarray, bytes, np.ndarray | None]:
+    """(offsets int64[n+1] starting at 0, corpus bytes, valid|None)."""
+    large = pa.large_binary() if pa.types.is_binary(arr.type) \
+        or pa.types.is_large_binary(arr.type) else pa.large_string()
+    if arr.type != large:
+        arr = arr.cast(large)
+    valid = None
+    if arr.null_count:
+        valid = np.asarray(arr.is_valid())
+        fill = b"" if large == pa.large_binary() else ""
+        arr = pc.fill_null(arr, fill)
+    n = len(arr)
+    buffers = arr.buffers()
+    offsets = np.frombuffer(buffers[1], dtype=np.int64,
+                            count=n + 1, offset=8 * arr.offset).copy()
+    data = buffers[2] if buffers[2] is not None else b""
+    corpus = bytes(memoryview(data)[offsets[0]:offsets[-1]])
+    offsets -= offsets[0]
+    return offsets, corpus, valid
+
+
+def _encode_string(arr: pa.Array, dtype_code: DType, codec: Codec | None,
+                   try_zstd: bool) -> bytes:
+    valid = None
+    if arr.null_count:
+        valid = np.asarray(arr.is_valid())
+        arr = pc.fill_null(
+            arr, b"" if dtype_code == DType.BINARY else "")
+    offsets, corpus, _ = _string_parts(arr)
+    lengths = np.diff(offsets)
+    lengths_blob = _encode_int_auto(lengths)
+    n = len(arr)
+
+    def build(c: Codec, corpus_payload: bytes) -> bytes:
+        return assemble(c, dtype_code, n, frame(lengths_blob, corpus_payload),
+                        valid=valid, try_zstd=try_zstd)
+
+    if codec == Codec.STR_RAW:
+        return build(Codec.STR_RAW, corpus)
+    if codec == Codec.FSST:
+        payload = strings.fsst_encode(corpus)
+        if payload is None:
+            return build(Codec.STR_RAW, corpus)
+        return build(Codec.FSST, payload)
+    if codec == Codec.STR_DICT or codec is None:
+        denc = None
+        if codec == Codec.STR_DICT or n >= 16:
+            denc = arr.dictionary_encode() if not isinstance(
+                arr, pa.DictionaryArray) else arr
+        if denc is not None and (codec == Codec.STR_DICT
+                                 or len(denc.dictionary) < n // 2):
+            dict_blob = _encode_string(denc.dictionary, dtype_code, None,
+                                       try_zstd=False)
+            codes = np.asarray(denc.indices.cast(pa.int64()))
+            codes_blob = _encode_int_auto(codes)
+            return assemble(Codec.STR_DICT, dtype_code, n,
+                            frame(dict_blob, codes_blob),
+                            valid=valid, try_zstd=try_zstd)
+        fsst_payload = strings.fsst_encode(corpus)
+        cands = [build(Codec.STR_RAW, corpus)]
+        if fsst_payload is not None:
+            cands.append(build(Codec.FSST, fsst_payload))
+        return min(cands, key=len)
+    raise ValueError(f"not a string codec: {codec}")
+
+
+def _decode_string(blob: bytes) -> tuple[pa.Array, np.ndarray | None]:
+    codec, dtype_code, n, valid, payload = disassemble(blob)
+    arrow_type = pa.large_binary() if dtype_code == DType.BINARY \
+        else pa.large_string()
+    if codec == Codec.STR_DICT:
+        bdict, bcodes = unframe(payload, 2)
+        dictionary, _ = _decode_string(bdict)
+        codes = _decode_int_blob(bcodes)
+        arr = dictionary.take(pa.array(codes))
+        return arr, valid
+    blen, bcorpus = unframe(payload, 2)
+    lengths = _decode_int_blob(blen)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    corpus = bcorpus if codec == Codec.STR_RAW else strings.fsst_decode(bcorpus)
+    arr = pa.Array.from_buffers(
+        arrow_type, n,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(corpus)])
+    return arr, valid
+
+
+# --------------------------------------------------------------------------
+# lists (tokens: array<int32>, embeddings: array<float>)
+# --------------------------------------------------------------------------
+
+def _encode_list(arr: pa.Array, codec: Codec | None, try_zstd: bool) -> bytes:
+    valid = None
+    if arr.null_count:
+        valid = np.asarray(arr.is_valid())
+    lengths = np.asarray(pc.fill_null(pc.list_value_length(arr), 0),
+                         dtype=np.int64)
+    values = arr.flatten()
+    if values.null_count:
+        raise ValueError("null list elements are not supported")
+    values_np = values.to_numpy(zero_copy_only=False)
+    lengths_blob = _encode_int_auto(lengths)
+    values_blob = encode_array(values_np, codec=codec, try_zstd=try_zstd)
+    return assemble(Codec.LIST, DType.LIST, len(arr),
+                    frame(lengths_blob, values_blob), valid=valid,
+                    try_zstd=False)
+
+
+def _decode_list(blob: bytes) -> tuple[pa.Array, np.ndarray | None]:
+    _codec, _dtype, n, valid, payload = disassemble(blob)
+    blen, bvalues = unframe(payload, 2)
+    lengths = _decode_int_blob(blen)
+    values, _ = decode_array(bvalues)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    child = values if isinstance(values, pa.Array) else pa.array(values)
+    arr = pa.LargeListArray.from_arrays(offsets, child)
+    return arr, valid
+
+
+# --------------------------------------------------------------------------
+# public API
+# --------------------------------------------------------------------------
+
+def encode_array(values, valid: np.ndarray | None = None,
+                 codec: Codec | None = None, try_zstd: bool = True) -> bytes:
+    """Encode one column chunk into a self-describing blob."""
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    if isinstance(values, pa.Array):
+        t = values.type
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return _encode_string(values, DType.STR, codec, try_zstd)
+        if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            return _encode_string(values, DType.BINARY, codec, try_zstd)
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            return _encode_list(values, codec, try_zstd)
+        if values.null_count:
+            valid = np.asarray(values.is_valid()) if valid is None else valid
+            values = pc.fill_null(values, values.drop_null()[0]
+                                  if len(values.drop_null()) else 0)
+        values = values.to_numpy(zero_copy_only=False)
+    values = np.asarray(values)
+    if values.dtype == np.dtype(object):
+        return encode_array(pa.array(values), valid=valid, codec=codec,
+                            try_zstd=try_zstd)
+    logical = values.dtype
+    work_dtype = _WORK_VIEW.get(logical)
+    work = values.view(work_dtype) if work_dtype is not None else values
+    if valid is not None and not valid.all():
+        work = work.copy()
+        work[~valid] = work[valid][0] if valid.any() else 0
+    else:
+        valid = None
+    dtype_code = DTYPE_OF_NUMPY[logical]
+    if codec is not None:
+        payload = _encode_int_payload(work, codec)
+        if payload is None:
+            payload = numeric.raw_encode(work)
+            codec = Codec.RAW
+        blob = assemble(codec, dtype_code, len(work), payload, valid=valid,
+                        try_zstd=try_zstd)
+        return blob
+    # auto: analytic pick, then guard against RAW(+zstd)
+    inner = _encode_int_auto(work)
+    picked = _reheader(inner, dtype_code, valid, try_zstd)
+    raw_guard = assemble(Codec.RAW, dtype_code, len(work),
+                         numeric.raw_encode(work), valid=valid,
+                         try_zstd=try_zstd)
+    return min(picked, raw_guard, key=len)
+
+
+def _reheader(blob: bytes, dtype_code: DType, valid: np.ndarray | None,
+              try_zstd: bool) -> bytes:
+    """Re-assemble an auto-encoded int blob with the logical dtype code,
+    validity bitmap and zstd cascade applied at the top level."""
+    codec, _dc, n, _v, payload = disassemble(blob)
+    return assemble(codec, dtype_code, n, payload, valid=valid,
+                    try_zstd=try_zstd)
+
+
+def decode_array(blob: bytes):
+    """-> (values, valid_mask | None); nulls are NOT applied to values."""
+    codec, dtype_code, n, valid, _payload = disassemble(blob)
+    if dtype_code in (DType.STR, DType.BINARY):
+        return _decode_string(blob)
+    if dtype_code == DType.LIST:
+        return _decode_list(blob)
+    work = _decode_int_blob(blob)
+    logical = NUMPY_OF_DTYPE[dtype_code]
+    if logical in _WORK_VIEW:
+        work = work.astype(_WORK_VIEW[logical], copy=False).view(logical)
+    return work, valid
+
+
+def blob_codec(blob: bytes) -> str:
+    """Codec name recorded in the chunk manifest (``+zstd`` marks cascade)."""
+    from .format import FLAG_ZSTD, unpack_header
+    codec, _dtype, flags, _n = unpack_header(blob)
+    name = codec.name.lower()
+    return f"{name}+zstd" if flags & FLAG_ZSTD else name

@@ -1,0 +1,152 @@
+"""Integer codec payload kernels (pure numpy, fully vectorized).
+
+All kernels operate on an integer "work array" (the core dispatcher views
+floats as same-width unsigned ints and bools as uint8, so every codec here is
+bit-exact for every logical type). Encoders return a payload ``bytes`` or
+``None`` when the codec is inapplicable (range too wide, no gain); decoders
+return a numpy array in the requested work dtype.
+
+These replace the parquet-internal encodings the reference delegates to
+polars/arrow (crates/tbl-cli/src/output.rs:157-173): dictionary, RLE,
+bit-packing, frame-of-reference, delta.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from . import bitpack
+
+_I64_MIN = -(1 << 63)
+_I64_MAX = (1 << 63) - 1
+_RANGE_CAP = (1 << 63) - 1  # max (vmax - vmin) we bit-pack
+
+
+def _signed(work_dtype: np.dtype) -> bool:
+    return work_dtype.kind == "i"
+
+
+def _minmax(v: np.ndarray) -> tuple[int, int]:
+    return int(v.min()), int(v.max())
+
+
+# --- CONST ---------------------------------------------------------------
+
+def const_encode(v: np.ndarray) -> bytes | None:
+    if len(v) == 0 or v[0] != v[-1] or not (v == v[0]).all():
+        return None
+    return v[:1].tobytes()
+
+
+def const_decode(payload: bytes, n: int, work_dtype: np.dtype) -> np.ndarray:
+    val = np.frombuffer(payload, dtype=work_dtype, count=1)
+    return np.broadcast_to(val, n).copy()
+
+
+# --- RAW -----------------------------------------------------------------
+
+def raw_encode(v: np.ndarray) -> bytes:
+    return np.ascontiguousarray(v).tobytes()
+
+
+def raw_decode(payload: bytes, n: int, work_dtype: np.dtype) -> np.ndarray:
+    return np.frombuffer(payload, dtype=work_dtype, count=n).copy()
+
+
+# --- FOR + bit-pack ------------------------------------------------------
+# payload: ref (8 bytes, signedness of work dtype) + width u8 + packed bits
+
+def _to_u64_deltas(v: np.ndarray, vmin: int) -> np.ndarray:
+    if _signed(v.dtype):
+        return (v.astype(np.int64) - np.int64(vmin)).astype(np.uint64)
+    return v.astype(np.uint64) - np.uint64(vmin)
+
+
+def for_encode(v: np.ndarray) -> bytes | None:
+    if len(v) == 0:
+        return None
+    vmin, vmax = _minmax(v)
+    if vmax - vmin > _RANGE_CAP:
+        return None
+    deltas = _to_u64_deltas(v, vmin)
+    width = bitpack.bits_needed(vmax - vmin)
+    ref = vmin.to_bytes(8, "little", signed=True) if vmin < 0 or _signed(v.dtype) \
+        else vmin.to_bytes(8, "little", signed=False)
+    return ref + struct.pack("<B", width) + bitpack.pack(deltas, width)
+
+
+def for_decode(payload: bytes, n: int, work_dtype: np.dtype) -> np.ndarray:
+    ref = int.from_bytes(payload[:8], "little", signed=_signed(work_dtype))
+    (width,) = struct.unpack_from("<B", payload, 8)
+    deltas = bitpack.unpack(payload[9:], n, width)
+    if _signed(work_dtype):
+        return (deltas.astype(np.int64) + np.int64(ref)).astype(work_dtype)
+    return (deltas + np.uint64(ref)).astype(work_dtype)
+
+
+# --- DELTA + FOR ---------------------------------------------------------
+# payload: first value (8 bytes signed) + FOR payload over int64 diffs.
+# Only attempted when values fit the int64 domain.
+
+def delta_encode(v: np.ndarray) -> bytes | None:
+    if len(v) == 0:
+        return None
+    vmin, vmax = _minmax(v)
+    if vmin < _I64_MIN or vmax > _I64_MAX:
+        return None
+    v64 = v.astype(np.int64)
+    diffs = np.diff(v64)
+    if len(diffs):
+        dmin, dmax = _minmax(diffs)
+        if dmax - dmin > _RANGE_CAP:
+            return None
+    inner = for_encode(diffs) if len(diffs) else b""
+    if inner is None:
+        return None
+    first = int(v64[0]).to_bytes(8, "little", signed=True)
+    return first + inner
+
+
+def delta_decode(payload: bytes, n: int, work_dtype: np.dtype) -> np.ndarray:
+    first = int.from_bytes(payload[:8], "little", signed=True)
+    if n == 0:
+        return np.empty(0, dtype=work_dtype)
+    diffs = for_decode(payload[8:], n - 1, np.dtype(np.int64)) if n > 1 \
+        else np.empty(0, dtype=np.int64)
+    out = np.empty(n, dtype=np.int64)
+    out[0] = first
+    if n > 1:
+        np.cumsum(diffs, out=out[1:])
+        out[1:] += first
+    return out.astype(work_dtype)
+
+
+# --- RLE -----------------------------------------------------------------
+# payload: u64 n_runs + framed(run_values_blob, run_lengths_blob)
+# Recursive sub-encoding is injected by the core dispatcher to avoid a
+# circular import.
+
+def run_split(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(run_values, run_lengths) of v."""
+    if len(v) == 0:
+        return v[:0], np.empty(0, dtype=np.int64)
+    change = np.empty(len(v), dtype=bool)
+    change[0] = True
+    np.not_equal(v[1:], v[:-1], out=change[1:])
+    starts = np.flatnonzero(change)
+    lengths = np.diff(np.append(starts, len(v))).astype(np.int64)
+    return v[starts], lengths
+
+
+def run_join(values: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    return np.repeat(values, lengths)
+
+
+# --- DICT ----------------------------------------------------------------
+
+def dict_split(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted uniques, int64 codes). Sorted uniques delta-encode well."""
+    uniques, codes = np.unique(v, return_inverse=True)
+    return uniques, codes.astype(np.int64)

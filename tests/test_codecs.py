@@ -1,0 +1,170 @@
+"""Kernel-level codec roundtrip tests (no Spark) — SURVEY.md §5.2.
+
+Every codec must satisfy decode(encode(x)) == x bit-identically on
+adversarial inputs (FIXTURES.md §2 `codec_vectors`).
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from tbl_spark.codecs import Codec, decode_array, encode_array
+from tbl_spark.codecs import bitpack
+from tbl_spark.codecs import strings as fsst
+
+RNG = np.random.default_rng(42)
+
+INT_VECTORS = {
+    "empty": np.array([], dtype=np.int32),
+    "single": np.array([7], dtype=np.int32),
+    "const": np.full(1000, 42, dtype=np.int32),
+    "alternating": np.tile(np.array([3, -9], dtype=np.int32), 500),
+    "uniform_random": RNG.integers(-2**31, 2**31, 10_000).astype(np.int32),
+    "sorted_small_deltas": np.cumsum(
+        RNG.integers(0, 5, 10_000)).astype(np.int32),
+    "extremes": np.array([-2**31, 0, 2**31 - 1, 1, -1], dtype=np.int32),
+    "zipf_tokens": np.minimum(RNG.zipf(1.2, 20_000), 50_256).astype(np.int32),
+    "long_runs": np.repeat(
+        RNG.integers(0, 10, 50).astype(np.int32), RNG.integers(1, 400, 50)),
+    "i64_extremes": np.array([-2**63, 2**63 - 1, 0, 5], dtype=np.int64),
+    "u64_big": np.array([0, 2**64 - 1, 2**63, 17], dtype=np.uint64),
+    "f64_random": RNG.normal(size=5000),
+    "f64_with_nan": np.array([1.5, np.nan, -0.0, 0.0, np.inf, -np.inf]),
+    "f32_lowcard": RNG.choice(
+        np.array([0.1, 2.5, -3.75], dtype=np.float32), 5000),
+    "bool": RNG.integers(0, 2, 3000).astype(bool),
+    "u8": RNG.integers(0, 256, 3000).astype(np.uint8),
+    "i16": RNG.integers(-2**15, 2**15, 3000).astype(np.int16),
+}
+
+
+@pytest.mark.parametrize("name", list(INT_VECTORS))
+def test_numeric_auto_roundtrip(name):
+    v = INT_VECTORS[name]
+    blob = encode_array(v)
+    out, valid = decode_array(blob)
+    assert valid is None
+    assert out.dtype == v.dtype
+    np.testing.assert_array_equal(
+        np.asarray(out).view(np.uint8), v.view(np.uint8))  # bit-identical
+
+
+@pytest.mark.parametrize("codec", [Codec.RAW, Codec.FOR_BITPACK,
+                                   Codec.DELTA_FOR, Codec.RLE, Codec.DICT])
+@pytest.mark.parametrize("name", ["alternating", "sorted_small_deltas",
+                                  "zipf_tokens", "long_runs"])
+def test_numeric_forced_codec_roundtrip(codec, name):
+    v = INT_VECTORS[name]
+    blob = encode_array(v, codec=codec)
+    out, _ = decode_array(blob)
+    np.testing.assert_array_equal(out, v)
+
+
+def test_nulls_roundtrip():
+    v = RNG.integers(0, 100, 1000).astype(np.int32)
+    valid = RNG.random(1000) > 0.3
+    blob = encode_array(v * valid, valid=valid)
+    out, mask = decode_array(blob)
+    np.testing.assert_array_equal(mask, valid)
+    np.testing.assert_array_equal(out[valid], (v * valid)[valid])
+
+
+def test_bitpack_roundtrip():
+    for width in [0, 1, 3, 7, 8, 13, 31, 33, 64]:
+        hi = 2**width - 1 if width else 0
+        v = RNG.integers(0, hi + 1, 777, dtype=np.uint64) if width else \
+            np.zeros(777, dtype=np.uint64)
+        buf = bitpack.pack(v, width)
+        np.testing.assert_array_equal(bitpack.unpack(buf, 777, width), v)
+
+
+STR_VECTORS = {
+    "ids": [f"cc-news-{i:012d}" for i in range(2000)],
+    "lowcard": ["web", "books", "arxiv"] * 700,
+    "empty_and_unicode": ["", "a", "日本語テキスト", "x" * 500, ""] * 50,
+    "with_nulls": ["alpha", None, "beta", None, "gamma"] * 100,
+    "single_null": [None],
+    "empty_col": [],
+}
+
+
+@pytest.mark.parametrize("name", list(STR_VECTORS))
+def test_string_auto_roundtrip(name):
+    v = STR_VECTORS[name]
+    blob = encode_array(pa.array(v, type=pa.string()))
+    out, valid = decode_array(blob)
+    expect = ["" if x is None else x for x in v]
+    assert out.to_pylist() == expect
+    if any(x is None for x in v):
+        assert [bool(b) for b in valid] == [x is not None for x in v]
+
+
+@pytest.mark.parametrize("codec", [Codec.STR_RAW, Codec.STR_DICT, Codec.FSST])
+def test_string_forced_codec_roundtrip(codec):
+    v = STR_VECTORS["ids"]
+    blob = encode_array(pa.array(v), codec=codec)
+    out, _ = decode_array(blob)
+    assert out.to_pylist() == v
+
+
+def test_binary_roundtrip():
+    v = [bytes(RNG.integers(0, 256, int(n)).astype(np.uint8))
+         for n in RNG.integers(0, 64, 300)]
+    blob = encode_array(pa.array(v, type=pa.binary()))
+    out, _ = decode_array(blob)
+    assert out.to_pylist() == v
+
+
+def test_fsst_kernel_roundtrip():
+    corpus = ("the quick brown fox " * 500).encode()
+    payload = fsst.fsst_encode(corpus)
+    assert payload is not None and len(payload) < len(corpus) // 2
+    assert fsst.fsst_decode(payload) == corpus
+
+
+def test_fsst_incompressible_declines():
+    corpus = bytes(RNG.integers(0, 256, 4096).astype(np.uint8))
+    assert fsst.fsst_encode(corpus) is None  # no free bytes / no gain
+
+
+def test_list_roundtrip_tokens():
+    arrs = [RNG.integers(0, 50_257, int(n)).astype(np.int32)
+            for n in RNG.integers(1, 200, 500)]
+    arrs[3] = np.array([7] * 150, dtype=np.int32)       # RLE best case
+    arrs[5] = np.arange(180, dtype=np.int32)            # delta best case
+    arrs[7] = np.array([0, 2**31 - 1], dtype=np.int32)  # extremes
+    la = pa.array(arrs, type=pa.list_(pa.int32()))
+    blob = encode_array(la)
+    out, valid = decode_array(blob)
+    assert valid is None
+    flat_in = np.concatenate(arrs)
+    np.testing.assert_array_equal(
+        np.asarray(out.flatten(), dtype=np.int32), flat_in)
+    np.testing.assert_array_equal(
+        np.asarray(out.value_lengths()), [len(a) for a in arrs])
+
+
+def test_list_roundtrip_embeddings():
+    arrs = [RNG.normal(size=64).astype(np.float32) for _ in range(200)]
+    la = pa.array(arrs, type=pa.list_(pa.float32()))
+    out, _ = decode_array(encode_array(la))
+    np.testing.assert_array_equal(
+        np.asarray(out.flatten(), dtype=np.float32), np.concatenate(arrs))
+
+
+def test_list_with_null_rows():
+    la = pa.array([[1, 2], None, [3]], type=pa.list_(pa.int32()))
+    out, valid = decode_array(encode_array(la))
+    assert list(valid) == [True, False, True]
+    assert np.asarray(out.value_lengths()).tolist() == [2, 0, 1]
+
+
+def test_compression_beats_raw_on_compressible():
+    v = INT_VECTORS["zipf_tokens"]
+    blob = encode_array(v)
+    assert len(blob) < v.nbytes / 2
+    runs = INT_VECTORS["long_runs"]
+    assert len(encode_array(runs)) < runs.nbytes / 10
+    ids = encode_array(pa.array(STR_VECTORS["ids"]))
+    raw = sum(len(s) for s in STR_VECTORS["ids"])
+    assert len(ids) < raw / 2
