@@ -1,0 +1,67 @@
+"""Distributed decode job: chunk DataFrame → original table.
+
+Inverse of encode.py; grouped Arrow UDF per part_id. Row order within a
+chunk is preserved column-to-column (all columns of a chunk were encoded
+from one aligned Arrow table), so positional zip reconstructs rows exactly
+— the per-row token-array equality invariant is checked by tests joining
+on doc_id."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+
+from .arrowtypes import arrow_type_of_ddl, from_codec_output
+from .codecs import decode_array
+from .partitioning import PART_COL
+
+
+def _apply_mask(arr: pa.Array, valid: np.ndarray | None) -> pa.Array:
+    if valid is None or valid.all():
+        return arr
+    mask = pa.array(~valid)
+    if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+        flat = arr.flatten()
+        offsets = arr.offsets if hasattr(arr, "offsets") else None
+        if offsets is None:
+            lengths = np.asarray(arr.value_lengths(), dtype=np.int64)
+            off = np.zeros(len(arr) + 1, dtype=np.int64)
+            np.cumsum(lengths, out=off[1:])
+            offsets = pa.array(off)
+        cls = (pa.LargeListArray
+               if pa.types.is_large_list(arr.type) else pa.ListArray)
+        return cls.from_arrays(offsets, flat, mask=mask)
+    import pyarrow.compute as pc
+    return pc.if_else(pa.array(valid), arr, pa.scalar(None, arr.type))
+
+
+def decode_table(chunk_tbl: pa.Table,
+                 column_order: list[str]) -> pa.Table:
+    """All chunk rows of ONE part_id → the decoded Arrow table."""
+    by_col = {}
+    blobs = chunk_tbl.column("blob").to_pylist()
+    names = chunk_tbl.column("column").to_pylist()
+    types = chunk_tbl.column("spark_type").to_pylist()
+    for name, blob, ddl in zip(names, blobs, types):
+        target = arrow_type_of_ddl(ddl)
+        values, valid = decode_array(blob)
+        arr = from_codec_output(values, target)
+        by_col[name] = _apply_mask(arr, valid)
+    cols = [by_col[c] for c in column_order]
+    return pa.Table.from_arrays(cols, names=column_order)
+
+
+def decode_chunks(chunk_df: DataFrame, output_ddl: str) -> DataFrame:
+    """chunk DataFrame → reconstructed DataFrame with schema output_ddl."""
+    from pyspark.sql.types import StructType
+    spark = chunk_df.sparkSession
+    schema = StructType.fromDDL(output_ddl) if isinstance(output_ddl, str) \
+        else output_ddl
+    column_order = [f.name for f in schema.fields]
+
+    def decode_group(key: tuple, tbl: pa.Table) -> pa.Table:
+        return decode_table(tbl, column_order)
+
+    _ = spark
+    return chunk_df.groupBy(PART_COL).applyInArrow(decode_group, schema)

@@ -1,0 +1,175 @@
+"""Checkpointed chunk store: per-partition atomic commit + resume.
+
+Layout (root/):
+    chunks/part-NNNNN.parquet   committed chunk rows (CHUNK_SCHEMA) per part
+    manifest/part-NNNNN.json    commit marker + per-column lineage/metrics
+    _staging/                   in-flight files (ignored by readers)
+
+Write protocol per partition, executed ON THE EXECUTOR inside the encode
+UDF — the Spark version of the reference's tmp+rename crash-safe outputs
+(crates/tbl-cli/src/output.rs:141-176, parquet_drop.rs:14-28):
+
+    1. write chunk parquet  → _staging/part-N.<token>.parquet
+    2. os.replace           → chunks/part-N.parquet        (atomic)
+    3. write manifest json  → _staging/part-N.<token>.json
+    4. os.replace           → manifest/part-N.json         (atomic commit)
+
+The manifest file is the commit marker: a crash between 2 and 4 leaves an
+orphan chunk file that the retry simply overwrites. Resume = left-anti join
+of the work list against committed part ids, so interrupted runs never
+re-encode committed partitions (north rule resumability).
+
+On a real cluster this store sits on a shared filesystem where rename is
+atomic (HDFS/NFS); on S3-style object stores the same protocol maps onto
+Iceberg snapshot commits — the interface here is the storage adapter
+SURVEY.md §7.3 calls for.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+
+from .encode import CHUNK_SCHEMA_DDL, encode_table
+from .partitioning import PART_COL, with_part_id
+
+MANIFEST_SCHEMA_DDL = (
+    "part_id int, n_rows bigint, n_values bigint, raw_bytes bigint, "
+    "enc_bytes bigint, encode_ms double, committed_at double, columns string")
+
+
+class ChunkStore:
+    def __init__(self, root: str):
+        self.root = root
+        self.chunks_dir = os.path.join(root, "chunks")
+        self.manifest_dir = os.path.join(root, "manifest")
+        self.staging_dir = os.path.join(root, "_staging")
+
+    def init_dirs(self) -> None:
+        for d in (self.chunks_dir, self.manifest_dir, self.staging_dir):
+            os.makedirs(d, exist_ok=True)
+
+    # -- commit state -------------------------------------------------------
+
+    def committed_parts(self) -> set[int]:
+        if not os.path.isdir(self.manifest_dir):
+            return set()
+        return {int(f[5:-5]) for f in os.listdir(self.manifest_dir)
+                if f.startswith("part-") and f.endswith(".json")}
+
+    def commit_chunk(self, part_id: int, chunk_tbl: pa.Table,
+                     manifest: dict) -> None:
+        """Executor-side atomic commit (steps 1-4 above)."""
+        token = uuid.uuid4().hex[:8]
+        name = f"part-{part_id:05d}"
+        tmp_parquet = os.path.join(self.staging_dir, f"{name}.{token}.parquet")
+        pq.write_table(chunk_tbl, tmp_parquet, compression="none")
+        os.replace(tmp_parquet, os.path.join(self.chunks_dir, f"{name}.parquet"))
+        tmp_json = os.path.join(self.staging_dir, f"{name}.{token}.json")
+        with open(tmp_json, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp_json, os.path.join(self.manifest_dir, f"{name}.json"))
+
+    # -- readers ------------------------------------------------------------
+
+    def read_chunks(self, spark: SparkSession) -> DataFrame:
+        return spark.read.schema(CHUNK_SCHEMA_DDL).parquet(
+            os.path.join(self.chunks_dir, "*.parquet"))
+
+    def read_manifest(self, spark: SparkSession) -> DataFrame:
+        return spark.read.json(os.path.join(self.manifest_dir, "*.json"),
+                               schema=MANIFEST_SCHEMA_DDL)
+
+    def manifest_rows(self) -> list[dict]:
+        out = []
+        for f in sorted(os.listdir(self.manifest_dir)):
+            if f.endswith(".json"):
+                with open(os.path.join(self.manifest_dir, f)) as fh:
+                    out.append(json.load(fh))
+        return out
+
+
+def encode_to_store(df: DataFrame, store: ChunkStore, num_parts: int,
+                    resume: bool = True) -> dict:
+    """Run the resumable encode job; returns run summary.
+
+    The encode UDF writes + commits each chunk on the executor, then emits
+    one manifest row; the driver only collects the (tiny) manifest rows.
+    """
+    store.init_dirs()
+    df = with_part_id(df, num_parts)
+    committed = store.committed_parts() if resume else set()
+    pending_df = df
+    if committed:
+        spark = df.sparkSession
+        done = spark.createDataFrame(
+            [(int(p),) for p in sorted(committed)], f"{PART_COL} int")
+        # broadcast anti-join: never re-encode committed partitions
+        from pyspark.sql.functions import broadcast
+        pending_df = df.join(broadcast(done), PART_COL, "left_anti")
+
+    spark_types = {f.name: f.dataType.simpleString()
+                   for f in df.schema.fields if f.name != PART_COL}
+    store_root = store.root
+
+    def encode_commit(key: tuple, tbl: pa.Table) -> pa.Table:
+        part_id = key[0].as_py()
+        t0 = time.perf_counter()
+        chunk_tbl = encode_table(part_id, tbl, spark_types)
+        ms = (time.perf_counter() - t0) * 1000.0
+        cols = {
+            name: {"codec": codec, "raw_bytes": rb, "enc_bytes": eb,
+                   "n_values": nv}
+            for name, codec, rb, eb, nv in zip(
+                chunk_tbl.column("column").to_pylist(),
+                chunk_tbl.column("codec").to_pylist(),
+                chunk_tbl.column("raw_bytes").to_pylist(),
+                chunk_tbl.column("enc_bytes").to_pylist(),
+                chunk_tbl.column("n_values").to_pylist())
+        }
+        n_rows = int(chunk_tbl.column("n_rows")[0].as_py()) if len(chunk_tbl) else 0
+        n_values = max((c["n_values"] for c in cols.values()), default=0)
+        manifest = {
+            "part_id": part_id,
+            "n_rows": n_rows,
+            "n_values": n_values,
+            "raw_bytes": sum(c["raw_bytes"] for c in cols.values()),
+            "enc_bytes": sum(c["enc_bytes"] for c in cols.values()),
+            "encode_ms": ms,
+            "committed_at": time.time(),
+            "columns": json.dumps(cols),
+        }
+        local_store = ChunkStore(store_root)
+        local_store.init_dirs()
+        local_store.commit_chunk(part_id, chunk_tbl, manifest)
+        return pa.Table.from_pydict(
+            {k: [manifest[k]] for k in manifest},
+            schema=pa.schema([
+                ("part_id", pa.int32()), ("n_rows", pa.int64()),
+                ("n_values", pa.int64()), ("raw_bytes", pa.int64()),
+                ("enc_bytes", pa.int64()), ("encode_ms", pa.float64()),
+                ("committed_at", pa.float64()), ("columns", pa.string())]))
+
+    rows = (pending_df.groupBy(PART_COL)
+            .applyInArrow(encode_commit, MANIFEST_SCHEMA_DDL)
+            .collect())
+    return {
+        "encoded_parts": len(rows),
+        "skipped_parts": len(committed),
+        "n_rows": sum(r["n_rows"] for r in rows),
+        "n_values": sum(r["n_values"] for r in rows),
+        "raw_bytes": sum(r["raw_bytes"] for r in rows),
+        "enc_bytes": sum(r["enc_bytes"] for r in rows),
+    }
+
+
+def decode_from_store(store: ChunkStore, spark: SparkSession,
+                      output_ddl: str) -> DataFrame:
+    from .decode import decode_chunks
+    return decode_chunks(store.read_chunks(spark), output_ddl)
