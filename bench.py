@@ -1,0 +1,129 @@
+"""Benchmark harness (driver contract): prints ONE JSON line
+{"metric", "value", "unit", "queries", "sf", ...}.
+
+Headline = the engine's core job: distributed columnar encode of a
+deterministic token table (tokens/sec), plus decode, plus representative
+operator queries on the $SPARK_GRAFT_SF_DIR tables.
+
+Scaling evidence (north rule: ≥0.8 efficiency from N to 4N executors,
+sandboxed as local[N] vs local[4N]): set SPARK_GRAFT_SCALING=1 to run the
+same encode at both parallelism levels and report throughput + efficiency
+(tools/scaling_bench.py writes the BENCH/BASELINE.md section from this).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", 60_000))
+
+
+def _new_session(cores: int):
+    from pyspark.sql import SparkSession
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    from tbl_spark.session import get_spark
+    return get_spark(cores=cores, shuffle_partitions=max(32, 4 * cores),
+                     app_name=f"tbl_spark-bench-{cores}")
+
+
+def encode_tokens_per_sec(spark, n_docs: int, num_parts: int,
+                          warmup: bool = True) -> tuple[float, int, int]:
+    """(tokens/sec, total_tokens, enc_bytes) for the distributed encode."""
+    import pyspark.sql.functions as F
+    from tbl_spark.datagen import generate_df
+    from tbl_spark.encode import encode_chunks
+
+    if warmup:  # JIT/codegen warm-up, untimed
+        encode_chunks(generate_df(spark, 2000, 4), 4).count()
+    df = generate_df(spark, n_docs, max(CPUS, num_parts // 4))
+    t0 = time.perf_counter()
+    agg = (encode_chunks(df, num_parts)
+           .agg(F.sum("enc_bytes").alias("enc"),
+                F.max("n_values").alias("_"),
+                F.sum(F.when(F.col("column") == "tokens",
+                             F.col("n_values"))).alias("tokens"))
+           .collect()[0])
+    dt = time.perf_counter() - t0
+    return agg["tokens"] / dt, int(agg["tokens"]), int(agg["enc"])
+
+
+def run_scaling(n_docs: int) -> dict:
+    """Same encode at local[N] and local[4N]; efficiency=(thr4N/thrN)/4."""
+    n = max(2, CPUS // 4)
+    results = {}
+    for cores in (n, 4 * n):
+        spark = _new_session(cores)
+        thr, tokens, _ = encode_tokens_per_sec(
+            spark, n_docs, num_parts=16 * cores)
+        results[cores] = thr
+    eff = (results[4 * n] / results[n]) / 4.0
+    return {"cores_n": n, "cores_4n": 4 * n,
+            "tokens_per_sec_n": round(results[n]),
+            "tokens_per_sec_4n": round(results[4 * n]),
+            "efficiency": round(eff, 3)}
+
+
+def main() -> None:
+    queries: dict[str, float] = {}
+    extras: dict = {}
+
+    spark = _new_session(CPUS)
+
+    # headline: distributed encode throughput
+    t0 = time.perf_counter()
+    thr, total_tokens, enc_bytes = encode_tokens_per_sec(
+        spark, BENCH_DOCS, num_parts=8 * CPUS)
+    queries["encode_tokens"] = round(time.perf_counter() - t0, 3)
+    extras["encode_tokens_per_sec"] = round(thr)
+    extras["bytes_per_token"] = round(enc_bytes / total_tokens, 4)
+    extras["total_tokens"] = total_tokens
+
+    # decode throughput (store-free roundtrip)
+    from tbl_spark.datagen import SPARK_SCHEMA_DDL, generate_df
+    from tbl_spark.decode import decode_chunks
+    from tbl_spark.encode import encode_chunks
+    chunks = encode_chunks(
+        generate_df(spark, BENCH_DOCS // 2, CPUS), 4 * CPUS)
+    chunks = chunks.cache()
+    chunks.count()
+    t0 = time.perf_counter()
+    decode_chunks(chunks, SPARK_SCHEMA_DDL).count()
+    queries["decode_tokens"] = round(time.perf_counter() - t0, 3)
+    chunks.unpersist()
+
+    # operator queries on the testdata tables
+    import __spark_entry__ as entrymod
+    qs = entrymod.queries()
+    for name in ("roundtrip_lineitem", "dedup_minhash_lsh",
+                 "ann_cosine_topk", "text_quality", "dedup_exact"):
+        t0 = time.perf_counter()
+        qs[name](spark, SF_DIR).count()
+        queries[name] = round(time.perf_counter() - t0, 3)
+
+    if os.environ.get("SPARK_GRAFT_SCALING"):
+        extras["scaling"] = run_scaling(
+            int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", 40_000)))
+
+    out = {
+        "metric": "wall seconds per headline query (encode throughput in "
+                  "extras: encode_tokens_per_sec, bytes_per_token)",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        **extras,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,166 @@
+"""CLI mirroring the reference's surface (crates/tbl-cli/src/cli/args.rs).
+
+    python -m tbl_spark.cli data  PATHS... [transforms] [output]
+    python -m tbl_spark.cli ls     [PATHS...] [--tree]
+    python -m tbl_spark.cli schema [PATHS...] [--tree] [-n TOP]
+    python -m tbl_spark.cli encode PATHS... --store DIR [--num-parts N]
+    python -m tbl_spark.cli decode --store DIR --schema DDL [--output DIR]
+    python -m tbl_spark.cli stats  --store DIR
+
+Output modes (types.rs:43-63 / data.rs:30-50): default pretty-print n rows
+to stdout; --output writes parquet; --csv/--json switch the sink format
+(output.rs:74-95,130-179)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _add_transform_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--with-columns", nargs="*", default=[],
+                   metavar="NAME:TYPE[=VAL]")
+    p.add_argument("--filter", nargs="*", default=[], dest="filters")
+    p.add_argument("--drop", nargs="*", default=[])
+    p.add_argument("--cast", nargs="*", default=[], metavar="COL=TYPE")
+    p.add_argument("--set", nargs="*", default=[], metavar="COL=VAL")
+    p.add_argument("--nullify", nargs="*", default=[])
+    p.add_argument("--replace", nargs="*", default=[], metavar="COL.OLD=NEW")
+    p.add_argument("--select", "--columns", nargs="*", default=[])
+    p.add_argument("--offset", type=int, default=None)
+    p.add_argument("--head", "--limit", type=int, default=None)
+    p.add_argument("--tail", type=int, default=None)
+    p.add_argument("--value-counts", default=None)
+    p.add_argument("--sort", nargs="*", default=[], metavar="COL[:desc]")
+    p.add_argument("--rename", nargs="*", default=[], metavar="OLD=NEW")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="tbl-spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    data = sub.add_parser("data", help="transform parquet datasets")
+    data.add_argument("paths", nargs="+")
+    data.add_argument("--tree", action="store_true")
+    _add_transform_flags(data)
+    data.add_argument("--output", default=None, help="parquet output dir")
+    data.add_argument("--csv", action="store_true")
+    data.add_argument("--json", action="store_true")
+    data.add_argument("-n", "--rows", type=int, default=20,
+                      help="stdout row budget")
+
+    ls = sub.add_parser("ls", help="files/rows/bytes from footers only")
+    ls.add_argument("paths", nargs="*", default=None)
+    ls.add_argument("--tree", action="store_true")
+
+    sc = sub.add_parser("schema", help="per-column disk stats by schema")
+    sc.add_argument("paths", nargs="*", default=None)
+    sc.add_argument("--tree", action="store_true")
+    sc.add_argument("-n", "--top", type=int, default=None)
+
+    enc = sub.add_parser("encode", help="columnar-encode into a chunk store")
+    enc.add_argument("paths", nargs="+")
+    enc.add_argument("--store", required=True)
+    enc.add_argument("--num-parts", type=int, default=None)
+    enc.add_argument("--tokens-per-chunk", type=int, default=None)
+    enc.add_argument("--no-resume", action="store_true")
+
+    dec = sub.add_parser("decode", help="decode a chunk store")
+    dec.add_argument("--store", required=True)
+    dec.add_argument("--schema", required=True, help="output schema DDL")
+    dec.add_argument("--output", default=None)
+    dec.add_argument("-n", "--rows", type=int, default=20)
+
+    st = sub.add_parser("stats", help="chunk-manifest metrics rollup")
+    st.add_argument("--store", required=True)
+    return ap
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.cmd == "ls":
+        from .inspect import ls as do_ls
+        info = do_ls(args.paths or None, args.tree)
+        print(f"{info['files']} files, {info['rows']:,} rows, "
+              f"{info['bytes']:,} bytes")
+        return 0
+
+    if args.cmd == "schema":
+        from .inspect import schema_summary
+        for g in schema_summary(args.paths or None, args.tree, args.top):
+            print(f"# {g['files']} files, {g['rows']:,} rows")
+            for name, c in g["columns"].items():
+                print(f"  {name:24s} {c['disk_bytes']:>14,} disk  "
+                      f"{c['full_bytes']:>14,} full  {c['disk_pct']:6.2f}%")
+        return 0
+
+    if args.cmd == "stats":
+        from .inspect import store_stats
+        from .store import ChunkStore
+        print(json.dumps(store_stats(ChunkStore(args.store)), indent=2))
+        return 0
+
+    from .session import get_spark
+    spark = get_spark()
+
+    if args.cmd == "data":
+        from .inspect import discover
+        from .transforms import TransformSpec, apply_transforms
+        files = discover(args.paths, args.tree)
+        if not files:
+            print("no parquet inputs", file=sys.stderr)
+            return 1
+        df = spark.read.parquet(*files)
+        spec = TransformSpec(
+            with_columns=args.with_columns, filters=args.filters,
+            drop=args.drop, cast=args.cast, set=getattr(args, "set"),
+            nullify=args.nullify, replace=args.replace, select=args.select,
+            offset=args.offset, head=args.head, tail=args.tail,
+            value_counts=args.value_counts, sort=args.sort,
+            rename=args.rename)
+        out = apply_transforms(df, spec)
+        if args.output:
+            fmt = "csv" if args.csv else "json" if args.json else "parquet"
+            out.write.mode("overwrite").format(fmt).save(args.output)
+        else:
+            out.show(args.rows, truncate=False)
+        return 0
+
+    if args.cmd == "encode":
+        from .inspect import discover
+        from .partitioning import plan_num_parts
+        from .store import ChunkStore, encode_to_store
+        import pyspark.sql.functions as F
+        files = discover(args.paths)
+        df = spark.read.parquet(*files)
+        num_parts = args.num_parts
+        if num_parts is None:
+            if "n_tok" in df.columns:
+                total = df.agg(F.sum("n_tok")).collect()[0][0] or 0
+            else:
+                total = df.count()
+            kw = {}
+            if args.tokens_per_chunk:
+                kw["tokens_per_chunk"] = args.tokens_per_chunk
+            num_parts = plan_num_parts(int(total), **kw)
+        summary = encode_to_store(df, ChunkStore(args.store), num_parts,
+                                  resume=not args.no_resume)
+        print(json.dumps(summary))
+        return 0
+
+    if args.cmd == "decode":
+        from .store import ChunkStore, decode_from_store
+        out = decode_from_store(ChunkStore(args.store), spark, args.schema)
+        if args.output:
+            out.write.mode("overwrite").parquet(args.output)
+        else:
+            out.show(args.rows, truncate=False)
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

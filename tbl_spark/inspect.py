@@ -1,0 +1,118 @@
+"""Metadata-only inspect surface: ls / schema / stats.
+
+`ls` and `schema` read parquet FOOTERS only — never data pages — exactly
+like the reference (crates/tbl-cli/src/cli/subcommands/ls.rs:4-96,
+schema.rs:11-74, parquet_summary.rs:90-149). `stats` is the rollup of our
+chunk manifest, the direct descendant of `tbl schema`'s per-column
+disk-share table (schema.rs:227-290) plus the throughput metrics the north
+rule requires."""
+
+from __future__ import annotations
+
+import glob
+import os
+from collections import defaultdict
+
+import pyarrow.parquet as pq
+
+from .store import ChunkStore
+
+
+def discover(paths: list[str] | None, tree: bool = False) -> list[str]:
+    """Input discovery (gather.rs:6-48, inputs.rs:5-39): .parquet files of
+    each path/dir, sorted for deterministic ordering."""
+    out: list[str] = []
+    for p in paths or ["."]:
+        if os.path.isdir(p):
+            pattern = os.path.join(p, "**", "*.parquet") if tree \
+                else os.path.join(p, "*.parquet")
+            out.extend(glob.glob(pattern, recursive=tree))
+        elif p.endswith(".parquet"):
+            out.append(p)
+    return sorted(out)
+
+
+def ls(paths: list[str] | None = None, tree: bool = False) -> dict:
+    """files / rows / bytes one-liner (ls.rs:87-96) from footers only."""
+    files = discover(paths, tree)
+    rows = 0
+    for f in files:
+        rows += pq.read_metadata(f).num_rows
+    return {"files": len(files), "rows": rows,
+            "bytes": sum(os.path.getsize(f) for f in files),
+            "paths": files}
+
+
+def schema_summary(paths: list[str] | None = None, tree: bool = False,
+                   top_n: int | None = None) -> list[dict]:
+    """Per-schema-group, per-column compressed/uncompressed bytes + disk %
+    (schema.rs:104-118,227-290; parquet_summary.rs:122-236)."""
+    files = discover(paths, tree)
+    groups: dict[str, dict] = {}
+    for f in files:
+        md = pq.read_metadata(f)
+        schema = md.schema.to_arrow_schema()
+        key = str(schema)
+        g = groups.setdefault(key, {
+            "schema": [(n, str(schema.field(n).type)) for n in schema.names],
+            "files": 0, "rows": 0,
+            "columns": defaultdict(lambda: [0, 0])})
+        g["files"] += 1
+        g["rows"] += md.num_rows
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                acc = g["columns"][col.path_in_schema]
+                acc[0] += col.total_compressed_size
+                acc[1] += col.total_uncompressed_size
+    out = []
+    for g in groups.values():
+        total_disk = sum(v[0] for v in g["columns"].values()) or 1
+        out.append({
+            "schema": g["schema"], "files": g["files"], "rows": g["rows"],
+            "columns": {
+                name: {"disk_bytes": v[0], "full_bytes": v[1],
+                       "disk_pct": 100.0 * v[0] / total_disk}
+                for name, v in sorted(g["columns"].items())},
+        })
+    out.sort(key=lambda g: g["rows"], reverse=True)
+    return out[:top_n] if top_n else out
+
+
+def store_stats(store: ChunkStore) -> dict:
+    """Chunk-manifest rollup: per-column codec mix, bytes, ratio; per-run
+    tokens/sec — the inspect/stats metrics table of the north rule."""
+    import json
+    per_col: dict[str, dict] = {}
+    total_ms = 0.0
+    total_values = 0
+    n_rows = 0
+    for m in store.manifest_rows():
+        total_ms += m["encode_ms"]
+        total_values += m["n_values"]
+        n_rows += m["n_rows"]
+        for name, c in json.loads(m["columns"]).items():
+            acc = per_col.setdefault(
+                name, {"raw_bytes": 0, "enc_bytes": 0, "codecs": set()})
+            acc["raw_bytes"] += c["raw_bytes"]
+            acc["enc_bytes"] += c["enc_bytes"]
+            acc["codecs"].add(c["codec"])
+    total_enc = sum(c["enc_bytes"] for c in per_col.values()) or 1
+    columns = {
+        name: {"raw_bytes": c["raw_bytes"], "enc_bytes": c["enc_bytes"],
+               "ratio": c["raw_bytes"] / max(1, c["enc_bytes"]),
+               "disk_pct": 100.0 * c["enc_bytes"] / total_enc,
+               "codecs": sorted(c["codecs"])}
+        for name, c in sorted(per_col.items())}
+    return {
+        "parts": len(store.committed_parts()),
+        "rows": n_rows,
+        "tokens": total_values,
+        "raw_bytes": sum(c["raw_bytes"] for c in per_col.values()),
+        "enc_bytes": sum(c["enc_bytes"] for c in per_col.values()),
+        "bytes_per_token": total_enc / max(1, total_values),
+        "encode_cpu_sec": total_ms / 1000.0,
+        "tokens_per_cpu_sec": total_values / max(1e-9, total_ms / 1000.0),
+        "columns": columns,
+    }

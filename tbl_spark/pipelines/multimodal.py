@@ -1,0 +1,112 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata.
+
+The Spark-side plumbing (schema, partitioning, Arrow batch shape, UDF
+signatures) is real and tested; the actual media decode is STUBBED — the
+image/audio libraries are not in this container. `decode_image` raises
+NotImplementedError unless PIL is importable; `fake_decode=True` swaps in a
+deterministic fake decoder so the batch plumbing can be exercised and
+verified end-to-end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+MEDIA_SCHEMA_DDL = (
+    "media_id bigint, kind string, width int, height int, "
+    "n_frames int, payload binary")
+
+FEATURE_SCHEMA_DDL = "media_id bigint, kind string, feature array<float>"
+
+try:  # real decoder gate — absent in this container
+    from PIL import Image  # noqa: F401
+    HAVE_PIL = True
+except ImportError:
+    HAVE_PIL = False
+
+
+def attach_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a deterministic opaque binary payload + typed metadata
+    per row (stand-in for real image/audio bytes)."""
+    return (df.select(F.col(id_col).cast("bigint").alias("media_id"))
+            .withColumn("kind", F.when(F.col("media_id") % 3 == 0, "image")
+                        .when(F.col("media_id") % 3 == 1, "audio")
+                        .otherwise("video"))
+            .withColumn("width", (F.col("media_id") % 64 + 16).cast("int"))
+            .withColumn("height", (F.col("media_id") % 48 + 16).cast("int"))
+            .withColumn("n_frames",
+                        F.when(F.col("kind") == "video",
+                               (F.col("media_id") % 30 + 1))
+                        .otherwise(F.lit(1)).cast("int"))
+            .withColumn("payload", F.sha2(F.col("media_id").cast("string"),
+                                          256).cast("binary")))
+
+
+def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic fake pixel decode: seed from payload digest."""
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "little")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (height, width, 3), dtype=np.uint8)
+
+
+def decode_image(payload: bytes, width: int, height: int,
+                 fake_decode: bool = False) -> np.ndarray:
+    if fake_decode:
+        return _fake_decode(payload, width, height)
+    if not HAVE_PIL:
+        raise NotImplementedError(
+            "real image decode requires PIL, which is not installed in "
+            "this container; pass fake_decode=True for the deterministic "
+            "fake decoder")
+    raise NotImplementedError("real decode path not wired in this build")
+
+
+def extract_features(df: DataFrame, dim: int = 16,
+                     fake_decode: bool = True) -> DataFrame:
+    """mapInArrow media → fixed-size feature vectors.
+
+    Real pipeline shape: batches of opaque binaries arrive Arrow-batched
+    per partition, decode + pool happens vectorized per batch, output is a
+    stable array<float> schema. Only the pixel decode itself is fake."""
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column("media_id").to_numpy(zero_copy_only=False)
+            kinds = batch.column("kind").to_pylist()
+            widths = batch.column("width").to_numpy(zero_copy_only=False)
+            heights = batch.column("height").to_numpy(zero_copy_only=False)
+            payloads = batch.column("payload").to_pylist()
+            feats = np.empty((len(ids), dim), dtype=np.float32)
+            for i in range(len(ids)):
+                px = decode_image(payloads[i], int(widths[i]),
+                                  int(heights[i]), fake_decode=fake_decode)
+                pooled = px.reshape(-1, 3).mean(axis=0)
+                mixed = np.concatenate([
+                    pooled,
+                    px.std(axis=(0, 1)),
+                    px.reshape(-1)[: dim - 6].astype(np.float32)
+                    / 255.0])[:dim]
+                feats[i] = np.pad(mixed, (0, max(0, dim - len(mixed))))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids), pa.array(kinds),
+                 pa.array(list(feats), type=pa.list_(pa.float32()))],
+                names=["media_id", "kind", "feature"])
+
+    return df.mapInArrow(run, FEATURE_SCHEMA_DDL)
+
+
+def frame_sample(df: DataFrame, every_n: int = 5) -> DataFrame:
+    """Video frame-sampling plumbing: explode frame indices 0..n_frames-1,
+    keep every_n-th — pure JVM, the decode of each frame stays stubbed."""
+    return (df.filter(F.col("kind") == "video")
+            .withColumn("frame_idx",
+                        F.explode(F.sequence(F.lit(0),
+                                             F.col("n_frames") - 1)))
+            .filter(F.col("frame_idx") % every_n == 0))

@@ -1,0 +1,87 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+- brute_force_topk: exact cosine top-k, all JVM array expressions
+  (F.aggregate/zip_with dot products — no Python in the hot path).
+- ivf_topk: IVF-style scale path — deterministic centroids, cluster
+  assignment via an Arrow-batched pandas UDF (numpy matmul), search probes
+  only the nearest `nprobe` clusters. At 100 TB the brute force scans
+  everything (still distributed, but O(N) per query); IVF prunes the scan
+  to nprobe/nlist of the data — the bucket assignment is the one shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.functions import pandas_udf
+
+
+def _cos_expr(vec_col: str, q_col: str):
+    dot = F.expr(
+        f"aggregate(zip_with({vec_col}, {q_col}, (x, y) -> CAST(x AS DOUBLE)"
+        f" * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    n1 = F.sqrt(F.expr(
+        f"aggregate({vec_col}, CAST(0.0 AS DOUBLE), "
+        f"(a, x) -> a + CAST(x AS DOUBLE) * x)"))
+    n2 = F.sqrt(F.expr(
+        f"aggregate({q_col}, CAST(0.0 AS DOUBLE), "
+        f"(a, x) -> a + CAST(x AS DOUBLE) * x)"))
+    return dot / (n1 * n2)
+
+
+def brute_force_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> DataFrame:
+    """Exact cosine top-k: map-side score, global top-k (TakeOrdered —
+    no full sort shuffle)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = (df.withColumn("_q", q)
+              .withColumn("cos", F.round(_cos_expr(vec_col, "_q"), 4))
+              .drop("_q"))
+    return (scored.select(id_col, "cos")
+            .orderBy(F.desc("cos"), F.col(id_col)).limit(k))
+
+
+def train_centroids(df: DataFrame, nlist: int, vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> np.ndarray:
+    """Deterministic 'training': evenly-strided sample by id as centroids
+    (k-means would also work; determinism matters more here)."""
+    ids = [r[0] for r in
+           df.select(id_col).orderBy(id_col).limit(nlist * 50).collect()]
+    picks = ids[::max(1, len(ids) // nlist)][:nlist]
+    rows = (df.filter(F.col(id_col).isin(picks))
+            .orderBy(id_col).select(vec_col).collect())
+    return np.array([r[0] for r in rows], dtype=np.float32)
+
+
+def assign_clusters(df: DataFrame, centroids: np.ndarray,
+                    vec_col: str = "embedding") -> DataFrame:
+    """Nearest-centroid id per row via Arrow-batched numpy matmul."""
+    c = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    @pandas_udf("int")
+    def nearest(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(m @ c.T, axis=1).astype(np.int32))
+
+    return df.withColumn("cluster", nearest(F.col(vec_col)))
+
+
+def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+             nlist: int = 16, nprobe: int = 4, vec_col: str = "embedding",
+             id_col: str = "vec_id",
+             centroids: np.ndarray | None = None) -> DataFrame:
+    """IVF: score only rows whose cluster is among the query's nprobe
+    nearest centroids. Partition pruning analog for vector search."""
+    if centroids is None:
+        centroids = train_centroids(df, nlist, vec_col, id_col)
+    assigned = assign_clusters(df, centroids, vec_col)
+    q = np.asarray(query_vec, dtype=np.float32)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    probes = np.argsort(-(cn @ qn))[:nprobe].tolist()
+    pruned = assigned.filter(F.col("cluster").isin([int(p) for p in probes]))
+    return brute_force_topk(pruned, query_vec, k, vec_col, id_col)

@@ -1,0 +1,70 @@
+"""Standalone encode job for spark-submit (north rule deployment path):
+
+    spark-submit --master local[N] --py-files tbl_spark.zip \
+        tools/encode_job_main.py --docs 40000 [--store DIR]
+
+Inherits the master/executors from spark-submit (no master override), so
+the same script runs unchanged on a real multi-executor cluster. Prints one
+JSON line: {"cores", "docs", "tokens", "seconds", "tokens_per_sec", ...}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=40_000)
+    ap.add_argument("--num-parts", type=int, default=None)
+    ap.add_argument("--gen-parts", type=int, default=None)
+    ap.add_argument("--store", default=None)
+    ap.add_argument("--warmup", type=int, default=1)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    spark = (SparkSession.builder.appName("tbl_spark-encode")
+             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+             .config("spark.sql.session.timeZone", "UTC")
+             .getOrCreate())
+    cores = spark.sparkContext.defaultParallelism
+
+    import pyspark.sql.functions as F
+    from tbl_spark.datagen import generate_df
+    from tbl_spark.encode import encode_chunks
+
+    num_parts = args.num_parts or 16 * cores
+    gen_parts = args.gen_parts or 4 * cores
+
+    if args.warmup:
+        encode_chunks(generate_df(spark, 2000, 4), 4).count()
+
+    df = generate_df(spark, args.docs, gen_parts)
+    t0 = time.perf_counter()
+    if args.store:
+        from tbl_spark.store import ChunkStore, encode_to_store
+        summary = encode_to_store(df, ChunkStore(args.store), num_parts)
+        tokens = summary["n_values"]
+        enc_bytes = summary["enc_bytes"]
+    else:
+        agg = (encode_chunks(df, num_parts)
+               .agg(F.sum(F.when(F.col("column") == "tokens",
+                                 F.col("n_values"))).alias("tokens"),
+                    F.sum("enc_bytes").alias("enc")).collect()[0])
+        tokens, enc_bytes = int(agg["tokens"]), int(agg["enc"])
+    dt = time.perf_counter() - t0
+
+    print(json.dumps({
+        "cores": cores, "docs": args.docs, "num_parts": num_parts,
+        "tokens": tokens, "enc_bytes": enc_bytes,
+        "seconds": round(dt, 3),
+        "tokens_per_sec": round(tokens / dt),
+        "bytes_per_token": round(enc_bytes / tokens, 4),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

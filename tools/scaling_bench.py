@@ -1,0 +1,98 @@
+"""Two-cluster-size scaling evidence (north rule: ≥0.8 efficiency N→4N).
+
+Packages tbl_spark into a zip, runs the SAME encode job via
+`spark-submit --py-files` at local[N] and local[4N] on identical input,
+and writes BENCH.md with throughput at both + scaling efficiency.
+
+    python tools/scaling_bench.py [--docs 60000] [--n 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_zip(path: str) -> str:
+    with zipfile.ZipFile(path, "w") as z:
+        pkg = os.path.join(REPO, "tbl_spark")
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+    return path
+
+
+def run_submit(cores: int, zip_path: str, docs: int, num_parts: int) -> dict:
+    spark_submit = shutil.which("spark-submit") or os.path.join(
+        os.path.dirname(sys.executable), "spark-submit")
+    cmd = [
+        spark_submit, "--master", f"local[{cores}]",
+        "--conf", "spark.sql.shuffle.partitions=%d" % max(32, 4 * cores),
+        "--conf", "spark.driver.memory=12g",
+        "--conf", "spark.local.dir=/tmp/spark-local",
+        "--conf", "spark.ui.enabled=false",
+        "--py-files", zip_path,
+        os.path.join(REPO, "tools", "encode_job_main.py"),
+        "--docs", str(docs), "--num-parts", str(num_parts),
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=1200)
+    for line in out.stdout.splitlines():
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"no JSON from spark-submit: {out.stderr[-2000:]}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=60_000)
+    ap.add_argument("--n", type=int, default=8)
+    args = ap.parse_args()
+
+    zip_path = build_zip("/tmp/tbl_spark.zip")
+    # identical input + identical chunk count at both sizes — only the
+    # executor-thread count changes
+    num_parts = 16 * 4 * args.n
+    lo = run_submit(args.n, zip_path, args.docs, num_parts)
+    hi = run_submit(4 * args.n, zip_path, args.docs, num_parts)
+    eff = (hi["tokens_per_sec"] / lo["tokens_per_sec"]) / 4.0
+    report = {
+        "docs": args.docs, "tokens": lo["tokens"], "num_parts": num_parts,
+        "cores_n": args.n, "tokens_per_sec_n": lo["tokens_per_sec"],
+        "seconds_n": lo["seconds"],
+        "cores_4n": 4 * args.n, "tokens_per_sec_4n": hi["tokens_per_sec"],
+        "seconds_4n": hi["seconds"],
+        "efficiency": round(eff, 3),
+        "bytes_per_token": lo["bytes_per_token"],
+    }
+    print(json.dumps(report, indent=2))
+
+    md = f"""
+## Scaling evidence (tools/scaling_bench.py, spark-submit --py-files)
+
+Same encode job, identical input ({args.docs:,} docs / {lo['tokens']:,}
+tokens, {num_parts} chunks), two parallelism levels:
+
+| cluster size | throughput | wall |
+|---|---|---|
+| local[{args.n}] (N) | {lo['tokens_per_sec']:,} tokens/sec | {lo['seconds']} s |
+| local[{4 * args.n}] (4N) | {hi['tokens_per_sec']:,} tokens/sec | {hi['seconds']} s |
+
+**Scaling efficiency (thr@4N / thr@N) / 4 = {eff:.3f}** (target ≥ 0.8).
+Compressed size: {lo['bytes_per_token']} bytes/token.
+"""
+    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+        f.write("# BENCH — measured results\n" + md)
+    print("wrote BENCH.md")
+
+
+if __name__ == "__main__":
+    main()
