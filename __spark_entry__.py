@@ -22,7 +22,7 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 
 def _roundtrip(spark: SparkSession, sf_dir: str, table: str,
-               key_cols: list[str], num_parts: int = 4) -> DataFrame:
+               key_cols: list[str], num_parts: int = 32) -> DataFrame:
     """encode → decode identity pipeline over a testdata table."""
     from tbl_spark.decode import decode_chunks
     from tbl_spark.encode import encode_chunks

@@ -49,6 +49,12 @@ def build_parser() -> argparse.ArgumentParser:
     data.add_argument("--json", action="store_true")
     data.add_argument("-n", "--rows", type=int, default=20,
                       help="stdout row budget")
+    data.add_argument("--hex", action="store_true",
+                      help="render binary columns as 0x-hex on stdout")
+
+    py = sub.add_parser("python", help="interactive python with df loaded")
+    py.add_argument("paths", nargs="+")
+    py.add_argument("--tree", action="store_true")
 
     ls = sub.add_parser("ls", help="files/rows/bytes from footers only")
     ls.add_argument("paths", nargs="*", default=None)
@@ -125,7 +131,25 @@ def main(argv: list[str] | None = None) -> int:
             fmt = "csv" if args.csv else "json" if args.json else "parquet"
             out.write.mode("overwrite").format(fmt).save(args.output)
         else:
+            if args.hex:  # 0x-hex rendering of binary columns
+                import pyspark.sql.functions as F
+                for name, t in out.dtypes:
+                    if t == "binary":
+                        out = out.withColumn(name, F.concat(
+                            F.lit("0x"), F.lower(F.hex(F.col(name)))))
             out.show(args.rows, truncate=False)
+        return 0
+
+    if args.cmd == "python":
+        # interactive handoff with the dataset preloaded
+        # (crates/tbl-cli/src/python.rs:5-68 analog)
+        import code
+        from .inspect import discover
+        files = discover(args.paths, args.tree)
+        df = spark.read.parquet(*files)
+        banner = (f"tbl-spark interactive: `spark` (SparkSession) and `df` "
+                  f"({len(files)} files) are defined")
+        code.interact(banner=banner, local={"spark": spark, "df": df})
         return 0
 
     if args.cmd == "encode":

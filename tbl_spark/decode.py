@@ -52,6 +52,41 @@ def decode_table(chunk_tbl: pa.Table,
     return pa.Table.from_arrays(cols, names=column_order)
 
 
+def decode_chunks_colocated(chunk_df: DataFrame, output_ddl: str) -> DataFrame:
+    """Zero-shuffle decode for chunk stores: when every input file holds
+    exactly one part's rows (ChunkStore's layout), rows of a part are
+    contiguous within each scan partition, so the decode streams with
+    mapInArrow — no Exchange in the plan. Falls back to nothing: callers
+    with arbitrarily-ordered chunk rows must use decode_chunks()."""
+    from pyspark.sql.types import StructType
+    schema = StructType.fromDDL(output_ddl) if isinstance(output_ddl, str) \
+        else output_ddl
+    column_order = [f.name for f in schema.fields]
+
+    def run(batches):
+        pending: pa.Table | None = None
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            if pending is not None:
+                tbl = pa.concat_tables([pending, tbl])
+                pending = None
+            pids = tbl.column("part_id").to_numpy()
+            if len(pids) == 0:
+                continue
+            change = np.flatnonzero(np.diff(pids)) + 1
+            starts = np.concatenate([[0], change])
+            ends = np.concatenate([change, [len(pids)]])
+            # the last run may continue in the next batch → hold it back
+            for s, e in zip(starts[:-1], ends[:-1]):
+                yield from decode_table(
+                    tbl.slice(s, e - s), column_order).to_batches()
+            pending = tbl.slice(starts[-1], ends[-1] - starts[-1])
+        if pending is not None and len(pending):
+            yield from decode_table(pending, column_order).to_batches()
+
+    return chunk_df.mapInArrow(run, schema)
+
+
 def decode_chunks(chunk_df: DataFrame, output_ddl: str) -> DataFrame:
     """chunk DataFrame → reconstructed DataFrame with schema output_ddl."""
     from pyspark.sql.types import StructType

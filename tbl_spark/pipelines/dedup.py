@@ -38,26 +38,35 @@ def _word_shingles(text_col: str, n: int = 5):
     ), words
 
 
-def with_minhash_signature(df: DataFrame, text_col: str = "text",
-                           k: int = 32, shingle_n: int = 5) -> DataFrame:
-    """k minhash values: min over shingles of xxhash64(shingle, seed_i).
-    One pass, all JVM expressions."""
+def minhash_signature(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", k: int = 32,
+                      shingle_n: int = 5) -> DataFrame:
+    """(id, minhash: array<bigint>[k]) — min over shingles of
+    xxhash64(shingle_hash, seed_i).
+
+    Shape matters at scale: shingle strings are built and hashed exactly
+    ONCE (explode → xxhash64), then k permutations re-hash the 64-bit
+    value inside a groupBy with k min-aggregates. Catalyst's partial
+    aggregation combines map-side, so the exchange carries one row per id,
+    and the expensive string shingling is never re-inlined per permutation
+    (separate column expressions would be re-evaluated k times —
+    CollapseProject has no cross-expression CSE)."""
     shingles, _ = _word_shingles(text_col, shingle_n)
-    df = df.withColumn("_shingles", shingles)
-    sig = F.array(*[
-        F.array_min(F.expr(
-            f"transform(_shingles, s -> xxhash64(s, {seed}L))"))
-        for seed in range(k)])
-    return df.withColumn("minhash", sig).drop("_shingles")
+    ex = (df.select(F.col(id_col), F.explode(shingles).alias("_s"))
+          .select(id_col, F.xxhash64("_s").alias("_h")))
+    aggs = [F.min(F.xxhash64("_h", F.lit(i))).alias(f"_m{i}")
+            for i in range(k)]
+    return (ex.groupBy(id_col).agg(*aggs)
+            .select(id_col, F.array(*[f"_m{i}" for i in range(k)])
+                    .alias("minhash")))
 
 
 def _band_explode(df: DataFrame, sig_col: str, bands: int,
                   rows_per_band: int) -> DataFrame:
-    band_hashes = F.array(*[
-        F.xxhash64(F.lit(b), *[
-            F.col(sig_col)[b * rows_per_band + r]
-            for r in range(rows_per_band)])
-        for b in range(bands)])
+    band_hashes = F.expr(
+        f"transform(sequence(0, {bands - 1}), b -> aggregate("
+        f"slice({sig_col}, b * {rows_per_band} + 1, {rows_per_band}), "
+        f"CAST(b AS BIGINT), (acc, x) -> xxhash64(acc, x)))")
     return (df.withColumn("_bands", band_hashes)
             .select("*", F.posexplode("_bands").alias("band", "band_hash"))
             .drop("_bands"))
@@ -73,7 +82,7 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
     window and the final distinct — no pairwise cross-join materializes.
     """
     rows_per_band = k // bands
-    sig = with_minhash_signature(df, text_col, k, shingle_n)
+    sig = minhash_signature(df, id_col, text_col, k, shingle_n)
     exploded = _band_explode(sig, "minhash", bands, rows_per_band)
     w = Window.partitionBy("band", "band_hash")
     dupped = exploded.withColumn("_keep", F.min(id_col).over(w))
@@ -127,9 +136,9 @@ def ngram_jaccard_dedup(df: DataFrame, text_col: str = "text",
     The cross-join only happens inside a band bucket (self-join on the
     bucket key), never globally."""
     shingles, _ = _word_shingles(text_col, shingle_n)
-    base = df.withColumn("_sh", F.array_distinct(shingles))
-    sig = with_minhash_signature(
-        base, text_col, k, shingle_n).select(id_col, "_sh", "minhash")
+    base = df.select(id_col, F.array_distinct(shingles).alias("_sh"))
+    sig = minhash_signature(df, id_col, text_col, k, shingle_n).join(
+        base, id_col)
     exploded = _band_explode(sig, "minhash", bands, k // bands)
     left = exploded.select(F.col(id_col).alias("a_id"),
                            F.col("_sh").alias("a_sh"), "band", "band_hash")

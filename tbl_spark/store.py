@@ -171,5 +171,7 @@ def encode_to_store(df: DataFrame, store: ChunkStore, num_parts: int,
 
 def decode_from_store(store: ChunkStore, spark: SparkSession,
                       output_ddl: str) -> DataFrame:
-    from .decode import decode_chunks
-    return decode_chunks(store.read_chunks(spark), output_ddl)
+    # each committed file holds exactly one part's rows → rows per part are
+    # contiguous within a scan partition → zero-shuffle streaming decode
+    from .decode import decode_chunks_colocated
+    return decode_chunks_colocated(store.read_chunks(spark), output_ddl)

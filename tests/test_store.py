@@ -85,3 +85,16 @@ def test_manifest_lineage_content(spark, tmp_path):
         for c in cols.values():
             assert c["enc_bytes"] > 0 and c["codec"]
         assert r["enc_bytes"] == sum(c["enc_bytes"] for c in cols.values())
+
+
+def test_colocated_decode_no_shuffle(spark, tmp_path):
+    """decode_from_store must plan NO Exchange (zero-shuffle streaming)."""
+    store = ChunkStore(str(tmp_path / "store"))
+    df = generate_df(spark, 2000, 2)
+    encode_to_store(df, store, 6)
+    decoded = decode_from_store(store, spark, SPARK_SCHEMA_DDL)
+    plan = decoded._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    n = decoded.alias("b").join(df.alias("a"), "doc_id").filter(
+        F.col("a.tokens") == F.col("b.tokens")).count()
+    assert n == 2000 and decoded.count() == 2000

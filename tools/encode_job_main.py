@@ -20,6 +20,8 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=40_000)
     ap.add_argument("--num-parts", type=int, default=None)
     ap.add_argument("--gen-parts", type=int, default=None)
+    ap.add_argument("--input", default=None,
+                    help="parquet token table to encode (else generated)")
     ap.add_argument("--store", default=None)
     ap.add_argument("--warmup", type=int, default=1)
     args = ap.parse_args()
@@ -39,9 +41,12 @@ def main() -> None:
     gen_parts = args.gen_parts or 4 * cores
 
     if args.warmup:
-        encode_chunks(generate_df(spark, 2000, 4), 4).count()
+        # untimed: spin up every python worker (imports + allocator arenas)
+        encode_chunks(generate_df(spark, 4 * cores * 100, cores),
+                      2 * cores).count()
 
-    df = generate_df(spark, args.docs, gen_parts)
+    df = spark.read.parquet(args.input) if args.input \
+        else generate_df(spark, args.docs, gen_parts)
     t0 = time.perf_counter()
     if args.store:
         from tbl_spark.store import ChunkStore, encode_to_store

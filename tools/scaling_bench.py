@@ -31,7 +31,8 @@ def build_zip(path: str) -> str:
     return path
 
 
-def run_submit(cores: int, zip_path: str, docs: int, num_parts: int) -> dict:
+def run_submit(cores: int, zip_path: str, docs: int, num_parts: int,
+               input_dir: str | None = None) -> dict:
     spark_submit = shutil.which("spark-submit") or os.path.join(
         os.path.dirname(sys.executable), "spark-submit")
     cmd = [
@@ -44,6 +45,8 @@ def run_submit(cores: int, zip_path: str, docs: int, num_parts: int) -> dict:
         os.path.join(REPO, "tools", "encode_job_main.py"),
         "--docs", str(docs), "--num-parts", str(num_parts),
     ]
+    if input_dir:
+        cmd += ["--input", input_dir]
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=1200)
     for line in out.stdout.splitlines():
         if line.startswith("{"):
@@ -58,11 +61,16 @@ def main() -> None:
     args = ap.parse_args()
 
     zip_path = build_zip("/tmp/tbl_spark.zip")
-    # identical input + identical chunk count at both sizes — only the
-    # executor-thread count changes
+    # stage the input table once (pyarrow, no Spark) so BOTH runs read the
+    # same parquet bytes; identical chunk count — only threads change
+    input_dir = f"/tmp/tbl_scaling_input_{args.docs}"
+    if not os.path.isdir(input_dir):
+        sys.path.insert(0, REPO)
+        from tbl_spark.datagen import write_token_table
+        write_token_table(input_dir, args.docs, n_parts=16 * args.n)
     num_parts = 16 * 4 * args.n
-    lo = run_submit(args.n, zip_path, args.docs, num_parts)
-    hi = run_submit(4 * args.n, zip_path, args.docs, num_parts)
+    lo = run_submit(args.n, zip_path, args.docs, num_parts, input_dir)
+    hi = run_submit(4 * args.n, zip_path, args.docs, num_parts, input_dir)
     eff = (hi["tokens_per_sec"] / lo["tokens_per_sec"]) / 4.0
     report = {
         "docs": args.docs, "tokens": lo["tokens"], "num_parts": num_parts,
