@@ -146,7 +146,27 @@ def run_join(values: np.ndarray, lengths: np.ndarray) -> np.ndarray:
 
 # --- DICT ----------------------------------------------------------------
 
+_BINCOUNT_RANGE_CAP = 1 << 22  # remap table ≤ 32 MB
+
+
 def dict_split(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """(sorted uniques, int64 codes). Sorted uniques delta-encode well."""
+    """(sorted uniques, int64 codes). Sorted uniques delta-encode well.
+
+    Small-range integers (e.g. token ids over a ~50k vocab) use a
+    bincount + remap-table pass — O(n) sequential with a cache-resident
+    lookup table — instead of np.unique's full sort, which thrashes DRAM
+    on chunk-sized arrays and caps multi-worker scaling."""
+    if v.dtype.kind in "iu" and len(v):
+        vmin, vmax = int(v.min()), int(v.max())
+        rng = vmax - vmin
+        if 0 <= rng <= _BINCOUNT_RANGE_CAP:
+            shifted = v.astype(np.int64) - vmin
+            counts = np.bincount(shifted, minlength=rng + 1)
+            uniq_shifted = np.flatnonzero(counts)
+            remap = np.zeros(rng + 1, dtype=np.int64)
+            remap[uniq_shifted] = np.arange(len(uniq_shifted))
+            codes = remap[shifted]
+            uniques = (uniq_shifted + vmin).astype(v.dtype)
+            return uniques, codes
     uniques, codes = np.unique(v, return_inverse=True)
     return uniques, codes.astype(np.int64)

@@ -1,0 +1,85 @@
+"""Property-based codec roundtrip tests (hypothesis): any int array, any
+dtype, any null mask — decode(encode(x)) must be bit-identical."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings, strategies as st
+
+from tbl_spark.codecs import decode_array, encode_array
+
+DTYPES = [np.int8, np.int16, np.int32, np.int64,
+          np.uint8, np.uint16, np.uint32, np.uint64]
+
+
+@st.composite
+def int_arrays(draw):
+    dtype = np.dtype(draw(st.sampled_from(DTYPES)))
+    info = np.iinfo(dtype)
+    n = draw(st.integers(0, 300))
+    shape = draw(st.sampled_from(["random", "runs", "sorted", "const"]))
+    rng = np.random.default_rng(draw(st.integers(0, 2**31)))
+    if shape == "const" and n:
+        v = np.full(n, draw(st.integers(info.min, info.max)), dtype=dtype)
+    elif shape == "runs" and n:
+        k = max(1, n // 10)
+        vals = rng.integers(info.min, info.max, k, dtype=dtype,
+                            endpoint=True)
+        v = np.repeat(vals, rng.integers(1, 20, k))[:n]
+    elif shape == "sorted" and n:
+        v = np.sort(rng.integers(info.min, info.max, n, dtype=dtype,
+                                 endpoint=True))
+    else:
+        v = rng.integers(info.min, info.max, n, dtype=dtype, endpoint=True)
+    return v
+
+
+@given(int_arrays())
+@settings(max_examples=120, deadline=None)
+def test_int_roundtrip_bit_identical(v):
+    out, valid = decode_array(encode_array(v))
+    assert valid is None
+    assert out.dtype == v.dtype
+    np.testing.assert_array_equal(out, v)
+
+
+@given(int_arrays(), st.integers(0, 2**31))
+@settings(max_examples=60, deadline=None)
+def test_int_roundtrip_with_nulls(v, seed):
+    if len(v) == 0:
+        return
+    valid = np.random.default_rng(seed).random(len(v)) > 0.4
+    out, mask = decode_array(encode_array(v, valid=valid))
+    if valid.all():
+        assert mask is None
+    else:
+        np.testing.assert_array_equal(mask, valid)
+    np.testing.assert_array_equal(out[valid], v[valid])
+
+
+@given(st.lists(st.one_of(st.none(), st.text(max_size=40)), max_size=120))
+@settings(max_examples=80, deadline=None)
+def test_string_roundtrip(strings):
+    arr = pa.array(strings, type=pa.string())
+    out, valid = decode_array(encode_array(arr))
+    expect = ["" if s is None else s for s in strings]
+    assert out.to_pylist() == expect
+    if valid is not None:
+        assert [bool(b) for b in valid] == [s is not None for s in strings]
+
+
+@given(st.lists(st.lists(st.integers(-2**31, 2**31 - 1), max_size=50),
+                max_size=60))
+@settings(max_examples=60, deadline=None)
+def test_token_list_roundtrip(lists):
+    arr = pa.array(lists, type=pa.list_(pa.int32()))
+    out, valid = decode_array(encode_array(arr))
+    assert valid is None
+    assert [list(x) for x in out.to_pylist()] == lists
+
+
+@given(st.lists(st.floats(allow_nan=True, width=32), max_size=200))
+@settings(max_examples=60, deadline=None)
+def test_float_roundtrip_bit_identical(floats):
+    v = np.array(floats, dtype=np.float32)
+    out, _ = decode_array(encode_array(v))
+    np.testing.assert_array_equal(out.view(np.uint32), v.view(np.uint32))
