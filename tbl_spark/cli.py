@@ -47,6 +47,18 @@ def build_parser() -> argparse.ArgumentParser:
     data.add_argument("--output", default=None, help="parquet output dir")
     data.add_argument("--csv", action="store_true")
     data.add_argument("--json", action="store_true")
+    data.add_argument("--inplace", action="store_true",
+                      help="1:1 overwrite each input file (atomic)")
+    data.add_argument("--output-dir", default=None,
+                      help="1:1 re-root outputs into this dir")
+    data.add_argument("--file-prefix", default=None)
+    data.add_argument("--file-postfix", default=None)
+
+    mg = sub.add_parser("merge", help="concatenate N files into one "
+                                      "(strict schema equality)")
+    mg.add_argument("paths", nargs="+")
+    mg.add_argument("--output", required=True, help="single output file")
+    mg.add_argument("--tree", action="store_true")
     data.add_argument("-n", "--rows", type=int, default=20,
                       help="stdout row budget")
     data.add_argument("--hex", action="store_true",
@@ -126,6 +138,17 @@ def main(argv: list[str] | None = None) -> int:
             offset=args.offset, head=args.head, tail=args.tail,
             value_counts=args.value_counts, sort=args.sort,
             rename=args.rename)
+        if args.inplace or args.output_dir or args.file_prefix \
+                or args.file_postfix:
+            from .filejobs import transform_files
+            from .outputs import OutputPathSpec
+            pairs = transform_files(spark, files, spec, OutputPathSpec(
+                output_dir=args.output_dir, tree=args.tree,
+                file_prefix=args.file_prefix,
+                file_postfix=args.file_postfix, inplace=args.inplace))
+            for s, d in pairs:
+                print(f"{s} -> {d}")
+            return 0
         out = apply_transforms(df, spec)
         if args.output:
             fmt = "csv" if args.csv else "json" if args.json else "parquet"
@@ -150,6 +173,13 @@ def main(argv: list[str] | None = None) -> int:
         banner = (f"tbl-spark interactive: `spark` (SparkSession) and `df` "
                   f"({len(files)} files) are defined")
         code.interact(banner=banner, local={"spark": spark, "df": df})
+        return 0
+
+    if args.cmd == "merge":
+        from .filejobs import merge_files
+        from .inspect import discover
+        n = merge_files(spark, discover(args.paths, args.tree), args.output)
+        print(f"{n:,} rows -> {args.output}")
         return 0
 
     if args.cmd == "encode":
