@@ -25,7 +25,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from . import numeric, strings
+from . import numeric, rans, strings
 from .format import (
     Codec,
     DType,
@@ -70,6 +70,10 @@ def _encode_int_payload(v: np.ndarray, codec: Codec,
         inner_v = _encode_int_auto(values, _depth + 1, no_rle=True)
         inner_l = _encode_int_auto(lengths, _depth + 1, no_rle=True)
         return frame(inner_v, inner_l)
+    if codec == Codec.BYTE_PLANES:
+        return numeric.planes_encode(v)
+    if codec == Codec.RANS:
+        return _rans_payload(v)
     if codec == Codec.DICT:
         uniques, codes = numeric.dict_split(v)
         if len(uniques) >= max(2, len(v) // 2):
@@ -81,6 +85,19 @@ def _encode_int_payload(v: np.ndarray, codec: Codec,
 
 
 _WINDOW_N = 1 << 18  # contiguous stats window for sampled estimates
+
+
+def _rans_payload(v: np.ndarray) -> bytes | None:
+    """Dict-remap to a dense alphabet, then lane-parallel rANS. payload =
+    frame(freqs_blob, uniques_blob, rans_core)."""
+    uniques, codes = numeric.dict_split(v)
+    if not (2 <= len(uniques) <= rans.MAX_ALPHABET):
+        return None
+    res = rans.encode(codes, len(uniques))
+    if res is None:
+        return None
+    core, freqs = res
+    return frame(_encode_int_auto(freqs), _encode_int_auto(uniques), core)
 
 
 def _estimate_int_sizes(v: np.ndarray) -> dict[Codec, float]:
@@ -152,6 +169,14 @@ def _decode_int_blob(blob: bytes) -> np.ndarray:
         return numeric.for_decode(payload, n, work_dtype)
     if codec == Codec.DELTA_FOR:
         return numeric.delta_decode(payload, n, work_dtype)
+    if codec == Codec.BYTE_PLANES:
+        return numeric.planes_decode(payload, n, work_dtype)
+    if codec == Codec.RANS:
+        bf, bu, core = unframe(payload, 3)
+        freqs = _decode_int_blob(bf)
+        uniques = _decode_int_blob(bu)
+        codes = rans.decode(core, n, freqs)
+        return uniques[codes].astype(work_dtype, copy=False)
     if codec == Codec.RLE:
         bv, bl = unframe(payload, 2)
         return numeric.run_join(_decode_int_blob(bv), _decode_int_blob(bl))
@@ -330,12 +355,35 @@ def encode_array(values, valid: np.ndarray | None = None,
         blob = assemble(codec, dtype_code, len(work), payload, valid=valid,
                         try_zstd=try_zstd)
         return blob
-    # auto: analytic pick, then guard against RAW(+zstd). The guard pass
-    # (a zstd over the raw bytes) only runs when the picked blob hasn't
-    # already beaten raw by 2× — cuts a full compression pass in the
-    # common case while still never losing to the zstd baseline badly.
+    # auto: analytic pick, then sampled byte-plane challenge, then a
+    # RAW(+zstd) guard when nothing has beaten raw by 2× yet.
     inner = _encode_int_auto(work)
     picked = _reheader(inner, dtype_code, valid, try_zstd)
+    if try_zstd and len(work) >= (1 << 14):
+        n = len(work)
+        window = work if n <= _WINDOW_N \
+            else work[(n - _WINDOW_N) // 2:][:_WINDOW_N]
+        scale = n / len(window)
+        challengers: list[tuple[float, Codec]] = []
+        bp_win = _encode_int_payload(window, Codec.BYTE_PLANES)
+        if bp_win is not None:
+            challengers.append((len(bp_win) * scale, Codec.BYTE_PLANES))
+        rn_win = _encode_int_payload(window, Codec.RANS)
+        if rn_win is not None:
+            # tables don't scale with n — scale only the coded stream
+            bf, bu, core = unframe(rn_win, 3)
+            est = len(bf) + len(bu) + 12 + len(core) * scale
+            challengers.append((est, Codec.RANS))
+        for est, codec_c in sorted(challengers):
+            if est >= 0.98 * len(picked):
+                break
+            payload_c = _encode_int_payload(work, codec_c)
+            if payload_c is not None:
+                cand = assemble(codec_c, dtype_code, n, payload_c,
+                                valid=valid, try_zstd=False)
+                if len(cand) < len(picked):
+                    picked = cand
+                    break
     if len(picked) * 2 < work.nbytes:
         return picked
     raw_guard = assemble(Codec.RAW, dtype_code, len(work),

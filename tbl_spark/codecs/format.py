@@ -50,6 +50,8 @@ class Codec(enum.IntEnum):
     STR_DICT = 7
     FSST = 8
     LIST = 9
+    BYTE_PLANES = 10
+    RANS = 11
 
 
 class DType(enum.IntEnum):

@@ -1,0 +1,138 @@
+"""Vectorized interleaved rANS entropy coder (numpy, no per-row Python).
+
+Order-0 entropy coding of small-alphabet integer streams — the piece that
+closes the gap between bit-packing (ceil(log2(range)) bits/value) and the
+distribution's actual entropy (~8.9 bits for Zipf token ids vs 16 for
+bit-pack). Public-knowledge algorithm: Duda, "Asymmetric numeral systems"
+(arXiv:1311.2540); 64-bit state / 32-bit renormalization layout after
+F. Giesen's public ryg_rans. The twist here is LANE PARALLELISM: L
+independent rANS states interleave the stream (lane j codes positions
+j, j+L, j+2L, …), so every state update is a numpy vector op over L lanes
+and the Python loop runs only ceil(n/L) times.
+
+Layout (payload, after the standard blob header):
+    u32 n_lanes | u32 K (alphabet) | u64 stream_bytes
+    | framed: freq_blob (quantized counts, nested int blob)
+    |         uniques_blob (alphabet values, nested int blob)
+    | states (n_lanes × u64 LE)
+    | stream (u32 LE words)
+
+Encode walks positions in reverse (rANS is LIFO), emitting per-step
+renormalization words for lanes in ascending order; whole steps are
+concatenated in reverse at the end, so the decoder — which walks forward —
+reads the stream strictly sequentially.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+PROB_BITS = 20               # keeps the min-slot tax tiny for ~50k vocabs
+M = 1 << PROB_BITS           # total of quantized frequencies
+RANS_L = np.uint64(1 << 31)  # lower bound of the state interval
+MAX_ALPHABET = M // 2        # guarantee ≥ M/2 slots distribute by freq
+
+
+def quantize_freqs(counts: np.ndarray) -> np.ndarray:
+    """Counts → freqs summing EXACTLY to M, every nonzero symbol ≥ 1 slot.
+
+    Every symbol gets its guaranteed slot first; the remaining M-K slots
+    are split proportionally to counts with largest-remainder rounding —
+    never reducing a frequent symbol to make room (naive round-then-fix
+    schemes do exactly that and wreck the cross-entropy)."""
+    n = int(counts.sum())
+    K = len(counts)
+    extra = M - K
+    share = counts * (extra / n)
+    add = np.floor(share).astype(np.int64)
+    f = 1 + add
+    diff = M - int(f.sum())  # 0 ≤ diff ≤ K (floor losses)
+    if diff:
+        rem = share - add
+        f[np.argsort(-rem)[:diff]] += 1
+    return f
+
+
+def encode(codes: np.ndarray, K: int, n_lanes: int = 4096
+           ) -> tuple[bytes, np.ndarray] | None:
+    """codes: int64 array of symbols in [0, K). Returns (payload_core,
+    freqs) or None when ineligible. payload_core excludes the freq/unique
+    tables (the caller frames those)."""
+    n = len(codes)
+    if n == 0 or K > MAX_ALPHABET or K < 2:
+        return None
+    L = min(n_lanes, 1 << max(6, (n // 64)).bit_length() - 1)
+    L = max(64, min(L, 4096))
+    counts = np.bincount(codes, minlength=K)
+    f = quantize_freqs(counts)
+    cum = np.zeros(K + 1, dtype=np.int64)
+    np.cumsum(f, out=cum[1:])
+
+    f_u = f.astype(np.uint64)
+    cum_u = cum.astype(np.uint64)
+    T = -(-n // L)
+    x = np.full(L, RANS_L, dtype=np.uint64)
+    lanes = np.arange(L, dtype=np.int64)
+    step_words: list[np.ndarray] = []
+    emit_threshold_base = np.uint64((int(RANS_L) >> PROB_BITS) << 32)
+    for t in range(T - 1, -1, -1):
+        pos = t * L + lanes
+        active = pos < n
+        s = np.where(active, codes[np.minimum(pos, n - 1)], 0)
+        fs = np.where(active, f_u[s], np.uint64(1))
+        cs = np.where(active, cum_u[s], np.uint64(0))
+        # renormalize: emit low 32 bits where the next encode would overflow
+        emit = active & (x >= emit_threshold_base * fs)
+        if emit.any():
+            step_words.append(x[emit].astype(np.uint32))
+            x = np.where(emit, x >> np.uint64(32), x)
+        nx = ((x // fs) << np.uint64(PROB_BITS)) + (x % fs) + cs
+        x = np.where(active, nx, x)
+    stream = (np.concatenate(step_words[::-1])
+              if step_words else np.empty(0, dtype=np.uint32))
+    core = (struct.pack("<IIQ", L, K, stream.nbytes)
+            + x.tobytes() + stream.tobytes())
+    return core, f
+
+
+def decode(core: bytes, n: int, freqs: np.ndarray) -> np.ndarray:
+    """Inverse of encode(); returns int64 codes of length n."""
+    L, K, stream_bytes = struct.unpack_from("<IIQ", core, 0)
+    off = 16
+    x = np.frombuffer(core, dtype=np.uint64, count=L, offset=off).copy()
+    off += 8 * L
+    stream = np.frombuffer(core, dtype=np.uint32,
+                           count=stream_bytes // 4, offset=off)
+    f = freqs.astype(np.int64)
+    cum = np.zeros(K + 1, dtype=np.int64)
+    np.cumsum(f, out=cum[1:])
+    slot = np.repeat(np.arange(K, dtype=np.int64), f)  # M entries
+    f_u = f.astype(np.uint64)
+    cum_u = cum.astype(np.uint64)
+
+    out = np.empty(n, dtype=np.int64)
+    lanes = np.arange(L, dtype=np.int64)
+    mask_m = np.uint64(M - 1)
+    T = -(-n // L)
+    ptr = 0
+    for t in range(T):
+        pos = t * L + lanes
+        active = pos < n
+        d = x & mask_m
+        s = slot[d.astype(np.int64)]
+        out[pos[active]] = s[active]
+        fs = f_u[s]
+        cs = cum_u[s]
+        nx = fs * (x >> np.uint64(PROB_BITS)) + d - cs
+        x = np.where(active, nx, x)
+        need = active & (x < RANS_L)
+        cnt = int(need.sum())
+        if cnt:
+            words = stream[ptr:ptr + cnt].astype(np.uint64)
+            ptr += cnt
+            xn = x.copy()
+            xn[need] = (x[need] << np.uint64(32)) | words
+            x = xn
+    return out

@@ -168,3 +168,32 @@ def test_compression_beats_raw_on_compressible():
     ids = encode_array(pa.array(STR_VECTORS["ids"]))
     raw = sum(len(s) for s in STR_VECTORS["ids"])
     assert len(ids) < raw / 2
+
+
+@pytest.mark.parametrize("codec", [Codec.BYTE_PLANES, Codec.RANS])
+@pytest.mark.parametrize("name", ["zipf_tokens", "long_runs",
+                                  "sorted_small_deltas", "u8", "i16"])
+def test_forced_planes_rans_roundtrip(codec, name):
+    v = INT_VECTORS[name]
+    blob = encode_array(v, codec=codec)
+    out, _ = decode_array(blob)
+    np.testing.assert_array_equal(out, v)
+    assert out.dtype == v.dtype
+
+
+def test_rans_quantize_freqs_exact_sum():
+    from tbl_spark.codecs.rans import M, quantize_freqs
+    for counts in [np.array([1, 1]), np.array([10**9, 1, 1]),
+                   np.ones(500_000 // 2, dtype=np.int64),
+                   RNG.integers(1, 1000, 30_000)]:
+        f = quantize_freqs(np.asarray(counts, dtype=np.int64))
+        assert int(f.sum()) == M and (f >= 1).all()
+
+
+def test_rans_near_entropy_on_zipf():
+    v = INT_VECTORS["zipf_tokens"]
+    blob = encode_array(v, codec=Codec.RANS)
+    counts = np.bincount(v)
+    p = counts[counts > 0] / len(v)
+    entropy_bytes = float(-(p * np.log2(p)).sum() / 8) * len(v)
+    assert len(blob) < 1.35 * entropy_bytes  # tables+states overhead bound
