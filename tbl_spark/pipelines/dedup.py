@@ -28,6 +28,48 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
             .select(id_col, text_col))
 
 
+def exact_dedup_tokens(df: DataFrame, tokens_col: str = "tokens",
+                       id_col: str = "doc_id",
+                       verify: bool = False) -> DataFrame:
+    """Exact dedup of the token table itself: keep the smallest id per
+    distinct token SEQUENCE. Shuffles 8-byte hashes, not the arrays —
+    xxhash64 over array<int32> is computed map-side. With verify=True the
+    full arrays are re-compared inside each hash bucket (collision odds
+    are 2^-64 per pair; verify trades a fat shuffle for certainty)."""
+    h = F.xxhash64(F.col(tokens_col))
+    if verify:
+        keep = (df.groupBy(h.alias("_h"), F.col(tokens_col))
+                .agg(F.min(id_col).alias(id_col)).select(id_col))
+    else:
+        keep = (df.withColumn("_h", h).groupBy("_h")
+                .agg(F.min(id_col).alias(id_col)).select(id_col))
+    return df.join(keep, id_col, "left_semi")
+
+
+def ngram_dedup_tokens(df: DataFrame, tokens_col: str = "tokens",
+                       id_col: str = "doc_id", n: int = 8,
+                       k: int = 32, bands: int = 8) -> DataFrame:
+    """MinHash-LSH near-dedup directly over token-id sequences: shingles
+    are n-grams of token ids (hashed via aggregate over a slice — no
+    string materialization), then the standard banded minhash pipeline."""
+    grams = F.expr(
+        f"transform(sequence(1, greatest(1, size({tokens_col}) - {n - 1})),"
+        f" i -> aggregate(slice({tokens_col}, i, {n}), 0L,"
+        f" (acc, x) -> xxhash64(acc, x)))")
+    ex = (df.select(F.col(id_col), F.explode(grams).alias("_h")))
+    aggs = [F.min(F.xxhash64("_h", F.lit(i))).alias(f"_m{i}")
+            for i in range(k)]
+    sig = (ex.groupBy(id_col).agg(*aggs)
+           .select(id_col, F.array(*[f"_m{i}" for i in range(k)])
+                   .alias("minhash")))
+    exploded = _band_explode(sig, "minhash", bands, k // bands)
+    w = Window.partitionBy("band", "band_hash")
+    drop_ids = (exploded.withColumn("_keep", F.min(id_col).over(w))
+                .filter(F.col(id_col) != F.col("_keep"))
+                .select(id_col).distinct())
+    return df.join(drop_ids, id_col, "left_anti")
+
+
 def _word_shingles(text_col: str, n: int = 5):
     """Array of word n-gram shingle strings (JVM-side, no UDF)."""
     words = F.split(F.col(text_col), r"\s+")

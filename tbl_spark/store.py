@@ -86,6 +86,20 @@ class ChunkStore:
         return spark.read.json(os.path.join(self.manifest_dir, "*.json"),
                                schema=MANIFEST_SCHEMA_DDL)
 
+    def metrics_df(self, spark: SparkSession) -> DataFrame:
+        """Per-partition metrics table (north rule): part_id, rows, tokens,
+        bytes, compression ratio, encode tokens/sec, plus per-column codec
+        choices as a JSON map — the engine's analog of `tbl schema`."""
+        import pyspark.sql.functions as F
+        m = self.read_manifest(spark)
+        return m.select(
+            "part_id", "n_rows", "n_values", "raw_bytes", "enc_bytes",
+            (F.col("raw_bytes") / F.col("enc_bytes")).alias("ratio"),
+            (F.col("enc_bytes") / F.col("n_values")).alias("bytes_per_token"),
+            (F.col("n_values") / (F.col("encode_ms") / 1000.0))
+            .alias("tokens_per_sec"),
+            "columns")
+
     def manifest_rows(self) -> list[dict]:
         out = []
         for f in sorted(os.listdir(self.manifest_dir)):
@@ -170,8 +184,21 @@ def encode_to_store(df: DataFrame, store: ChunkStore, num_parts: int,
 
 
 def decode_from_store(store: ChunkStore, spark: SparkSession,
-                      output_ddl: str) -> DataFrame:
+                      output_ddl: str,
+                      columns: list[str] | None = None) -> DataFrame:
     # each committed file holds exactly one part's rows → rows per part are
-    # contiguous within a scan partition → zero-shuffle streaming decode
+    # contiguous within a scan partition → zero-shuffle streaming decode.
+    # `columns` prunes at the chunk scan, so unrequested columns' blobs are
+    # never read or decoded (projection pushdown for the chunk store).
     from .decode import decode_chunks_colocated
-    return decode_chunks_colocated(store.read_chunks(spark), output_ddl)
+    chunks = store.read_chunks(spark)
+    if columns is not None:
+        from pyspark.sql.functions import col
+        chunks = chunks.filter(col("column").isin(list(columns)))
+        from pyspark.sql.types import StructType
+        full = StructType.fromDDL(output_ddl) if isinstance(output_ddl, str) \
+            else output_ddl
+        output_ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in full.fields
+            if f.name in columns)
+    return decode_chunks_colocated(chunks, output_ddl)

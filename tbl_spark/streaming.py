@@ -1,0 +1,82 @@
+"""Structured Streaming ingestion: continuously encode arriving token
+files into a chunk store.
+
+The reference is batch-only (SURVEY.md §2.9); this is the training-data
+pipeline extension for continuous ingestion. Each micro-batch runs the
+SAME salted-partition encode job via foreachBatch into a batch-scoped
+chunk store (`root/batch=<id>/`), so:
+
+- a replayed micro-batch (after a crash before the streaming checkpoint
+  commits) re-encodes into the same batch directory — the per-partition
+  atomic rename makes the replay idempotent;
+- decode/stats union all batch stores, so readers see every committed
+  chunk regardless of which micro-batch produced it;
+- late/new files only ever ADD batches — committed chunks are immutable.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .store import ChunkStore, encode_to_store
+
+
+def stream_encode(spark: SparkSession, input_dir: str, store_root: str,
+                  num_parts: int, schema_ddl: str,
+                  checkpoint_dir: str | None = None,
+                  available_now: bool = True):
+    """Start (and with available_now=True, run to completion) a streaming
+    encode of parquet files arriving under input_dir. Returns the query."""
+    checkpoint_dir = checkpoint_dir or os.path.join(store_root, "_checkpoint")
+    stream = (spark.readStream.schema(schema_ddl)
+              .option("maxFilesPerTrigger", "64")
+              .parquet(input_dir))
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        store = ChunkStore(os.path.join(store_root, f"batch={batch_id}"))
+        encode_to_store(batch_df, store, num_parts, resume=True)
+
+    writer = (stream.writeStream.foreachBatch(process)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    if available_now:
+        query.awaitTermination()
+    return query
+
+
+def batch_stores(store_root: str) -> list[ChunkStore]:
+    return [ChunkStore(p) for p in
+            sorted(glob.glob(os.path.join(store_root, "batch=*")))]
+
+
+def decode_stream_store(spark: SparkSession, store_root: str,
+                        output_ddl: str) -> DataFrame:
+    """Union the zero-shuffle decodes of every batch store."""
+    from functools import reduce
+
+    from .store import decode_from_store
+    stores = batch_stores(store_root)
+    if not stores:
+        raise ValueError(f"no committed batches under {store_root}")
+    return reduce(DataFrame.unionByName,
+                  (decode_from_store(s, spark, output_ddl) for s in stores))
+
+
+def stream_store_stats(store_root: str) -> dict:
+    """Aggregated stats across all batch stores (inspect.store_stats
+    summed per batch)."""
+    from .inspect import store_stats
+    batches = [store_stats(s) for s in batch_stores(store_root)]
+    return {
+        "batches": len(batches),
+        "parts": sum(b["parts"] for b in batches),
+        "rows": sum(b["rows"] for b in batches),
+        "tokens": sum(b["tokens"] for b in batches),
+        "enc_bytes": sum(b["enc_bytes"] for b in batches),
+        "raw_bytes": sum(b["raw_bytes"] for b in batches),
+    }

@@ -142,3 +142,43 @@ def test_frame_sample(spark, docs):
     rows = frames.select("media_id", "n_frames", "frame_idx").collect()
     assert rows and all(r.frame_idx % 5 == 0 and r.frame_idx < r.n_frames
                         for r in rows)
+
+
+def test_exact_dedup_tokens(spark):
+    from tbl_spark.datagen import generate_df
+    import pyspark.sql.functions as F
+    df = generate_df(spark, 2000, 2)
+    # plant exact token-sequence dups under new ids
+    dup = df.limit(15).withColumn("doc_id", F.concat(F.lit("dup-"),
+                                                     F.col("doc_id")))
+    planted = df.unionByName(dup)
+    dup_originals = [r["doc_id"] for r in dup.select(
+        F.expr("substring(doc_id, 5)").alias("doc_id")).collect()]
+    for verify in (False, True):
+        out = dedup.exact_dedup_tokens(planted, verify=verify)
+        # fixture itself contains 1 duplicate pair (part-0 edge rows 5/6)
+        assert out.count() in (1999, 2000)
+        # exactly ONE of each planted pair survives (min doc_id — which
+        # side wins depends on lexicographic order, not provenance)
+        survivors = out.filter(
+            F.col("doc_id").startswith("dup-")
+            | F.col("doc_id").isin(dup_originals)).count()
+        # 15 pairs → 15 survivors, minus overlap with the fixture's own
+        # internal duplicate pair (edge rows 5/6 share tokens), which can
+        # merge two planted pairs into one group
+        assert 13 <= survivors <= 15
+
+
+def test_ngram_dedup_tokens(spark):
+    from tbl_spark.datagen import generate_df
+    import pyspark.sql.functions as F
+    df = generate_df(spark, 1000, 2)
+    near = (df.limit(10)
+            .withColumn("doc_id", F.concat(F.lit("nd-"), F.col("doc_id")))
+            .withColumn("tokens", F.concat(F.col("tokens"),
+                                           F.array(F.lit(1), F.lit(2)))))
+    planted = df.unionByName(near)
+    out = dedup.ngram_dedup_tokens(planted)
+    dropped = planted.count() - out.count()
+    assert dropped >= 8          # ≥ one of nearly every planted pair
+    assert out.count() >= 950    # corpus largely intact

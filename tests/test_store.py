@@ -98,3 +98,17 @@ def test_colocated_decode_no_shuffle(spark, tmp_path):
     n = decoded.alias("b").join(df.alias("a"), "doc_id").filter(
         F.col("a.tokens") == F.col("b.tokens")).count()
     assert n == 2000 and decoded.count() == 2000
+
+
+def test_metrics_df_and_column_pruned_decode(spark, tmp_path):
+    store = ChunkStore(str(tmp_path / "store"))
+    df = generate_df(spark, 1500, 2)
+    encode_to_store(df, store, 4)
+    m = store.metrics_df(spark).collect()
+    assert len(m) == 4
+    assert all(r.ratio > 1.0 and r.tokens_per_sec > 0
+               and 0 < r.bytes_per_token < 4 for r in m)
+    pruned = decode_from_store(store, spark, SPARK_SCHEMA_DDL,
+                               columns=["doc_id", "n_tok"])
+    assert pruned.columns == ["doc_id", "n_tok"]
+    assert pruned.count() == 1500

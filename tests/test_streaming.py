@@ -1,0 +1,43 @@
+"""Streaming-ingestion tests: files arrive in waves; every wave is encoded
+into batch-scoped chunk stores; the union decode is complete and exact."""
+
+import pyspark.sql.functions as F
+
+from tbl_spark.datagen import SPARK_SCHEMA_DDL, generate_df, write_token_table
+from tbl_spark.streaming import (decode_stream_store, stream_encode,
+                                 stream_store_stats)
+
+
+def test_stream_encode_two_waves(spark, tmp_path):
+    inbox = str(tmp_path / "inbox")
+    store = str(tmp_path / "store")
+
+    # wave 1: first half of the table arrives
+    write_token_table(inbox, 1200, n_parts=4)  # parts 0..3 = docs 0..1199
+    stream_encode(spark, inbox, store, num_parts=4,
+                  schema_ddl=SPARK_SCHEMA_DDL)
+    decoded = decode_stream_store(spark, store, SPARK_SCHEMA_DDL)
+    assert decoded.count() == 1200
+
+    # wave 2: more files land in the same inbox; restart picks up ONLY them
+    import os
+    from tbl_spark.datagen import generate_part
+    import pyarrow.parquet as pq
+    for part in (4, 5):
+        tbl = generate_part(part, 300, rows_per_part=300)
+        pq.write_table(tbl, os.path.join(inbox, f"late-{part}.parquet"),
+                       compression="zstd")
+    stream_encode(spark, inbox, store, num_parts=4,
+                  schema_ddl=SPARK_SCHEMA_DDL)
+
+    decoded = decode_stream_store(spark, store, SPARK_SCHEMA_DDL)
+    assert decoded.count() == 1800
+    # exactness: every decoded row bit-equals its source row
+    src = spark.read.parquet(inbox)
+    n = src.alias("a").join(decoded.alias("b"), "doc_id").filter(
+        F.col("a.tokens") == F.col("b.tokens")).count()
+    assert n == 1800
+
+    stats = stream_store_stats(store)
+    assert stats["rows"] == 1800 and stats["batches"] >= 2
+    assert stats["enc_bytes"] < stats["raw_bytes"]
