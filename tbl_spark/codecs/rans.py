@@ -108,7 +108,7 @@ def decode(core: bytes, n: int, freqs: np.ndarray) -> np.ndarray:
     f = freqs.astype(np.int64)
     cum = np.zeros(K + 1, dtype=np.int64)
     np.cumsum(f, out=cum[1:])
-    slot = np.repeat(np.arange(K, dtype=np.int64), f)  # M entries
+    slot = np.repeat(np.arange(K, dtype=np.int32), f)  # M entries, 4 MB
     f_u = f.astype(np.uint64)
     cum_u = cum.astype(np.uint64)
 
@@ -121,7 +121,7 @@ def decode(core: bytes, n: int, freqs: np.ndarray) -> np.ndarray:
         pos = t * L + lanes
         active = pos < n
         d = x & mask_m
-        s = slot[d.astype(np.int64)]
+        s = slot[d]
         out[pos[active]] = s[active]
         fs = f_u[s]
         cs = cum_u[s]
