@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import time
 
-import numpy as np
 import pyarrow as pa
 from pyspark.sql import DataFrame
 
@@ -82,7 +81,3 @@ def encode_chunks(df: DataFrame, num_parts: int,
         return encode_table(key[0].as_py(), tbl, spark_types)
 
     return df.groupBy(PART_COL).applyInArrow(encode_group, CHUNK_SCHEMA_DDL)
-
-
-def npsum(x) -> int:
-    return int(np.sum(x)) if len(x) else 0

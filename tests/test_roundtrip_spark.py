@@ -3,9 +3,6 @@ synthesize token table → encode → decode → per-row tokens equality
 (BASELINE.json per-row invariant) + compressed bytes ≤ zstd-parquet
 baseline of the same rows."""
 
-import glob
-import os
-
 import pyspark.sql.functions as F
 import pytest
 
