@@ -96,6 +96,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             select=["l_orderkey", "l_linenumber", "l_quantity"],
             rename=["l_quantity=qty"]))
 
+    def null_predicate_filter(spark, sf):
+        e = _read(spark, sf, "events")
+        return apply_transforms(e, TransformSpec(
+            filters=["user_id.is_not_null", "value>=0"],
+            select=["event_id", "user_id", "value"]))
+
+    def sorted_tail(spark, sf):
+        o = _read(spark, sf, "orders")
+        sorted_df = apply_transforms(o, TransformSpec(
+            select=["o_orderkey", "o_custkey"], sort=["o_orderkey"]))
+        return apply_transforms(sorted_df, TransformSpec(tail=30))
+
     def nullify_set(spark, sf):
         o = _read(spark, sf, "orders")
         return apply_transforms(o, TransformSpec(
@@ -203,6 +215,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_union_counts": merge_union_counts,
         "offset_slice": offset_slice,
         "select_cast_project": select_cast_project,
+        "null_predicate_filter": null_predicate_filter,
+        "sorted_tail": sorted_tail,
         "nullify_set": nullify_set,
         "roundtrip_lineitem": roundtrip_lineitem,
         "roundtrip_events": roundtrip_events,
@@ -269,6 +283,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, 'X' AS o_orderpriority,
                    CAST(NULL AS DOUBLE) AS o_totalprice
             FROM orders""",
+        "null_predicate_filter": """
+            SELECT event_id, user_id, value FROM events
+            WHERE user_id IS NOT NULL AND value >= 0""",
+        "sorted_tail": """
+            SELECT o_orderkey, o_custkey FROM orders
+            ORDER BY o_orderkey DESC LIMIT 30""",
         "roundtrip_lineitem": "SELECT * FROM lineitem",
         "roundtrip_events": "SELECT * FROM events",
         "roundtrip_documents": "SELECT * FROM documents",

@@ -79,12 +79,14 @@ class ChunkStore:
     # -- readers ------------------------------------------------------------
 
     def read_chunks(self, spark: SparkSession) -> DataFrame:
-        return spark.read.schema(CHUNK_SCHEMA_DDL).parquet(
-            os.path.join(self.chunks_dir, "*.parquet"))
+        return (spark.read.schema(CHUNK_SCHEMA_DDL)
+                .option("pathGlobFilter", "*.parquet")
+                .parquet(self.chunks_dir))
 
     def read_manifest(self, spark: SparkSession) -> DataFrame:
-        return spark.read.json(os.path.join(self.manifest_dir, "*.json"),
-                               schema=MANIFEST_SCHEMA_DDL)
+        return (spark.read.schema(MANIFEST_SCHEMA_DDL)
+                .option("pathGlobFilter", "*.json")
+                .json(self.manifest_dir))
 
     def metrics_df(self, spark: SparkSession) -> DataFrame:
         """Per-partition metrics table (north rule): part_id, rows, tokens,
