@@ -92,6 +92,15 @@ def build_parser() -> argparse.ArgumentParser:
 
     st = sub.add_parser("stats", help="chunk-manifest metrics rollup")
     st.add_argument("--store", required=True)
+    st.add_argument("--history", action="store_true",
+                    help="print the snapshot log (one line per encode run)")
+
+    vf = sub.add_parser("verify", help="decode a store and prove per-row "
+                                       "equality against the source")
+    vf.add_argument("paths", nargs="+", help="source parquet inputs")
+    vf.add_argument("--store", required=True)
+    vf.add_argument("--key", required=True, help="join key column")
+    vf.add_argument("--tree", action="store_true")
     return ap
 
 
@@ -117,7 +126,12 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "stats":
         from .inspect import store_stats
         from .store import ChunkStore
-        print(json.dumps(store_stats(ChunkStore(args.store)), indent=2))
+        store = ChunkStore(args.store)
+        if args.history:
+            for snap in store.snapshots():
+                print(json.dumps(snap))
+            return 0
+        print(json.dumps(store_stats(store), indent=2))
         return 0
 
     from .session import get_spark
@@ -174,6 +188,31 @@ def main(argv: list[str] | None = None) -> int:
                   f"({len(files)} files) are defined")
         code.interact(banner=banner, local={"spark": spark, "df": df})
         return 0
+
+    if args.cmd == "verify":
+        # the reference's implicit parquet-roundtrip contract, explicit:
+        # decode the store and prove per-row equality against the source
+        import functools
+
+        import pyspark.sql.functions as F
+        from .inspect import discover
+        from .store import ChunkStore, decode_from_store
+        src = spark.read.parquet(*discover(args.paths, args.tree))
+        ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                        for f in src.schema.fields)
+        dec = decode_from_store(ChunkStore(args.store), spark, ddl)
+        eq = functools.reduce(
+            lambda a, b: a & b,
+            [(F.col(f"a.{c}") == F.col(f"b.{c}"))
+             | (F.col(f"a.{c}").isNull() & F.col(f"b.{c}").isNull())
+             for c in src.columns])
+        n_src = src.count()
+        n_eq = (src.alias("a").join(dec.hint("merge").alias("b"), args.key)
+                .filter(eq).count())
+        status = "OK" if n_eq == n_src else "MISMATCH"
+        print(json.dumps({"status": status, "source_rows": n_src,
+                          "equal_rows": n_eq}))
+        return 0 if status == "OK" else 2
 
     if args.cmd == "merge":
         from .filejobs import merge_files

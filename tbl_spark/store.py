@@ -49,11 +49,34 @@ class ChunkStore:
         self.root = root
         self.chunks_dir = os.path.join(root, "chunks")
         self.manifest_dir = os.path.join(root, "manifest")
+        self.snapshots_dir = os.path.join(root, "snapshots")
         self.staging_dir = os.path.join(root, "_staging")
 
     def init_dirs(self) -> None:
-        for d in (self.chunks_dir, self.manifest_dir, self.staging_dir):
+        for d in (self.chunks_dir, self.manifest_dir, self.snapshots_dir,
+                  self.staging_dir):
             os.makedirs(d, exist_ok=True)
+
+    # -- snapshot log (run-level lineage, Iceberg-snapshot analog) ----------
+
+    def append_snapshot(self, summary: dict) -> None:
+        seq = len(self.snapshots())
+        token = uuid.uuid4().hex[:8]
+        tmp = os.path.join(self.staging_dir, f"snap-{seq:06d}.{token}.json")
+        with open(tmp, "w") as f:
+            json.dump(summary, f)
+        os.replace(tmp, os.path.join(self.snapshots_dir,
+                                     f"snap-{seq:06d}.json"))
+
+    def snapshots(self) -> list[dict]:
+        if not os.path.isdir(self.snapshots_dir):
+            return []
+        out = []
+        for name in sorted(os.listdir(self.snapshots_dir)):
+            if name.endswith(".json"):
+                with open(os.path.join(self.snapshots_dir, name)) as f:
+                    out.append(json.load(f))
+        return out
 
     # -- commit state -------------------------------------------------------
 
@@ -172,17 +195,22 @@ def encode_to_store(df: DataFrame, store: ChunkStore, num_parts: int,
                 ("enc_bytes", pa.int64()), ("encode_ms", pa.float64()),
                 ("committed_at", pa.float64()), ("columns", pa.string())]))
 
+    t_run = time.perf_counter()
     rows = (pending_df.groupBy(PART_COL)
             .applyInArrow(encode_commit, MANIFEST_SCHEMA_DDL)
             .collect())
-    return {
+    summary = {
         "encoded_parts": len(rows),
         "skipped_parts": len(committed),
         "n_rows": sum(r["n_rows"] for r in rows),
         "n_values": sum(r["n_values"] for r in rows),
         "raw_bytes": sum(r["raw_bytes"] for r in rows),
         "enc_bytes": sum(r["enc_bytes"] for r in rows),
+        "wall_sec": round(time.perf_counter() - t_run, 3),
+        "committed_at": time.time(),
     }
+    store.append_snapshot(summary)  # run-level lineage log
+    return summary
 
 
 def decode_from_store(store: ChunkStore, spark: SparkSession,

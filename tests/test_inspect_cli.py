@@ -68,3 +68,29 @@ def test_cli_encode_stats_decode(spark, sf_dir, tmp_path, capsys):
     assert main(["stats", "--store", store]) == 0
     stats = json.loads(capsys.readouterr().out)
     assert stats["rows"] == 1000
+
+
+def test_cli_verify_and_history(spark, tmp_path, capsys):
+    from tbl_spark.cli import main
+    from tbl_spark.datagen import write_token_table
+    src = str(tmp_path / "tok")
+    write_token_table(src, 800, n_parts=2)
+    store = str(tmp_path / "store")
+    assert main(["encode", src, "--store", store, "--num-parts", "4"]) == 0
+    capsys.readouterr()
+    # verify: decoded store must bit-equal the source
+    assert main(["verify", src, "--store", store, "--key", "doc_id"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"status": "OK", "source_rows": 800, "equal_rows": 800}
+    # snapshot history: one line per encode run
+    assert main(["stats", "--store", store, "--history"]) == 0
+    snaps = [json.loads(line) for line in
+             capsys.readouterr().out.strip().splitlines()]
+    assert len(snaps) == 1 and snaps[0]["encoded_parts"] == 4
+    # second run (all committed) appends a no-op snapshot
+    assert main(["encode", src, "--store", store, "--num-parts", "4"]) == 0
+    capsys.readouterr()
+    from tbl_spark.store import ChunkStore
+    snaps = ChunkStore(store).snapshots()
+    assert len(snaps) == 2 and snaps[1]["encoded_parts"] == 0
+    assert snaps[1]["skipped_parts"] == 4
