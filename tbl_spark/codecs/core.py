@@ -86,6 +86,15 @@ def _encode_int_payload(v: np.ndarray, codec: Codec,
 
 _WINDOW_N = 1 << 18  # contiguous stats window for sampled estimates
 
+# worker-local codec-choice cache: column key -> (winning codec, uses).
+# Column value distributions are stable across a run's chunks, so the
+# window audition only needs to run on the first chunk a worker sees (and
+# every _REAUDIT_EVERY-th after, to track drift). Correctness never
+# depends on the choice — a stale winner just compresses slightly worse,
+# and the raw(+zstd) guard still bounds the worst case.
+_choice_cache: dict[str, list] = {}
+_REAUDIT_EVERY = 16
+
 
 def _rans_payload(v: np.ndarray) -> bytes | None:
     """Dict-remap to a dense alphabet, then lane-parallel rANS. payload =
@@ -283,7 +292,8 @@ def _decode_string(blob: bytes) -> tuple[pa.Array, np.ndarray | None]:
 # lists (tokens: array<int32>, embeddings: array<float>)
 # --------------------------------------------------------------------------
 
-def _encode_list(arr: pa.Array, codec: Codec | None, try_zstd: bool) -> bytes:
+def _encode_list(arr: pa.Array, codec: Codec | None, try_zstd: bool,
+                 cache_key: str | None = None) -> bytes:
     valid = None
     if arr.null_count:
         valid = np.asarray(arr.is_valid())
@@ -294,7 +304,9 @@ def _encode_list(arr: pa.Array, codec: Codec | None, try_zstd: bool) -> bytes:
         raise ValueError("null list elements are not supported")
     values_np = values.to_numpy(zero_copy_only=False)
     lengths_blob = _encode_int_auto(lengths)
-    values_blob = encode_array(values_np, codec=codec, try_zstd=try_zstd)
+    values_blob = encode_array(
+        values_np, codec=codec, try_zstd=try_zstd,
+        cache_key=f"{cache_key}.values" if cache_key else None)
     return assemble(Codec.LIST, DType.LIST, len(arr),
                     frame(lengths_blob, values_blob), valid=valid,
                     try_zstd=False)
@@ -317,8 +329,12 @@ def _decode_list(blob: bytes) -> tuple[pa.Array, np.ndarray | None]:
 # --------------------------------------------------------------------------
 
 def encode_array(values, valid: np.ndarray | None = None,
-                 codec: Codec | None = None, try_zstd: bool = True) -> bytes:
-    """Encode one column chunk into a self-describing blob."""
+                 codec: Codec | None = None, try_zstd: bool = True,
+                 cache_key: str | None = None) -> bytes:
+    """Encode one column chunk into a self-describing blob.
+
+    cache_key enables the worker-local codec-choice cache (see above) for
+    repeated encodes of the same logical column."""
     if isinstance(values, pa.ChunkedArray):
         values = values.combine_chunks()
     if isinstance(values, pa.Array):
@@ -328,7 +344,7 @@ def encode_array(values, valid: np.ndarray | None = None,
         if pa.types.is_binary(t) or pa.types.is_large_binary(t):
             return _encode_string(values, DType.BINARY, codec, try_zstd)
         if pa.types.is_list(t) or pa.types.is_large_list(t):
-            return _encode_list(values, codec, try_zstd)
+            return _encode_list(values, codec, try_zstd, cache_key=cache_key)
         if values.null_count:
             valid = np.asarray(values.is_valid()) if valid is None else valid
             values = pc.fill_null(values, values.drop_null()[0]
@@ -361,7 +377,20 @@ def encode_array(values, valid: np.ndarray | None = None,
     # one full-size encode pass instead of one per challenger.
     n = len(work)
     if try_zstd and n >= (1 << 16):
-        picked = _encode_auto_large(work, dtype_code, valid)
+        picked = None
+        entry = _choice_cache.get(cache_key) if cache_key else None
+        if entry is not None and entry[1] < _REAUDIT_EVERY:
+            entry[1] += 1
+            payload = _encode_int_payload(work, entry[0])
+            if payload is not None:
+                self_comp = entry[0] in (Codec.BYTE_PLANES, Codec.RANS)
+                picked = assemble(entry[0], dtype_code, n, payload,
+                                  valid=valid, try_zstd=not self_comp)
+        if picked is None:
+            picked = _encode_auto_large(work, dtype_code, valid)
+            if cache_key is not None:
+                from .format import unpack_header
+                _choice_cache[cache_key] = [unpack_header(picked)[0], 0]
     else:
         inner = _encode_int_auto(work)
         picked = _reheader(inner, dtype_code, valid, try_zstd)

@@ -48,7 +48,7 @@ def encode_table(part_id: int, tbl: pa.Table,
         arr = tbl.column(name).combine_chunks()
         t0 = time.perf_counter()
         codec_input = to_codec_input(arr)
-        blob = encode_array(codec_input)
+        blob = encode_array(codec_input, cache_key=name)
         ms = (time.perf_counter() - t0) * 1000.0
         n_values = len(arr)
         if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
