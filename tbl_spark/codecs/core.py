@@ -222,8 +222,11 @@ def _string_parts(arr: pa.Array) -> tuple[np.ndarray, bytes, np.ndarray | None]:
     return offsets, corpus, valid
 
 
+_str_cache: dict[str, dict] = {}
+
+
 def _encode_string(arr: pa.Array, dtype_code: DType, codec: Codec | None,
-                   try_zstd: bool) -> bytes:
+                   try_zstd: bool, cache_key: str | None = None) -> bytes:
     valid = None
     if arr.null_count:
         valid = np.asarray(arr.is_valid())
@@ -245,25 +248,52 @@ def _encode_string(arr: pa.Array, dtype_code: DType, codec: Codec | None,
         if payload is None:
             return build(Codec.STR_RAW, corpus)
         return build(Codec.FSST, payload)
-    if codec == Codec.STR_DICT or codec is None:
-        denc = None
-        if codec == Codec.STR_DICT or n >= 16:
-            denc = arr.dictionary_encode() if not isinstance(
+    def build_dict() -> bytes:
+        denc = arr.dictionary_encode() if not isinstance(
+            arr, pa.DictionaryArray) else arr
+        dict_blob = _encode_string(denc.dictionary, dtype_code, None,
+                                   try_zstd=False)
+        codes = np.asarray(denc.indices.cast(pa.int64()))
+        codes_blob = _encode_int_auto(codes)
+        return assemble(Codec.STR_DICT, dtype_code, n,
+                        frame(dict_blob, codes_blob),
+                        valid=valid, try_zstd=try_zstd)
+
+    if codec == Codec.STR_DICT:
+        return build_dict()
+    if codec is None:
+        # cached choice (worker-local): skip the dict probe / FSST build
+        entry = _str_cache.get(cache_key) if cache_key else None
+        if entry is not None and entry["uses"] < _REAUDIT_EVERY:
+            entry["uses"] += 1
+            if entry["choice"] == "dict":
+                return build_dict()
+            if entry["choice"] == "fsst":
+                payload, merges = strings.fsst_encode_full(
+                    corpus, entry["merges"])
+                entry["merges"] = merges
+                if payload is not None:
+                    return build(Codec.FSST, payload)
+            return build(Codec.STR_RAW, corpus)
+        # audition
+        choice, merges = "raw", []
+        if n >= 16:
+            denc_probe = arr.dictionary_encode() if not isinstance(
                 arr, pa.DictionaryArray) else arr
-        if denc is not None and (codec == Codec.STR_DICT
-                                 or len(denc.dictionary) < n // 2):
-            dict_blob = _encode_string(denc.dictionary, dtype_code, None,
-                                       try_zstd=False)
-            codes = np.asarray(denc.indices.cast(pa.int64()))
-            codes_blob = _encode_int_auto(codes)
-            return assemble(Codec.STR_DICT, dtype_code, n,
-                            frame(dict_blob, codes_blob),
-                            valid=valid, try_zstd=try_zstd)
-        fsst_payload = strings.fsst_encode(corpus)
-        cands = [build(Codec.STR_RAW, corpus)]
+            if len(denc_probe.dictionary) < n // 2:
+                if cache_key:
+                    _str_cache[cache_key] = {"choice": "dict",
+                                             "merges": [], "uses": 0}
+                return build_dict()
+        fsst_payload, merges = strings.fsst_encode_full(corpus)
+        cands = [("raw", build(Codec.STR_RAW, corpus))]
         if fsst_payload is not None:
-            cands.append(build(Codec.FSST, fsst_payload))
-        return min(cands, key=len)
+            cands.append(("fsst", build(Codec.FSST, fsst_payload)))
+        choice, best = min(cands, key=lambda t: len(t[1]))
+        if cache_key:
+            _str_cache[cache_key] = {"choice": choice, "merges": merges,
+                                     "uses": 0}
+        return best
     raise ValueError(f"not a string codec: {codec}")
 
 
@@ -340,9 +370,11 @@ def encode_array(values, valid: np.ndarray | None = None,
     if isinstance(values, pa.Array):
         t = values.type
         if pa.types.is_string(t) or pa.types.is_large_string(t):
-            return _encode_string(values, DType.STR, codec, try_zstd)
+            return _encode_string(values, DType.STR, codec, try_zstd,
+                                  cache_key=cache_key)
         if pa.types.is_binary(t) or pa.types.is_large_binary(t):
-            return _encode_string(values, DType.BINARY, codec, try_zstd)
+            return _encode_string(values, DType.BINARY, codec, try_zstd,
+                                  cache_key=cache_key)
         if pa.types.is_list(t) or pa.types.is_large_list(t):
             return _encode_list(values, codec, try_zstd, cache_key=cache_key)
         if values.null_count:

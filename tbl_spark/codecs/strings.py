@@ -37,12 +37,15 @@ def build_merges(corpus: bytes, max_merges: int = MAX_MERGES,
     free = [b for b in range(255, -1, -1) if b not in used]
     buf = corpus[:sample_cap]
     merges: list[tuple[int, int, int]] = []
+    # early stop: a merge must keep shrinking the sample by a meaningful
+    # fraction — each round costs a full replace pass at apply time
+    min_gain = max(_MIN_PAIR_COUNT, len(buf) // 512)
     while free and len(merges) < max_merges and len(buf) > 16:
         a = np.frombuffer(buf, dtype=np.uint8)
         pairs = (a[:-1].astype(np.uint16) << 8) | a[1:]
         counts = np.bincount(pairs, minlength=1 << 16)
         best = int(counts.argmax())
-        if counts[best] < _MIN_PAIR_COUNT:
+        if counts[best] < min_gain:
             break
         left, right = best >> 8, best & 0xFF
         code = free.pop()
@@ -63,16 +66,36 @@ def invert_merges(corpus: bytes, merges: list[tuple[int, int, int]]) -> bytes:
     return corpus
 
 
-def fsst_encode(corpus: bytes) -> bytes | None:
-    """payload: u16 n_merges + 3*n_merges merge triples + encoded corpus."""
-    merges = build_merges(corpus)
+def merges_valid_for(corpus: bytes,
+                     merges: list[tuple[int, int, int]]) -> bool:
+    """A cached merge table is reusable iff none of its code bytes occur
+    in the new corpus (they must be free bytes there too)."""
     if not merges:
-        return None
+        return False
+    used = set(np.unique(np.frombuffer(corpus, dtype=np.uint8)).tolist())
+    return not any(code in used for code, _l, _r in merges)
+
+
+def fsst_encode_full(corpus: bytes,
+                     merges: list[tuple[int, int, int]] | None = None
+                     ) -> tuple[bytes | None, list[tuple[int, int, int]]]:
+    """(payload | None, merges_used). Pass a cached merge table to skip the
+    build rounds; it is validated and rebuilt when not applicable."""
+    if merges is None or not merges_valid_for(corpus, merges):
+        merges = build_merges(corpus)
+    if not merges:
+        return None, merges
     enc = apply_merges(corpus, merges)
     if len(enc) + 2 + 3 * len(merges) >= len(corpus):
-        return None
+        return None, merges
     table = b"".join(bytes(m) for m in merges)
-    return struct.pack("<H", len(merges)) + table + enc
+    return struct.pack("<H", len(merges)) + table + enc, merges
+
+
+def fsst_encode(corpus: bytes) -> bytes | None:
+    """payload: u16 n_merges + 3*n_merges merge triples + encoded corpus."""
+    payload, _ = fsst_encode_full(corpus)
+    return payload
 
 
 def fsst_decode(payload: bytes) -> bytes:

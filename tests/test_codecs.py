@@ -197,3 +197,31 @@ def test_rans_near_entropy_on_zipf():
     p = counts[counts > 0] / len(v)
     entropy_bytes = float(-(p * np.log2(p)).sum() / 8) * len(v)
     assert len(blob) < 1.35 * entropy_bytes  # tables+states overhead bound
+
+
+def test_string_cache_reuse_and_invalidation():
+    """Cached FSST merge tables are validated per corpus: a corpus that
+    uses the cached code bytes forces a rebuild; roundtrips stay exact."""
+    from tbl_spark.codecs.core import _str_cache
+    _str_cache.clear()
+    ids_a = pa.array([f"cc-news-{i:09d}" for i in range(3000)])
+    ids_b = pa.array([f"web-crawl-{i:09d}" for i in range(3000)])
+    # adversarial: corpus containing ALL byte values (cached codes unusable)
+    all_bytes = "".join(chr(33 + (i % 90)) for i in range(200))
+    ids_c = pa.array([all_bytes + f"{i}" for i in range(500)])
+    for v in (ids_a, ids_b, ids_a, ids_c, ids_a):
+        blob = encode_array(v, cache_key="doc_id")
+        out, _ = decode_array(blob)
+        assert out.to_pylist() == v.to_pylist()
+    assert _str_cache["doc_id"]["uses"] >= 1
+
+
+def test_numeric_cache_roundtrip_across_chunks():
+    from tbl_spark.codecs.core import _choice_cache
+    _choice_cache.clear()
+    rng = np.random.default_rng(5)
+    for i in range(4):
+        v = np.minimum(rng.zipf(1.2, 80_000), 50_256).astype(np.int32)
+        out, _ = decode_array(encode_array(v, cache_key="tok"))
+        np.testing.assert_array_equal(out, v)
+    assert "tok" in _choice_cache
