@@ -204,7 +204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # -- multimodal plumbing -------------------------------------------------
 
     def media_features(spark, sf):
-        docs = _read(spark, sf, "documents").limit(100)
+        docs = _read(spark, sf, "documents").orderBy("doc_id").limit(100)
         media = multimodal.attach_media(docs)
         return multimodal.extract_features(media, dim=16, fake_decode=True)
 
