@@ -95,6 +95,11 @@ def build_parser() -> argparse.ArgumentParser:
     st.add_argument("--history", action="store_true",
                     help="print the snapshot log (one line per encode run)")
 
+    cp = sub.add_parser("compact", help="coalesce chunk files into wave "
+                                        "files (one row group per part)")
+    cp.add_argument("--store", required=True)
+    cp.add_argument("--wave-size", type=int, default=64)
+
     vf = sub.add_parser("verify", help="decode a store and prove per-row "
                                        "equality against the source")
     vf.add_argument("paths", nargs="+", help="source parquet inputs")
@@ -121,6 +126,14 @@ def main(argv: list[str] | None = None) -> int:
             for name, c in g["columns"].items():
                 print(f"  {name:24s} {c['disk_bytes']:>14,} disk  "
                       f"{c['full_bytes']:>14,} full  {c['disk_pct']:6.2f}%")
+        return 0
+
+    if args.cmd == "compact":
+        from .store import ChunkStore
+        store = ChunkStore(args.store)
+        waves = store.compact(args.wave_size)
+        print(json.dumps({"waves_written": waves,
+                          "data_files": len(store.data_files())}))
         return 0
 
     if args.cmd == "stats":

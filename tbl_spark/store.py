@@ -83,8 +83,11 @@ class ChunkStore:
     def committed_parts(self) -> set[int]:
         if not os.path.isdir(self.manifest_dir):
             return set()
-        return {int(f[5:-5]) for f in os.listdir(self.manifest_dir)
-                if f.startswith("part-") and f.endswith(".json")}
+        parts = {int(f[5:-5]) for f in os.listdir(self.manifest_dir)
+                 if f.startswith("part-") and f.endswith(".json")}
+        for w in self.waves():
+            parts.update(w["parts"])
+        return parts
 
     def commit_chunk(self, part_id: int, chunk_tbl: pa.Table,
                      manifest: dict) -> None:
@@ -99,17 +102,100 @@ class ChunkStore:
             json.dump(manifest, f)
         os.replace(tmp_json, os.path.join(self.manifest_dir, f"{name}.json"))
 
+    # -- compaction (wave files) ---------------------------------------------
+    # At 10¹²-sequence scale one file per chunk is ~62M files; compaction
+    # coalesces committed chunk files into WAVE files — one parquet row
+    # group per part, so parts stay contiguous (the zero-shuffle decode
+    # needs that) and Spark's row-group splitting never cuts a part in
+    # half. Commit protocol mirrors Iceberg compaction: the wave manifest
+    # rename is the commit point; covered per-part files are deleted only
+    # after it, and readers always exclude covered part files, so a crash
+    # at any step leaves a consistent (at worst duplicated-on-disk) store.
+
+    def waves(self) -> list[dict]:
+        if not os.path.isdir(self.manifest_dir):
+            return []
+        out = []
+        for name in sorted(os.listdir(self.manifest_dir)):
+            if name.startswith("wave-") and name.endswith(".json"):
+                with open(os.path.join(self.manifest_dir, name)) as f:
+                    out.append(json.load(f))
+        return out
+
+    def compact(self, wave_size: int = 64) -> int:
+        """Coalesce committed, not-yet-waved chunk files into wave files of
+        `wave_size` parts each (one row group per part). Returns number of
+        waves written. Partial tail groups are left uncompacted."""
+        covered = {p for w in self.waves() for p in w["parts"]}
+        loose = sorted(self.committed_parts() - covered)
+        os.makedirs(os.path.join(self.root, "waves"), exist_ok=True)
+        n_waves = len(self.waves())
+        written = 0
+        for i in range(0, len(loose) - wave_size + 1, wave_size):
+            parts = loose[i:i + wave_size]
+            seq = n_waves + written
+            token = uuid.uuid4().hex[:8]
+            wave_name = f"wave-{seq:06d}.parquet"
+            tmp = os.path.join(self.staging_dir, f"{wave_name}.{token}")
+            manifests = []
+            writer = None
+            try:
+                for p in parts:
+                    tbl = pq.read_table(os.path.join(
+                        self.chunks_dir, f"part-{p:05d}.parquet"))
+                    if writer is None:
+                        writer = pq.ParquetWriter(tmp, tbl.schema,
+                                                  compression="none")
+                    writer.write_table(tbl)  # one row group per part
+                    with open(os.path.join(self.manifest_dir,
+                                           f"part-{p:05d}.json")) as f:
+                        manifests.append(json.load(f))
+            finally:
+                if writer is not None:
+                    writer.close()
+            final = os.path.join(self.root, "waves", wave_name)
+            os.replace(tmp, final)
+            wave_manifest = {"wave": seq, "parts": parts,
+                             "file": final, "manifests": manifests}
+            tmp_json = os.path.join(self.staging_dir,
+                                    f"wave-{seq:06d}.{token}.json")
+            with open(tmp_json, "w") as f:
+                json.dump(wave_manifest, f)
+            os.replace(tmp_json, os.path.join(
+                self.manifest_dir, f"wave-{seq:06d}.json"))  # commit point
+            for p in parts:  # cleanup, idempotent
+                for path in (
+                        os.path.join(self.chunks_dir, f"part-{p:05d}.parquet"),
+                        os.path.join(self.manifest_dir, f"part-{p:05d}.json")):
+                    if os.path.exists(path):
+                        os.remove(path)
+            written += 1
+        return written
+
     # -- readers ------------------------------------------------------------
 
+    def data_files(self) -> list[str]:
+        """Committed data files: wave files + part files not covered by a
+        wave (covered part files may transiently exist mid-cleanup)."""
+        waves = self.waves()
+        covered = {p for w in waves for p in w["parts"]}
+        files = [w["file"] for w in waves]
+        if os.path.isdir(self.chunks_dir):
+            for name in sorted(os.listdir(self.chunks_dir)):
+                if name.startswith("part-") and name.endswith(".parquet"):
+                    if int(name[5:-8]) not in covered:
+                        files.append(os.path.join(self.chunks_dir, name))
+        return files
+
     def read_chunks(self, spark: SparkSession) -> DataFrame:
-        return (spark.read.schema(CHUNK_SCHEMA_DDL)
-                .option("pathGlobFilter", "*.parquet")
-                .parquet(self.chunks_dir))
+        files = self.data_files()
+        if not files:
+            raise ValueError(f"no committed chunks under {self.root}")
+        return spark.read.schema(CHUNK_SCHEMA_DDL).parquet(*files)
 
     def read_manifest(self, spark: SparkSession) -> DataFrame:
-        return (spark.read.schema(MANIFEST_SCHEMA_DDL)
-                .option("pathGlobFilter", "*.json")
-                .json(self.manifest_dir))
+        return spark.createDataFrame(self.manifest_rows(),
+                                     MANIFEST_SCHEMA_DDL)
 
     def metrics_df(self, spark: SparkSession) -> DataFrame:
         """Per-partition metrics table (north rule): part_id, rows, tokens,
@@ -126,12 +212,15 @@ class ChunkStore:
             "columns")
 
     def manifest_rows(self) -> list[dict]:
+        """Per-part manifests — loose part files plus wave-embedded ones."""
         out = []
         for f in sorted(os.listdir(self.manifest_dir)):
-            if f.endswith(".json"):
+            if f.startswith("part-") and f.endswith(".json"):
                 with open(os.path.join(self.manifest_dir, f)) as fh:
                     out.append(json.load(fh))
-        return out
+        for w in self.waves():
+            out.extend(w["manifests"])
+        return sorted(out, key=lambda m: m["part_id"])
 
 
 def encode_to_store(df: DataFrame, store: ChunkStore, num_parts: int,

@@ -112,3 +112,43 @@ def test_metrics_df_and_column_pruned_decode(spark, tmp_path):
                                columns=["doc_id", "n_tok"])
     assert pruned.columns == ["doc_id", "n_tok"]
     assert pruned.count() == 1500
+
+
+def test_compaction_wave_files(spark, tmp_path):
+    """Compaction coalesces chunk files into wave files (row group per
+    part); decode stays zero-shuffle bit-exact; resume still skips all."""
+    import pyarrow.parquet as pq
+
+    store = ChunkStore(str(tmp_path / "store"))
+    df = generate_df(spark, 3000, 4)
+    encode_to_store(df, store, 10)
+    assert len(store.data_files()) == 10
+
+    written = store.compact(wave_size=4)
+    assert written == 2  # 10 parts -> 2 waves of 4 + 2 loose
+    files = store.data_files()
+    assert len(files) == 4  # 2 wave files + 2 loose part files
+    wave = [f for f in files if "wave-" in f][0]
+    assert pq.read_metadata(wave).num_row_groups == 4  # one per part
+
+    # committed set unchanged; resume re-encodes nothing
+    assert len(store.committed_parts()) == 10
+    summary = encode_to_store(df, store, 10)
+    assert summary["encoded_parts"] == 0 and summary["skipped_parts"] == 10
+
+    # decode: still zero-shuffle, still bit-exact
+    decoded = decode_from_store(store, spark, SPARK_SCHEMA_DDL)
+    plan = decoded._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    n = decoded.alias("b").join(df.alias("a"), "doc_id").filter(
+        F.col("a.tokens") == F.col("b.tokens")).count()
+    assert n == 3000
+
+    # per-part lineage survives compaction
+    rows = store.manifest_rows()
+    assert len(rows) == 10
+    from tbl_spark.inspect import store_stats
+    assert store_stats(store)["rows"] == 3000
+
+    # compacting again is a no-op (only 2 loose parts < wave_size)
+    assert store.compact(wave_size=4) == 0
