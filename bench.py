@@ -92,10 +92,12 @@ def main() -> None:
 
     spark = _new_session(CPUS)
 
-    # headline: distributed encode throughput
+    # headline: distributed encode throughput. Chunk count: ≥2 waves per
+    # core for balance, but chunks big enough (≥~400k tokens) that rANS
+    # tables amortize — mirrors the 4M-token design point at bench scale.
     t0 = time.perf_counter()
     thr, total_tokens, enc_bytes = encode_tokens_per_sec(
-        spark, BENCH_DOCS, num_parts=8 * CPUS)
+        spark, BENCH_DOCS, num_parts=2 * CPUS)
     queries["encode_tokens"] = round(time.perf_counter() - t0, 3)
     extras["encode_tokens_per_sec"] = round(thr)
     extras["bytes_per_token"] = round(enc_bytes / total_tokens, 4)
