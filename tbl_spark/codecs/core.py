@@ -369,6 +369,15 @@ def encode_array(values, valid: np.ndarray | None = None,
         values = values.combine_chunks()
     if isinstance(values, pa.Array):
         t = values.type
+        if not (pa.types.is_string(t) or pa.types.is_large_string(t)
+                or pa.types.is_binary(t) or pa.types.is_large_binary(t)
+                or pa.types.is_list(t) or pa.types.is_large_list(t)
+                or pa.types.is_integer(t) or pa.types.is_floating(t)
+                or pa.types.is_boolean(t)):
+            # decimal128 / struct / map etc. would round-trip through numpy
+            # object dtype back into the same arrow type → infinite
+            # recursion. Fail like arrow_type_of_ddl does on decode.
+            raise ValueError(f"unsupported type for codec pipeline: {t}")
         if pa.types.is_string(t) or pa.types.is_large_string(t):
             return _encode_string(values, DType.STR, codec, try_zstd,
                                   cache_key=cache_key)

@@ -14,7 +14,10 @@ from pyspark.sql import DataFrame
 
 from .arrowtypes import arrow_type_of_ddl, from_codec_output
 from .codecs import decode_array
-from .partitioning import PART_COL
+
+# chunk DataFrames carry their part id in the CHUNK_SCHEMA_DDL column
+# `part_id` (encode.py) — distinct from the reserved input-side key column.
+CHUNK_PART_COL = "part_id"
 
 
 def _apply_mask(arr: pa.Array, valid: np.ndarray | None) -> pa.Array:
@@ -99,4 +102,4 @@ def decode_chunks(chunk_df: DataFrame, output_ddl: str) -> DataFrame:
         return decode_table(tbl, column_order)
 
     _ = spark
-    return chunk_df.groupBy(PART_COL).applyInArrow(decode_group, schema)
+    return chunk_df.groupBy(CHUNK_PART_COL).applyInArrow(decode_group, schema)

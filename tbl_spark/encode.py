@@ -67,13 +67,17 @@ def encode_table(part_id: int, tbl: pa.Table,
 
 
 def encode_chunks(df: DataFrame, num_parts: int,
-                  columns: list[str] | None = None) -> DataFrame:
-    """df (token table or any supported schema) → chunk DataFrame."""
+                  columns: list[str] | None = None,
+                  salt_cols: tuple[str, ...] | None = None) -> DataFrame:
+    """df (token table or any supported schema) → chunk DataFrame.
+
+    `salt_cols` picks the chunk-assignment hash key (defaults to
+    (source, doc_id) when present, else the full row — partitioning.py).
+    Every SOURCE column, including any user column named `part_id`, is
+    encoded; the internal key uses the reserved `__ts_part__` name."""
     if columns is not None:
-        keep = [c for c in columns if c != PART_COL]
-        cols = ([PART_COL] + keep) if PART_COL in df.columns else keep
-        df = df.select(*cols)
-    df = with_part_id(df, num_parts)
+        df = df.select(*columns)
+    df = with_part_id(df, num_parts, salt_cols)
     spark_types = {f.name: f.dataType.simpleString()
                    for f in df.schema.fields if f.name != PART_COL}
 

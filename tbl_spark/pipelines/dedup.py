@@ -15,8 +15,55 @@ xxhash64), so reruns produce identical keep/drop decisions.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
+from pyspark.sql.functions import pandas_udf
+
+
+def _word_hash_expr(word_expr: str, hash_fn: str) -> str:
+    """SQL for a 64-bit-ish word hash. 'xxhash64' is the fast default;
+    'md5_60' (top 60 bits of md5, via conv) is slower but exactly
+    re-derivable in other engines (DuckDB: CAST('0x'||substring(md5(w),
+    1,15) AS UBIGINT)) — used by the driver's value-level oracles."""
+    if hash_fn == "xxhash64":
+        return f"xxhash64({word_expr})"
+    if hash_fn == "md5_60":
+        return (f"CAST(conv(substring(md5({word_expr}), 1, 15), 16, 10) "
+                f"AS BIGINT)")
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
+def _candidate_pairs(exploded: DataFrame, id_col: str,
+                     pair_mode: str = "all") -> DataFrame:
+    """Distinct (a_id, b_id) pairs (a<b) sharing any band bucket.
+
+    The join carries ONLY (id, band, band_hash) — never signatures or
+    shingle payloads — so the shuffle stays slim at corpus scale; callers
+    join heavy columns back per candidate pair afterwards.
+
+    pair_mode='all': every in-bucket pair (exact candidate set; a bucket
+    of m mutual near-dups emits m² pairs — fine when band keys are wide
+    enough that buckets are true-dup groups).
+    pair_mode='min': each doc pairs only with its bucket's MINIMUM id
+    (one edge per doc per band — O(n·bands) even when a dense duplicate
+    cluster floods one bucket; the keep-smallest-id dedup semantics only
+    ever needs a smaller-id witness, and across b independent bands a true
+    duplicate gets b chances for its partner to be the bucket min)."""
+    slim = exploded.select(id_col, "band", "band_hash")
+    if pair_mode == "min":
+        w = Window.partitionBy("band", "band_hash")
+        edges = (slim.withColumn("a_id", F.min(id_col).over(w))
+                 .filter(F.col(id_col) != F.col("a_id"))
+                 .select("a_id", F.col(id_col).alias("b_id")))
+        return edges.dropDuplicates(["a_id", "b_id"])
+    if pair_mode != "all":
+        raise ValueError(f"unknown pair_mode {pair_mode!r}")
+    left = slim.select(F.col(id_col).alias("a_id"), "band", "band_hash")
+    right = slim.select(F.col(id_col).alias("b_id"), "band", "band_hash")
+    return (left.join(right, ["band", "band_hash"])
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id").dropDuplicates(["a_id", "b_id"]))
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
@@ -114,31 +161,71 @@ def _band_explode(df: DataFrame, sig_col: str, bands: int,
             .drop("_bands"))
 
 
+def _exact_jaccard_filter(pairs: DataFrame, df: DataFrame, text_col: str,
+                          id_col: str, shingle_n: int,
+                          threshold: float) -> DataFrame:
+    """Verify candidate (a_id, b_id) pairs by EXACT word-shingle Jaccard.
+
+    The distinct-shingle arrays are joined back per candidate id (two slim
+    hash joins on the id), so the heavy payload is shuffled once per
+    CANDIDATE, never once per band — the fix for r1's fat band join."""
+    shingles, _ = _word_shingles(text_col, shingle_n)
+    sets = df.select(F.col(id_col),
+                     F.array_distinct(shingles).alias("_sh"))
+    joined = (pairs
+              .join(sets.select(F.col(id_col).alias("a_id"),
+                                F.col("_sh").alias("a_sh")), "a_id")
+              .join(sets.select(F.col(id_col).alias("b_id"),
+                                F.col("_sh").alias("b_sh")), "b_id"))
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    union = F.size(F.array_union("a_sh", "b_sh"))
+    return (joined.filter(inter / union >= threshold)
+            .select("a_id", "b_id"))
+
+
 def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", k: int = 32, bands: int = 8,
-                      shingle_n: int = 5) -> DataFrame:
+                      shingle_n: int = 5,
+                      verify_threshold: float | None = None) -> DataFrame:
     """Drop any doc that shares an LSH band bucket with a smaller-id doc.
 
     bands=8 × rows=4 over k=32 minhashes ⇒ candidate threshold ≈
     (1/8)^(1/4) ≈ 0.59 Jaccard. The only shuffles are the band-bucket
     window and the final distinct — no pairwise cross-join materializes.
+
+    With `verify_threshold`, band-bucket candidates are confirmed by EXACT
+    shingle Jaccard ≥ threshold before dropping (the standard verified-LSH
+    production shape): no false drops from hash collisions, and the result
+    is independently re-derivable by an all-pairs oracle at test scale.
     """
     rows_per_band = k // bands
     sig = minhash_signature(df, id_col, text_col, k, shingle_n)
     exploded = _band_explode(sig, "minhash", bands, rows_per_band)
-    w = Window.partitionBy("band", "band_hash")
-    dupped = exploded.withColumn("_keep", F.min(id_col).over(w))
-    drop_ids = (dupped.filter(F.col(id_col) != F.col("_keep"))
-                .select(id_col).distinct())
+    if verify_threshold is None:
+        w = Window.partitionBy("band", "band_hash")
+        dupped = exploded.withColumn("_keep", F.min(id_col).over(w))
+        drop_ids = (dupped.filter(F.col(id_col) != F.col("_keep"))
+                    .select(id_col).distinct())
+    else:
+        pairs = _candidate_pairs(exploded.select(id_col, "band",
+                                                 "band_hash"), id_col)
+        dups = _exact_jaccard_filter(pairs, df, text_col, id_col,
+                                     shingle_n, verify_threshold)
+        drop_ids = dups.select(F.col("b_id").alias(id_col)).distinct()
     return df.join(drop_ids, id_col, "left_anti")
 
 
 def with_simhash(df: DataFrame, text_col: str = "text",
-                 nbits: int = 64) -> DataFrame:
-    """64-bit simhash: sign of per-bit sum of word-hash bits (JVM exprs)."""
+                 nbits: int = 64,
+                 hash_fn: str = "xxhash64") -> DataFrame:
+    """simhash: sign of per-bit sum of word-hash bits (JVM exprs).
+    hash_fn='md5_60' caps nbits at 60 and makes the value re-derivable in
+    ANSI SQL engines (see _word_hash_expr)."""
+    if hash_fn == "md5_60":
+        nbits = min(nbits, 60)
     df = df.withColumn(
         "_whash", F.expr(f"transform(split({text_col}, '\\\\s+'), "
-                         f"w -> xxhash64(w))"))
+                         f"w -> {_word_hash_expr('w', hash_fn)})"))
     bit_sums = [
         F.expr(f"aggregate(_whash, 0L, (acc, h) -> acc + "
                f"(CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END))")
@@ -152,21 +239,43 @@ def with_simhash(df: DataFrame, text_col: str = "text",
 
 
 def simhash_dedup(df: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id") -> DataFrame:
-    """Near-dup if any of the four 16-bit simhash chunks matches
-    (guarantees catching hamming distance ≤ 3)."""
-    sim = with_simhash(df, text_col)
+                  id_col: str = "doc_id", hd_max: int | None = None,
+                  hash_fn: str = "xxhash64",
+                  nbits: int = 64) -> DataFrame:
+    """Simhash near-dedup via chunked LSH (Manku/Jain/Sarma 2007, public).
+
+    Candidates share ≥1 of four simhash chunks — which guarantees catching
+    every pair within hamming distance 3. With hd_max=None candidates are
+    dropped directly (r1 behavior; over-drops on correlated text). With
+    hd_max set, candidates are VERIFIED by bit_count(a^b) ≤ hd_max, the
+    paper's actual semantics — the id-only candidate join stays slim and
+    the verify is one integer op per candidate pair."""
+    sim = with_simhash(df, text_col, nbits=nbits, hash_fn=hash_fn)
+    nbits = min(nbits, 60) if hash_fn == "md5_60" else nbits
+    chunk_w = nbits // 4
+    chunk_mask = (1 << chunk_w) - 1
     chunks = F.array(*[
-        F.xxhash64(F.lit(c),
-                   F.shiftrightunsigned("simhash", 16 * c) % F.lit(1 << 16))
-        for c in range(4)])
+        (F.shiftrightunsigned("simhash", chunk_w * c)
+         .bitwiseAND(F.lit(chunk_mask))) for c in range(4)])
     exploded = (sim.withColumn("_chunks", chunks)
-                .select(id_col, F.posexplode("_chunks")
+                .select(id_col, "simhash", F.posexplode("_chunks")
                         .alias("band", "band_hash")))
-    w = Window.partitionBy("band", "band_hash")
-    drop_ids = (exploded.withColumn("_keep", F.min(id_col).over(w))
-                .filter(F.col(id_col) != F.col("_keep"))
-                .select(id_col).distinct())
+    if hd_max is None:
+        w = Window.partitionBy("band", "band_hash")
+        drop_ids = (exploded.withColumn("_keep", F.min(id_col).over(w))
+                    .filter(F.col(id_col) != F.col("_keep"))
+                    .select(id_col).distinct())
+    else:
+        pairs = _candidate_pairs(exploded, id_col)
+        sims = sim.select(F.col(id_col), F.col("simhash"))
+        joined = (pairs
+                  .join(sims.select(F.col(id_col).alias("a_id"),
+                                    F.col("simhash").alias("a_sim")), "a_id")
+                  .join(sims.select(F.col(id_col).alias("b_id"),
+                                    F.col("simhash").alias("b_sim")), "b_id"))
+        hd = F.bit_count(F.col("a_sim").bitwiseXOR(F.col("b_sim")))
+        drop_ids = (joined.filter(hd <= hd_max)
+                    .select(F.col("b_id").alias(id_col)).distinct())
     return df.join(drop_ids, id_col, "left_anti")
 
 
@@ -175,23 +284,16 @@ def ngram_jaccard_dedup(df: DataFrame, text_col: str = "text",
                         shingle_n: int = 3, k: int = 32,
                         bands: int = 16) -> DataFrame:
     """LSH candidate pairs verified by EXACT n-gram Jaccard ≥ threshold.
-    The cross-join only happens inside a band bucket (self-join on the
-    bucket key), never globally."""
-    shingles, _ = _word_shingles(text_col, shingle_n)
-    base = df.select(id_col, F.array_distinct(shingles).alias("_sh"))
-    sig = minhash_signature(df, id_col, text_col, k, shingle_n).join(
-        base, id_col)
+
+    Scale shape (fixed in r2): the band self-join carries (id, band,
+    band_hash) ONLY; the distinct-shingle arrays are joined back per
+    candidate pair afterwards — at corpus scale the shuffle payload is
+    candidates × shingles, not corpus × bands × shingles."""
+    sig = minhash_signature(df, id_col, text_col, k, shingle_n)
     exploded = _band_explode(sig, "minhash", bands, k // bands)
-    left = exploded.select(F.col(id_col).alias("a_id"),
-                           F.col("_sh").alias("a_sh"), "band", "band_hash")
-    right = exploded.select(F.col(id_col).alias("b_id"),
-                            F.col("_sh").alias("b_sh"), "band", "band_hash")
-    pairs = (left.join(right, ["band", "band_hash"])
-             .filter(F.col("a_id") < F.col("b_id"))
-             .dropDuplicates(["a_id", "b_id"]))
-    inter = F.size(F.array_intersect("a_sh", "b_sh"))
-    union = F.size(F.array_union("a_sh", "b_sh"))
-    dups = pairs.filter(inter / union >= threshold)
+    pairs = _candidate_pairs(exploded, id_col)
+    dups = _exact_jaccard_filter(pairs, df, text_col, id_col,
+                                 shingle_n, threshold)
     drop_ids = dups.select(F.col("b_id").alias(id_col)).distinct()
     return df.join(drop_ids, id_col, "left_anti")
 
@@ -204,39 +306,51 @@ def _hyperplanes(dim: int, nbits: int, seed: int = 42) -> np.ndarray:
 def embedding_cosine_dedup(df: DataFrame, vec_col: str = "embedding",
                            id_col: str = "vec_id", dim: int | None = None,
                            threshold: float = 0.95,
-                           nbits: int = 16) -> DataFrame:
-    """Random-hyperplane LSH bucket (16-bit sketch) + exact cosine inside
-    the bucket via JVM array expressions. Deterministic hyperplanes."""
+                           bands: int = 32,
+                           bits_per_band: int = 16,
+                           pair_mode: str = "min") -> DataFrame:
+    """Banded random-hyperplane LSH + exact cosine verification.
+
+    r1 used ONE 16-bit sketch as the bucket key — a dense cluster of
+    near-duplicates lands in a single hot bucket and the in-bucket
+    self-join goes quadratic. r2 fixes both failure modes: `bands`
+    independent 16-bit sketches give recall 1-(1-p^r)^b with
+    p = 1-acos(cos)/π (≈1-1e-6 at cos 0.98 with 32×16), and
+    pair_mode='min' (see _candidate_pairs) emits one edge per doc per
+    band, so even a flood of identical vectors stays O(n·bands).
+    Candidate edges are id-only; vectors are joined back per edge and
+    verified by exact cosine — no false drops, slim shuffles throughout."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, nbits)
-    bit_terms = []
-    for b in range(nbits):
-        coeffs = F.array(*[F.lit(float(x)) for x in planes[b]])
-        dot = F.expr(
-            f"aggregate(zip_with({vec_col}, {{c}}, (x, y) -> x * y), "
-            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)".format(c="_c" + str(b)))
-        bit_terms.append((f"_c{b}", coeffs, dot, b))
-    out = df
-    sketch = F.lit(0)
-    for name, coeffs, dot, b in bit_terms:
-        out = out.withColumn(name, coeffs)
-        sketch = sketch + F.when(dot > 0, F.lit(1 << b)).otherwise(F.lit(0))
-    out = out.withColumn("_sketch", sketch).drop(
-        *[name for name, _, _, _ in bit_terms])
-    left = out.select(F.col(id_col).alias("a_id"),
-                      F.col(vec_col).alias("a_v"), "_sketch")
-    right = out.select(F.col(id_col).alias("b_id"),
-                       F.col(vec_col).alias("b_v"), "_sketch")
+    planes = _hyperplanes(dim, bands * bits_per_band)
+
+    @pandas_udf("array<bigint>")
+    def band_keys(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float32)
+        signs = (m @ planes.T) > 0                     # (n, bands*r)
+        signs = signs.reshape(len(m), bands, bits_per_band)
+        weights = (1 << np.arange(bits_per_band)).astype(np.int64)
+        keys = signs @ weights                          # (n, bands)
+        return pd.Series(list(keys))
+
+    keyed = df.select(F.col(id_col),
+                      band_keys(F.col(vec_col)).alias("_keys"))
+    exploded = keyed.select(
+        id_col, F.posexplode("_keys").alias("band", "band_hash"))
+    pairs = _candidate_pairs(exploded, id_col, pair_mode)
+    vecs = df.select(F.col(id_col), F.col(vec_col))
+    joined = (pairs
+              .join(vecs.select(F.col(id_col).alias("a_id"),
+                                F.col(vec_col).alias("a_v")), "a_id")
+              .join(vecs.select(F.col(id_col).alias("b_id"),
+                                F.col(vec_col).alias("b_v")), "b_id"))
     dot = F.expr("aggregate(zip_with(a_v, b_v, (x, y) -> CAST(x AS DOUBLE) "
                  "* y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
     norm = (F.sqrt(F.expr(
         "aggregate(a_v, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * x)"))
         * F.sqrt(F.expr(
             "aggregate(b_v, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * x)")))
-    pairs = (left.join(right, "_sketch")
-             .filter(F.col("a_id") < F.col("b_id"))
-             .withColumn("_cos", dot / norm))
-    drop_ids = (pairs.filter(F.col("_cos") >= threshold)
+    drop_ids = (joined.withColumn("_cos", dot / norm)
+                .filter(F.col("_cos") >= threshold)
                 .select(F.col("b_id").alias(id_col)).distinct())
     return df.join(drop_ids, id_col, "left_anti")

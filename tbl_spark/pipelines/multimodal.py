@@ -26,7 +26,7 @@ MEDIA_SCHEMA_DDL = (
 FEATURE_SCHEMA_DDL = "media_id bigint, kind string, feature array<float>"
 
 try:  # real decoder gate — absent in this container
-    from PIL import Image  # noqa: F401
+    from PIL import Image
     HAVE_PIL = True
 except ImportError:
     HAVE_PIL = False
@@ -58,6 +58,10 @@ def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
 
 def decode_image(payload: bytes, width: int, height: int,
                  fake_decode: bool = False) -> np.ndarray:
+    """(H, W, 3) uint8 pixels. Real path decodes the payload with PIL and
+    resizes to the metadata dimensions; without PIL in the environment the
+    stub error is explicit (the deterministic fake keeps the Spark-side
+    plumbing testable either way)."""
     if fake_decode:
         return _fake_decode(payload, width, height)
     if not HAVE_PIL:
@@ -65,7 +69,11 @@ def decode_image(payload: bytes, width: int, height: int,
             "real image decode requires PIL, which is not installed in "
             "this container; pass fake_decode=True for the deterministic "
             "fake decoder")
-    raise NotImplementedError("real decode path not wired in this build")
+    from io import BytesIO
+    img = Image.open(BytesIO(payload)).convert("RGB")
+    if width and height and img.size != (width, height):
+        img = img.resize((width, height))
+    return np.asarray(img, dtype=np.uint8)
 
 
 def extract_features(df: DataFrame, dim: int = 16,
@@ -100,6 +108,35 @@ def extract_features(df: DataFrame, dim: int = 16,
                 names=["media_id", "kind", "feature"])
 
     return df.mapInArrow(run, FEATURE_SCHEMA_DDL)
+
+
+def payload_digest_features(df: DataFrame, dim: int = 16) -> DataFrame:
+    """mapInArrow feature extraction whose output is independently
+    re-derivable in ANSI SQL: feature[j] = byte j of the payload / 255.
+
+    Same Arrow batch plumbing as extract_features (binary column in,
+    array<float> out, vectorized numpy per batch) but with a deterministic,
+    oracle-checkable 'decode' — the driver's DuckDB twin recomputes every
+    element from sha256 hex, so the whole executor-side batch path is
+    verified end-to-end, not just row counts."""
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column("media_id").to_numpy(zero_copy_only=False)
+            kinds = batch.column("kind")
+            payloads = batch.column("payload").to_pylist()
+            n = len(ids)
+            feats = np.zeros((n, dim), dtype=np.float64)
+            for i, p in enumerate(payloads):
+                b = np.frombuffer(p[:dim], dtype=np.uint8)
+                feats[i, :len(b)] = b / 255.0
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids), kinds,
+                 pa.array(list(feats), type=pa.list_(pa.float64()))],
+                names=["media_id", "kind", "feature"])
+
+    return df.mapInArrow(
+        run, "media_id bigint, kind string, feature array<double>")
 
 
 def frame_sample(df: DataFrame, every_n: int = 5) -> DataFrame:

@@ -69,12 +69,20 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text",
-                     window: int = 4) -> DataFrame:
+                     window: int = 4,
+                     hash_fn: str = "xxhash64") -> DataFrame:
     """Winnowing-style fingerprint: min rolling hash over word `window`-
     grams (Schleimer et al. 2003, public knowledge) — one 64-bit doc
-    fingerprint, stable under whitespace normalization."""
+    fingerprint, stable under whitespace normalization.
+
+    hash_fn='md5_60' swaps the gram hash for the top 60 bits of md5 —
+    slower than xxhash64 but exactly re-derivable in ANSI SQL engines,
+    which is how the driver's DuckDB oracle verifies every fingerprint."""
+    from .dedup import _word_hash_expr
+    gram = (f"concat_ws(' ', slice(split({text_col}, '\\\\s+'), "
+            f"i, {window}))")
     grams = F.expr(
         f"transform(sequence(1, greatest(1, size(split({text_col}, "
-        f"'\\\\s+')) - {window - 1})), i -> xxhash64(concat_ws(' ', "
-        f"slice(split({text_col}, '\\\\s+'), i, {window}))))")
+        f"'\\\\s+')) - {window - 1})), "
+        f"i -> {_word_hash_expr(gram, hash_fn)})")
     return df.withColumn("fingerprint", F.array_min(grams))

@@ -57,6 +57,47 @@ class ChunkStore:
                   self.staging_dir):
             os.makedirs(d, exist_ok=True)
 
+    # -- store-level metadata (partitioning contract) ------------------------
+    # num_parts and the salt columns are part of the store's identity: a
+    # resume that recomputes part ids with different parameters would hash
+    # rows into already-committed part ids and silently drop them (ADVICE
+    # r1). First encode persists them; later runs fail fast on mismatch.
+
+    @property
+    def meta_path(self) -> str:
+        return os.path.join(self.root, "store.json")
+
+    def read_meta(self) -> dict | None:
+        if not os.path.exists(self.meta_path):
+            return None
+        with open(self.meta_path) as f:
+            return json.load(f)
+
+    def write_meta(self, meta: dict) -> None:
+        token = uuid.uuid4().hex[:8]
+        tmp = os.path.join(self.staging_dir, f"store.{token}.json")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self.meta_path)
+
+    def check_or_init_meta(self, num_parts: int, salt_cols: tuple[str, ...],
+                           schema_ddl: str) -> None:
+        meta = self.read_meta()
+        if meta is None:
+            self.write_meta({"num_parts": num_parts,
+                             "salt_cols": list(salt_cols),
+                             "schema_ddl": schema_ddl})
+            return
+        for key, val in (("num_parts", num_parts),
+                         ("salt_cols", list(salt_cols)),
+                         ("schema_ddl", schema_ddl)):
+            if meta.get(key) != val:
+                raise ValueError(
+                    f"store {self.root} was created with "
+                    f"{key}={meta.get(key)!r}; this run would use {val!r} — "
+                    f"resuming would silently misassign rows. Use a new "
+                    f"store or pass the original parameters.")
+
     # -- snapshot log (run-level lineage, Iceberg-snapshot analog) ----------
 
     def append_snapshot(self, summary: dict) -> None:
@@ -155,8 +196,11 @@ class ChunkStore:
                     writer.close()
             final = os.path.join(self.root, "waves", wave_name)
             os.replace(tmp, final)
+            # store only the basename: a store moved/renamed (or opened from
+            # a different cwd with a relative root) must still resolve its
+            # wave files — data_files() re-joins with self.root (ADVICE r1).
             wave_manifest = {"wave": seq, "parts": parts,
-                             "file": final, "manifests": manifests}
+                             "file": wave_name, "manifests": manifests}
             tmp_json = os.path.join(self.staging_dir,
                                     f"wave-{seq:06d}.{token}.json")
             with open(tmp_json, "w") as f:
@@ -179,7 +223,9 @@ class ChunkStore:
         wave (covered part files may transiently exist mid-cleanup)."""
         waves = self.waves()
         covered = {p for w in waves for p in w["parts"]}
-        files = [w["file"] for w in waves]
+        files = [w["file"] if os.path.isabs(w["file"])  # pre-r2 manifests
+                 else os.path.join(self.root, "waves", w["file"])
+                 for w in waves]
         if os.path.isdir(self.chunks_dir):
             for name in sorted(os.listdir(self.chunks_dir)):
                 if name.startswith("part-") and name.endswith(".parquet"):
@@ -224,14 +270,23 @@ class ChunkStore:
 
 
 def encode_to_store(df: DataFrame, store: ChunkStore, num_parts: int,
-                    resume: bool = True) -> dict:
+                    resume: bool = True,
+                    salt_cols: tuple[str, ...] | None = None) -> dict:
     """Run the resumable encode job; returns run summary.
 
     The encode UDF writes + commits each chunk on the executor, then emits
     one manifest row; the driver only collects the (tiny) manifest rows.
+    The store pins (num_parts, salt_cols, schema) on first encode and every
+    later run fails fast on mismatch — resuming with different partitioning
+    parameters would silently drop rows that hash into committed part ids.
     """
+    from .partitioning import resolve_salt_cols
     store.init_dirs()
-    df = with_part_id(df, num_parts)
+    salt_cols = resolve_salt_cols(df, salt_cols)
+    schema_ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                           for f in df.schema.fields)
+    store.check_or_init_meta(num_parts, salt_cols, schema_ddl)
+    df = with_part_id(df, num_parts, salt_cols)
     committed = store.committed_parts() if resume else set()
     pending_df = df
     if committed:
@@ -303,8 +358,14 @@ def encode_to_store(df: DataFrame, store: ChunkStore, num_parts: int,
 
 
 def decode_from_store(store: ChunkStore, spark: SparkSession,
-                      output_ddl: str,
+                      output_ddl: str | None = None,
                       columns: list[str] | None = None) -> DataFrame:
+    if output_ddl is None:  # schema was pinned at first encode
+        meta = store.read_meta()
+        if meta is None or "schema_ddl" not in meta:
+            raise ValueError(
+                f"{store.root} has no store.json schema; pass output_ddl")
+        output_ddl = meta["schema_ddl"]
     # each committed file holds exactly one part's rows → rows per part are
     # contiguous within a scan partition → zero-shuffle streaming decode.
     # `columns` prunes at the chunk scan, so unrequested columns' blobs are

@@ -1,0 +1,259 @@
+"""Round-2 regression tests: ADVICE items (reserved part column, store
+metadata fail-fast, movable stores, codec type whitelist, reference
+with_columns form), the CLI confirm/dry-run gate, csv/json/hex sinks,
+streaming single-file writes, verified-LSH dedup semantics, and the
+hot-bucket-safe embedding LSH."""
+
+import hashlib
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pyspark.sql.functions as F
+import pytest
+
+from tbl_spark.datagen import generate_df
+from tbl_spark.store import ChunkStore, decode_from_store, encode_to_store
+
+
+# -- ADVICE: reserved internal part column -----------------------------------
+
+def test_reserved_part_col_rejected(spark):
+    from tbl_spark.partitioning import PART_COL, with_part_id
+    df = generate_df(spark, 100, 2).withColumn(PART_COL, F.lit(1))
+    with pytest.raises(ValueError, match="reserved"):
+        with_part_id(df, 4)
+
+
+def test_user_part_id_column_roundtrips(spark):
+    """A source table that legitimately contains a part_id column must be
+    encoded and decoded like any other column (r1 silently dropped it)."""
+    from tbl_spark.decode import decode_chunks
+    from tbl_spark.encode import encode_chunks
+    df = generate_df(spark, 200, 2).withColumn(
+        "part_id", F.pmod(F.xxhash64("doc_id"), F.lit(7)).cast("int"))
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                    for f in df.schema.fields)
+    decoded = decode_chunks(encode_chunks(df, 4), ddl)
+    assert "part_id" in decoded.columns
+    n = (decoded.alias("b").join(df.alias("a"), "doc_id")
+         .filter((F.col("a.part_id") == F.col("b.part_id"))
+                 & (F.col("a.tokens") == F.col("b.tokens"))).count())
+    assert n == 200
+
+
+# -- ADVICE: store metadata pins partitioning --------------------------------
+
+def test_store_meta_mismatch_fails_fast(spark, tmp_path):
+    store = ChunkStore(str(tmp_path / "store"))
+    df = generate_df(spark, 400, 2)
+    encode_to_store(df, store, 4)
+    with pytest.raises(ValueError, match="num_parts"):
+        encode_to_store(df, store, 8)          # different num_parts
+    with pytest.raises(ValueError, match="salt_cols"):
+        encode_to_store(df, store, 4, salt_cols=("doc_id",))
+    # matching parameters still resume cleanly
+    summary = encode_to_store(df, store, 4)
+    assert summary["skipped_parts"] == 4 and summary["encoded_parts"] == 0
+
+
+def test_store_decode_uses_pinned_schema(spark, tmp_path):
+    store = ChunkStore(str(tmp_path / "store"))
+    df = generate_df(spark, 300, 2)
+    encode_to_store(df, store, 4)
+    decoded = decode_from_store(store, spark)   # no DDL passed
+    assert decoded.count() == 300
+    assert set(decoded.columns) == set(df.columns)
+
+
+# -- ADVICE: wave manifests survive a store move -----------------------------
+
+def test_moved_store_resolves_wave_files(spark, tmp_path):
+    store = ChunkStore(str(tmp_path / "store"))
+    df = generate_df(spark, 800, 2)
+    encode_to_store(df, store, 8)
+    assert store.compact(wave_size=4) == 2
+    moved = str(tmp_path / "relocated")
+    shutil.move(store.root, moved)
+    store2 = ChunkStore(moved)
+    for f in store2.data_files():
+        assert os.path.exists(f)
+    assert decode_from_store(store2, spark).count() == 800
+
+
+# -- ADVICE: codec whitelist (no infinite recursion) --------------------------
+
+def test_unsupported_arrow_type_raises():
+    from tbl_spark.codecs import encode_array
+    arr = pa.array([1, 2, 3], type=pa.decimal128(20, 0))
+    with pytest.raises(ValueError, match="unsupported"):
+        encode_array(arr)
+
+
+# -- ADVICE: reference with_columns form --------------------------------------
+
+def test_with_columns_reference_three_segment_form(spark, sf_dir):
+    from tbl_spark.transforms import TransformSpec, apply_transforms
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(5)
+    out = apply_transforms(df, TransformSpec(
+        with_columns=["a:i32:x=7", "b:i64", "c:str:x=hi", "d:i32=3"]))
+    row = out.select("a", "b", "c", "d").first()
+    assert (row["a"], row["b"], row["c"], row["d"]) == (7, None, "hi", 3)
+
+
+# -- CLI confirm / dry-run gate ------------------------------------------------
+
+@pytest.fixture
+def small_parquet(tmp_path, spark):
+    p = str(tmp_path / "in.parquet")
+    pq.write_table(pa.table({"x": list(range(10)),
+                             "b": [bytes([i]) for i in range(10)]}), p)
+    return p
+
+
+def test_cli_inplace_refuses_without_yes(small_parquet, capsys):
+    from tbl_spark.cli import main
+    before = open(small_parquet, "rb").read()
+    rc = main(["data", small_parquet, "--inplace", "--set", "x=0"])
+    assert rc == 3                      # non-interactive, no --yes → refuse
+    assert open(small_parquet, "rb").read() == before
+    assert "refusing" in capsys.readouterr().err
+
+
+def test_cli_dry_run_writes_nothing(small_parquet, capsys):
+    from tbl_spark.cli import main
+    before = open(small_parquet, "rb").read()
+    rc = main(["data", small_parquet, "--inplace", "--dry-run"])
+    assert rc == 0
+    assert open(small_parquet, "rb").read() == before
+    out = capsys.readouterr().out
+    assert "dry run" in out and "(inplace)" in out
+
+
+def test_cli_inplace_with_yes_writes(small_parquet, spark):
+    from tbl_spark.cli import main
+    rc = main(["data", small_parquet, "--inplace", "--set", "x=0", "--yes"])
+    assert rc == 0
+    vals = {r["x"] for r in spark.read.parquet(small_parquet).collect()}
+    assert vals == {0}
+
+
+# -- csv / json sinks + hex stdout rendering -----------------------------------
+
+def test_cli_csv_sink(small_parquet, tmp_path, spark):
+    from tbl_spark.cli import main
+    out = str(tmp_path / "out_csv")
+    rc = main(["data", small_parquet, "--select", "x",
+               "--output", out, "--csv", "--yes"])
+    assert rc == 0
+    got = sorted(int(r["_c0"]) for r in spark.read.csv(out).collect())
+    assert got == list(range(10))
+
+
+def test_cli_json_sink(small_parquet, tmp_path):
+    from tbl_spark.cli import main
+    out = str(tmp_path / "out_json")
+    rc = main(["data", small_parquet, "--select", "x",
+               "--output", out, "--json", "--yes"])
+    assert rc == 0
+    rows = []
+    for name in os.listdir(out):
+        if name.endswith(".json"):
+            with open(os.path.join(out, name)) as f:
+                rows += [json.loads(line) for line in f if line.strip()]
+    assert sorted(r["x"] for r in rows) == list(range(10))
+
+
+def test_cli_hex_stdout(small_parquet, capsys):
+    from tbl_spark.cli import main
+    rc = main(["data", small_parquet, "--select", "b", "--hex",
+               "--sort", "b"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "0x00" in out and "0x09" in out
+
+
+# -- streaming single-file writes ----------------------------------------------
+
+def test_write_single_file_streams_and_is_exact(spark, tmp_path):
+    from tbl_spark.filejobs import write_single_file
+    df = generate_df(spark, 1000, 4)
+    dst = str(tmp_path / "one.parquet")
+    n = write_single_file(df, dst)
+    assert n == 1000
+    back = spark.read.parquet(dst)
+    assert back.count() == 1000
+    assert back.join(df, "doc_id").count() == 1000
+    assert not os.path.exists(dst + ".tmp")    # no staging leftovers
+
+
+def test_write_single_file_empty_input(spark, tmp_path):
+    from tbl_spark.filejobs import write_single_file
+    df = generate_df(spark, 100, 2).filter("n_tok < 0")
+    dst = str(tmp_path / "empty.parquet")
+    assert write_single_file(df, dst) == 0
+    assert spark.read.parquet(dst).count() == 0
+
+
+def test_filejobs_no_driver_materialization():
+    """The 100 TB guard: per-file surgery must never pull a whole file
+    onto the driver (r1 used df.toArrow())."""
+    import inspect
+    import tbl_spark.filejobs as fj
+    src = inspect.getsource(fj)
+    assert "toArrow" not in src and "toPandas" not in src
+
+
+# -- verified-LSH dedup semantics ------------------------------------------------
+
+def test_simhash_hamming_verified_keeps_distinct(spark, sf_dir):
+    """hd_max verification stops the correlated-text over-dropping: on the
+    500-doc corpus (24 true near-dup pairs) the unverified chunk-LSH drops
+    hundreds; verified must drop only genuinely close simhashes."""
+    from tbl_spark.pipelines import dedup
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = dedup.simhash_dedup(docs, hd_max=3, hash_fn="md5_60").count()
+    assert kept >= 470                      # only true near-dups dropped
+    unverified = dedup.simhash_dedup(docs).count()
+    assert unverified < kept                # the r1 behavior over-drops
+
+
+def test_minhash_verified_matches_exact_jaccard(spark, sf_dir):
+    """verify_threshold must eliminate every band-collision false positive:
+    the kept set equals the exact all-pairs answer (the corpus is bimodal,
+    so 0.5 sits in a wide margin)."""
+    from tbl_spark.pipelines import dedup
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = dedup.minhash_lsh_dedup(docs, verify_threshold=0.5)
+    assert kept.count() == 476              # matches the DuckDB oracle
+
+
+def test_md5_60_hash_matches_python(spark):
+    """The cross-engine hash contract: Spark's md5_60 expression equals
+    the top-60-bit md5 integer computed by any other implementation."""
+    from tbl_spark.pipelines.dedup import _word_hash_expr
+    expected = int(hashlib.md5(b"abc").hexdigest()[:15], 16)
+    got = spark.range(1).select(
+        F.expr(_word_hash_expr("'abc'", "md5_60")).alias("h")).first()["h"]
+    assert got == expected
+
+
+def test_embedding_dedup_hot_bucket_stays_linear(spark):
+    """1,000 near-identical vectors — the r1 single-sketch design made one
+    quadratic bucket out of these; banded min-edge LSH must both finish
+    (O(n·bands) edges) and keep exactly the smallest id of the cluster."""
+    from tbl_spark.pipelines import dedup
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=16).astype(np.float32)
+    rows = [(i, (base + rng.normal(scale=1e-4, size=16)
+                 .astype(np.float32)).tolist()) for i in range(1000)]
+    rows += [(10_000 + i, rng.normal(size=16).astype(np.float32).tolist())
+             for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = dedup.embedding_cosine_dedup(df, threshold=0.99)
+    kept = {r["vec_id"] for r in out.select("vec_id").collect()}
+    assert 0 in kept and len(kept & set(range(1000))) == 1
+    assert len(kept) == 51                  # cluster min + the 50 randoms

@@ -65,8 +65,9 @@ def test_partitioning_balance_under_skew(spark, token_df):
     skew = probe_skew(token_df, "source")
     head_share = max(skew.values()) / sum(skew.values())
     assert head_share > 0.35  # the fixture really is skewed
+    from tbl_spark.partitioning import PART_COL
     counts = (with_part_id(token_df, N_CHUNKS)
-              .groupBy("part_id").count().collect())
+              .groupBy(PART_COL).count().collect())
     sizes = [r["count"] for r in counts]
     assert len(sizes) == N_CHUNKS
     assert max(sizes) < 2 * (sum(sizes) / len(sizes))

@@ -32,10 +32,18 @@ def build_zip(path: str) -> str:
 
 
 def run_submit(cores: int, zip_path: str, docs: int, num_parts: int,
-               input_dir: str | None = None) -> dict:
+               input_dir: str | None = None,
+               cpu_set: str | None = None) -> dict:
     spark_submit = shutil.which("spark-submit") or os.path.join(
         os.path.dirname(sys.executable), "spark-submit")
-    cmd = [
+    cmd = []
+    if cpu_set and shutil.which("taskset"):
+        # pin the whole JVM+python-worker tree to an exactly-sized cpuset:
+        # local[N] then really runs on N CPUs instead of spreading N threads
+        # over all 32 — removes one axis of the sandbox's steal noise
+        # (VERDICT r1 item 9).
+        cmd += ["taskset", "-c", cpu_set]
+    cmd += [
         spark_submit, "--master", f"local[{cores}]",
         "--conf", "spark.sql.shuffle.partitions=%d" % max(32, 4 * cores),
         "--conf", "spark.driver.memory=12g",
@@ -87,6 +95,8 @@ def main() -> None:
     ap.add_argument("--trials", type=int, default=2,
                     help="best-of-N per level (the sandbox VM has heavy "
                          "CPU steal; best-of damps it)")
+    ap.add_argument("--no-pin", action="store_true",
+                    help="skip taskset CPU pinning")
     args = ap.parse_args()
 
     zip_path = build_zip("/tmp/tbl_spark.zip")
@@ -99,8 +109,14 @@ def main() -> None:
         write_token_table(input_dir, args.docs, n_parts=16 * args.n)
     num_parts = 32 * args.n
 
+    n_cpus = os.cpu_count() or 32
+
     def best_of(cores: int) -> dict:
-        runs = [run_submit(cores, zip_path, args.docs, num_parts, input_dir)
+        cpu_set = None
+        if not args.no_pin and cores <= n_cpus:
+            cpu_set = f"0-{cores - 1}"
+        runs = [run_submit(cores, zip_path, args.docs, num_parts, input_dir,
+                           cpu_set=cpu_set)
                 for _ in range(args.trials)]
         return max(runs, key=lambda r: r["tokens_per_sec"])
 
@@ -124,6 +140,10 @@ def main() -> None:
         "host_parallel_speedup_n_to_4n": round(host_speedup, 2),
         "efficiency_vs_host_capacity": round(norm_eff, 3),
         "bytes_per_token": lo["bytes_per_token"],
+        "part_tokens_per_sec_min_med_max_4n":
+            hi.get("part_tokens_per_sec_min_med_max"),
+        "part_tokens_min_med_max": hi.get("part_tokens_min_med_max"),
+        "cpu_pinned": not args.no_pin,
     }
     print(json.dumps(report, indent=2))
 
@@ -139,7 +159,14 @@ tokens, {num_parts} chunks), two parallelism levels:
 | local[{4 * args.n}] (4N) | {hi['tokens_per_sec']:,} tokens/sec | {hi['seconds']} s |
 
 Raw efficiency (thr@4N / thr@N) / 4 = **{eff:.3f}** (target ≥ 0.8 on a
-real multi-executor cluster).
+real multi-executor cluster). Each run is taskset-pinned to an
+exactly-sized cpuset ({'on' if not args.no_pin else 'OFF'}) so local[N]
+really uses N CPUs.
+
+Per-partition skew check at 4N (salted partitioning evidence — flat means
+the Zipf source skew was defused): tokens per chunk min/med/max =
+{hi.get('part_tokens_min_med_max')}, per-chunk encode tokens/sec
+min/med/max = {hi.get('part_tokens_per_sec_min_med_max')}.
 
 ### Host-capacity control experiment
 
