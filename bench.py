@@ -103,6 +103,35 @@ def main() -> None:
     extras["bytes_per_token"] = round(enc_bytes / total_tokens, 4)
     extras["total_tokens"] = total_tokens
 
+    # zero-shuffle colocated encode (same staged input, no Exchange): the
+    # 100 TB fast path when input layout is already acceptable — measures
+    # what the salted shuffle costs on top of pure encode work.
+    import pyspark.sql.functions as F
+    from tbl_spark.encode import encode_chunks_colocated
+    # at bench scale the whole input fits in 1-2 default 128 MB splits,
+    # which would serialize the zero-shuffle path onto 2 tasks — shrink
+    # splits so parallelism matches what a 100 TB scan gets for free
+    prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    prev_open = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "2m")
+    spark.conf.set("spark.sql.files.openCostInBytes", "131072")
+    try:
+        staged = spark.read.parquet(f"/tmp/tbl_bench_input_{BENCH_DOCS}")
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            agg = (encode_chunks_colocated(staged, tokens_per_chunk=400_000)
+                   .agg(F.sum(F.when(F.col("column") == "tokens",
+                                     F.col("n_values"))).alias("tokens"))
+                   .collect()[0])
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
+        spark.conf.set("spark.sql.files.openCostInBytes", prev_open)
+    queries["encode_colocated"] = round(best, 3)
+    extras["encode_colocated_tokens_per_sec"] = round(agg["tokens"] / best)
+
     # decode throughput (store-free roundtrip)
     from tbl_spark.datagen import SPARK_SCHEMA_DDL, generate_df
     from tbl_spark.decode import decode_chunks

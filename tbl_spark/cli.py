@@ -89,6 +89,11 @@ def build_parser() -> argparse.ArgumentParser:
     enc.add_argument("--num-parts", type=int, default=None)
     enc.add_argument("--tokens-per-chunk", type=int, default=None)
     enc.add_argument("--no-resume", action="store_true")
+    enc.add_argument("--colocated", action="store_true",
+                     help="zero-shuffle encode: cut chunks inside each "
+                          "scan task instead of salted repartition (use "
+                          "when the input file layout is already "
+                          "acceptable)")
 
     dec = sub.add_parser("decode", help="decode a chunk store")
     dec.add_argument("--store", required=True)
@@ -288,6 +293,14 @@ def main(argv: list[str] | None = None) -> int:
         import pyspark.sql.functions as F
         files = discover(args.paths)
         df = spark.read.parquet(*files)
+        if args.colocated:
+            from .store import encode_to_store_colocated
+            summary = encode_to_store_colocated(
+                df, ChunkStore(args.store),
+                tokens_per_chunk=args.tokens_per_chunk,
+                resume=not args.no_resume)
+            print(json.dumps(summary))
+            return 0
         num_parts = args.num_parts
         if num_parts is None:
             if "n_tok" in df.columns:

@@ -322,6 +322,24 @@ def _decode_string(blob: bytes) -> tuple[pa.Array, np.ndarray | None]:
 # lists (tokens: array<int32>, embeddings: array<float>)
 # --------------------------------------------------------------------------
 
+def _primitive_np(values: pa.Array) -> np.ndarray:
+    """Zero-copy numpy view of a no-null primitive arrow array.
+
+    pa.Array.to_numpy on IPC-backed SLICED children (what mapInArrow over
+    a parquet scan hands us after list.flatten()) falls off the fast path
+    and costs ~1k values/ms; viewing the data buffer at the slice offset
+    is a plain memcpy-free frombuffer (measured 300 ms → <1 ms per 400k
+    values on the colocated encode)."""
+    t = values.type
+    if (pa.types.is_integer(t) or pa.types.is_floating(t)) \
+            and values.null_count == 0:
+        dt = np.dtype(t.to_pandas_dtype())
+        buf = values.buffers()[1]
+        return np.frombuffer(buf, dtype=dt, count=len(values),
+                             offset=values.offset * dt.itemsize)
+    return values.to_numpy(zero_copy_only=False)
+
+
 def _encode_list(arr: pa.Array, codec: Codec | None, try_zstd: bool,
                  cache_key: str | None = None) -> bytes:
     valid = None
@@ -332,7 +350,7 @@ def _encode_list(arr: pa.Array, codec: Codec | None, try_zstd: bool,
     values = arr.flatten()
     if values.null_count:
         raise ValueError("null list elements are not supported")
-    values_np = values.to_numpy(zero_copy_only=False)
+    values_np = _primitive_np(values)
     lengths_blob = _encode_int_auto(lengths)
     values_blob = encode_array(
         values_np, codec=codec, try_zstd=try_zstd,
@@ -390,7 +408,7 @@ def encode_array(values, valid: np.ndarray | None = None,
             valid = np.asarray(values.is_valid()) if valid is None else valid
             values = pc.fill_null(values, values.drop_null()[0]
                                   if len(values.drop_null()) else 0)
-        values = values.to_numpy(zero_copy_only=False)
+        values = _primitive_np(values)
     values = np.asarray(values)
     if values.dtype == np.dtype(object):
         return encode_array(pa.array(values), valid=valid, codec=codec,

@@ -24,13 +24,16 @@ from .arrowtypes import to_codec_input
 from .codecs import blob_codec, encode_array
 from .partitioning import PART_COL, with_part_id
 
+# part_id is bigint: the shuffle path uses small pmod ids, but the
+# zero-shuffle colocated path derives ids by hashing (file, block, seq),
+# which needs the full 63-bit space for uniqueness at 10^12-sequence scale.
 CHUNK_SCHEMA_DDL = (
-    "part_id int, column string, codec string, blob binary, "
+    "part_id bigint, column string, codec string, blob binary, "
     "n_rows bigint, n_values bigint, raw_bytes bigint, enc_bytes bigint, "
     "spark_type string, encode_ms double")
 
 CHUNK_ARROW_SCHEMA = pa.schema([
-    ("part_id", pa.int32()), ("column", pa.string()),
+    ("part_id", pa.int64()), ("column", pa.string()),
     ("codec", pa.string()), ("blob", pa.binary()),
     ("n_rows", pa.int64()), ("n_values", pa.int64()),
     ("raw_bytes", pa.int64()), ("enc_bytes", pa.int64()),
@@ -64,6 +67,100 @@ def encode_table(part_id: int, tbl: pa.Table,
         rows["spark_type"].append(spark_types[name])
         rows["encode_ms"].append(ms)
     return pa.Table.from_pydict(rows, schema=CHUNK_ARROW_SCHEMA)
+
+
+# helper columns for the zero-shuffle path (projected, never encoded)
+FILE_HELPER = "__ts_file__"
+BLOCK_HELPER = "__ts_block__"
+
+
+def encode_chunks_colocated(
+        df: DataFrame,
+        tokens_per_chunk: int | None = None,
+        token_col: str = "tokens") -> DataFrame:
+    """ZERO-shuffle encode: each scan task streams its Arrow batches and
+    cuts a chunk whenever the token budget fills — the Spark analog of the
+    reference's per-file streaming surgery (parquet_insert.rs bounded
+    batches), and the plan has NO Exchange at all.
+
+    When to use which encode:
+    - `encode_chunks` (salted shuffle): rebalances skew and gives chunk
+      membership that is stable under ANY input layout — the default.
+    - `encode_chunks_colocated`: when the input files are immutable and
+      their layout is already acceptable (the common case for ingested
+      training shards), the corpus never crosses the network. At 10^12
+      sequences the saved shuffle IS the job.
+
+    Chunk ids are blake2b-63bit of (input file, block start, seq-in-block)
+    — deterministic for a fixed file set and split config (the store pins
+    those), unique without any cross-task coordination. In-memory sources
+    (no file name) fall back to the task partition id, which is stable
+    within a job but not across different split plans."""
+    import pyspark.sql.functions as F
+
+    if tokens_per_chunk is None:
+        from .partitioning import DEFAULT_TOKENS_PER_CHUNK
+        tokens_per_chunk = DEFAULT_TOKENS_PER_CHUNK
+    spark_types = {f.name: f.dataType.simpleString()
+                   for f in df.schema.fields}
+    has_tok = any(f.name == token_col and
+                  f.dataType.simpleString().startswith("array")
+                  for f in df.schema.fields)
+    src = df.select("*", F.input_file_name().alias(FILE_HELPER),
+                    F.input_file_block_start().alias(BLOCK_HELPER))
+
+    def run(batches):
+        for pid, tbl in cut_colocated_chunks(batches, tokens_per_chunk,
+                                             has_tok, token_col):
+            yield from encode_table(pid, tbl, spark_types).to_batches()
+
+    return src.mapInArrow(run, CHUNK_SCHEMA_DDL)
+
+
+def cut_colocated_chunks(batches, tokens_per_chunk: int, has_tok: bool,
+                         token_col: str):
+    """Executor-side generator: stream record batches (carrying the two
+    helper columns), yield (part_id, arrow table) chunks at the token
+    budget. Part ids are blake2b-63bit of (file, block, seq)."""
+    import hashlib
+
+    from pyspark import TaskContext
+
+    buf: list[pa.RecordBatch] = []
+    budget = 0
+    seqs: dict[tuple, int] = {}
+
+    def flush():
+        nonlocal buf, budget
+        if not buf:
+            return None
+        tbl = pa.Table.from_batches(buf)
+        buf, budget = [], 0
+        file = tbl.column(FILE_HELPER)[0].as_py()
+        block = tbl.column(BLOCK_HELPER)[0].as_py()
+        if not file:  # non-file source: partition id is job-stable
+            ctx = TaskContext.get()
+            file = f"mem-{ctx.partitionId() if ctx else 0}"
+        seq = seqs.get((file, block), 0)
+        seqs[(file, block)] = seq + 1
+        digest = hashlib.blake2b(
+            f"{file}|{block}|{seq}".encode(), digest_size=8).digest()
+        pid = int.from_bytes(digest, "big") & ((1 << 63) - 1)
+        return pid, tbl.drop_columns([FILE_HELPER, BLOCK_HELPER])
+
+    for batch in batches:
+        buf.append(batch)
+        if has_tok:
+            budget += len(batch.column(token_col).flatten())
+        else:
+            budget += batch.num_rows
+        if budget >= tokens_per_chunk:
+            out = flush()
+            if out is not None:
+                yield out
+    out = flush()
+    if out is not None:
+        yield out
 
 
 def encode_chunks(df: DataFrame, num_parts: int,

@@ -40,7 +40,7 @@ from .encode import CHUNK_SCHEMA_DDL, encode_table
 from .partitioning import PART_COL, with_part_id
 
 MANIFEST_SCHEMA_DDL = (
-    "part_id int, n_rows bigint, n_values bigint, raw_bytes bigint, "
+    "part_id bigint, n_rows bigint, n_values bigint, raw_bytes bigint, "
     "enc_bytes bigint, encode_ms double, committed_at double, columns string")
 
 
@@ -334,7 +334,7 @@ def encode_to_store(df: DataFrame, store: ChunkStore, num_parts: int,
         return pa.Table.from_pydict(
             {k: [manifest[k]] for k in manifest},
             schema=pa.schema([
-                ("part_id", pa.int32()), ("n_rows", pa.int64()),
+                ("part_id", pa.int64()), ("n_rows", pa.int64()),
                 ("n_values", pa.int64()), ("raw_bytes", pa.int64()),
                 ("enc_bytes", pa.int64()), ("encode_ms", pa.float64()),
                 ("committed_at", pa.float64()), ("columns", pa.string())]))
@@ -354,6 +354,99 @@ def encode_to_store(df: DataFrame, store: ChunkStore, num_parts: int,
         "committed_at": time.time(),
     }
     store.append_snapshot(summary)  # run-level lineage log
+    return summary
+
+
+def encode_to_store_colocated(df: DataFrame, store: ChunkStore,
+                              tokens_per_chunk: int | None = None,
+                              resume: bool = True,
+                              token_col: str = "tokens") -> dict:
+    """ZERO-shuffle resumable encode: chunks are cut inside each scan task
+    (encode.cut_colocated_chunks — no Exchange), committed with the same
+    atomic protocol, and a rerun skips chunks whose commit marker already
+    exists (the part id is deterministic for a fixed file set and split
+    config, both pinned in store.json)."""
+    import pyspark.sql.functions as F
+    from .encode import (BLOCK_HELPER, FILE_HELPER, cut_colocated_chunks,
+                         encode_table)
+
+    if tokens_per_chunk is None:
+        from .partitioning import DEFAULT_TOKENS_PER_CHUNK
+        tokens_per_chunk = DEFAULT_TOKENS_PER_CHUNK
+    store.init_dirs()
+    schema_ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                           for f in df.schema.fields)
+    store.check_or_init_meta(tokens_per_chunk, ("__colocated__",),
+                             schema_ddl)
+    spark_types = {f.name: f.dataType.simpleString()
+                   for f in df.schema.fields}
+    has_tok = any(f.name == token_col and
+                  f.dataType.simpleString().startswith("array")
+                  for f in df.schema.fields)
+    src = df.select("*", F.input_file_name().alias(FILE_HELPER),
+                    F.input_file_block_start().alias(BLOCK_HELPER))
+    store_root = store.root
+    committed_before = len(store.committed_parts()) if resume else 0
+
+    def run(batches):
+        local_store = ChunkStore(store_root)
+        local_store.init_dirs()
+        for pid, tbl in cut_colocated_chunks(batches, tokens_per_chunk,
+                                             has_tok, token_col):
+            marker = os.path.join(local_store.manifest_dir,
+                                  f"part-{pid:05d}.json")
+            if resume and os.path.exists(marker):
+                continue  # committed by a previous run — skip re-encode
+            t0 = time.perf_counter()
+            chunk_tbl = encode_table(pid, tbl, spark_types)
+            ms = (time.perf_counter() - t0) * 1000.0
+            cols = {
+                name: {"codec": codec, "raw_bytes": rb, "enc_bytes": eb,
+                       "n_values": nv}
+                for name, codec, rb, eb, nv in zip(
+                    chunk_tbl.column("column").to_pylist(),
+                    chunk_tbl.column("codec").to_pylist(),
+                    chunk_tbl.column("raw_bytes").to_pylist(),
+                    chunk_tbl.column("enc_bytes").to_pylist(),
+                    chunk_tbl.column("n_values").to_pylist())
+            }
+            manifest = {
+                "part_id": pid,
+                "n_rows": int(chunk_tbl.column("n_rows")[0].as_py())
+                          if len(chunk_tbl) else 0,
+                "n_values": max((c["n_values"] for c in cols.values()),
+                                default=0),
+                "raw_bytes": sum(c["raw_bytes"] for c in cols.values()),
+                "enc_bytes": sum(c["enc_bytes"] for c in cols.values()),
+                "encode_ms": ms,
+                "committed_at": time.time(),
+                "columns": json.dumps(cols),
+            }
+            local_store.commit_chunk(pid, chunk_tbl, manifest)
+            yield pa.RecordBatch.from_pydict(
+                {"part_id": [pid], "n_rows": [manifest["n_rows"]],
+                 "n_values": [manifest["n_values"]],
+                 "enc_bytes": [manifest["enc_bytes"]]},
+                schema=pa.schema([("part_id", pa.int64()),
+                                  ("n_rows", pa.int64()),
+                                  ("n_values", pa.int64()),
+                                  ("enc_bytes", pa.int64())]))
+
+    t_run = time.perf_counter()
+    rows = src.mapInArrow(
+        run, "part_id bigint, n_rows bigint, n_values bigint, "
+             "enc_bytes bigint").collect()
+    summary = {
+        "encoded_parts": len(rows),
+        "skipped_parts": committed_before,
+        "n_rows": sum(r["n_rows"] for r in rows),
+        "n_values": sum(r["n_values"] for r in rows),
+        "enc_bytes": sum(r["enc_bytes"] for r in rows),
+        "wall_sec": round(time.perf_counter() - t_run, 3),
+        "committed_at": time.time(),
+        "mode": "colocated",
+    }
+    store.append_snapshot(summary)
     return summary
 
 

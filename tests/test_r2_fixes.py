@@ -257,3 +257,58 @@ def test_embedding_dedup_hot_bucket_stays_linear(spark):
     kept = {r["vec_id"] for r in out.select("vec_id").collect()}
     assert 0 in kept and len(kept & set(range(1000))) == 1
     assert len(kept) == 51                  # cluster min + the 50 randoms
+
+
+# -- zero-shuffle colocated encode ----------------------------------------------
+
+def test_colocated_encode_roundtrip_and_no_shuffle(spark, tmp_path):
+    from tbl_spark.datagen import SPARK_SCHEMA_DDL, write_token_table
+    from tbl_spark.decode import decode_chunks_colocated
+    from tbl_spark.encode import encode_chunks_colocated
+    path = str(tmp_path / "tt")
+    write_token_table(path, 2000, n_parts=4)
+    df = spark.read.parquet(path)
+    chunks = encode_chunks_colocated(df, tokens_per_chunk=100_000)
+    plan = chunks._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan            # the whole point: no shuffle
+    decoded = decode_chunks_colocated(chunks, SPARK_SCHEMA_DDL)
+    n = (decoded.alias("b").join(df.alias("a"), "doc_id")
+         .filter(F.col("a.tokens") == F.col("b.tokens")).count())
+    assert n == 2000
+
+
+def test_colocated_encode_deterministic_part_ids(spark, tmp_path):
+    from tbl_spark.datagen import write_token_table
+    from tbl_spark.encode import encode_chunks_colocated
+    path = str(tmp_path / "tt")
+    write_token_table(path, 1500, n_parts=3)
+    df = spark.read.parquet(path)
+
+    def ids():
+        return sorted(r["part_id"] for r in encode_chunks_colocated(
+            df, tokens_per_chunk=50_000).select("part_id")
+            .distinct().collect())
+
+    a, b = ids(), ids()
+    assert a == b and len(a) == len(set(a))  # stable AND unique
+
+
+def test_colocated_store_encode_resume(spark, tmp_path):
+    from tbl_spark.datagen import write_token_table
+    from tbl_spark.store import encode_to_store_colocated
+    path = str(tmp_path / "tt")
+    write_token_table(path, 2000, n_parts=4)
+    df = spark.read.parquet(path)
+    store = ChunkStore(str(tmp_path / "store"))
+    s1 = encode_to_store_colocated(df, store, tokens_per_chunk=50_000)
+    assert s1["encoded_parts"] > 1 and s1["n_rows"] == 2000
+    # rerun: every chunk already committed → zero re-encodes
+    s2 = encode_to_store_colocated(df, store, tokens_per_chunk=50_000)
+    assert s2["encoded_parts"] == 0
+    # different chunking on the same store must fail fast, not corrupt
+    with pytest.raises(ValueError, match="num_parts"):
+        encode_to_store_colocated(df, store, tokens_per_chunk=99_999)
+    decoded = decode_from_store(store, spark)
+    n = (decoded.alias("b").join(df.alias("a"), "doc_id")
+         .filter(F.col("a.tokens") == F.col("b.tokens")).count())
+    assert n == 2000

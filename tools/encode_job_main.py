@@ -24,6 +24,8 @@ def main() -> None:
                     help="parquet token table to encode (else generated)")
     ap.add_argument("--store", default=None)
     ap.add_argument("--warmup", type=int, default=1)
+    ap.add_argument("--colocated", action="store_true",
+                    help="zero-shuffle encode (chunks cut per scan task)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -48,7 +50,19 @@ def main() -> None:
     df = spark.read.parquet(args.input) if args.input \
         else generate_df(spark, args.docs, gen_parts)
     t0 = time.perf_counter()
-    if args.store:
+    if args.colocated and not args.store:
+        from tbl_spark.encode import encode_chunks_colocated
+        rows = (encode_chunks_colocated(df)
+                .select("part_id", "column", "n_values", "enc_bytes",
+                        "encode_ms").collect())
+        tokens = sum(r["n_values"] for r in rows if r["column"] == "tokens")
+        enc_bytes = sum(r["enc_bytes"] for r in rows)
+    elif args.store and args.colocated:
+        from tbl_spark.store import ChunkStore, encode_to_store_colocated
+        summary = encode_to_store_colocated(df, ChunkStore(args.store))
+        tokens = summary["n_values"]
+        enc_bytes = summary["enc_bytes"]
+    elif args.store:
         from tbl_spark.store import ChunkStore, encode_to_store
         summary = encode_to_store(df, ChunkStore(args.store), num_parts)
         tokens = summary["n_values"]
