@@ -27,9 +27,15 @@ from .store import ChunkStore, encode_to_store
 def stream_encode(spark: SparkSession, input_dir: str, store_root: str,
                   num_parts: int, schema_ddl: str,
                   checkpoint_dir: str | None = None,
-                  available_now: bool = True):
+                  available_now: bool = True,
+                  colocated: bool = False):
     """Start (and with available_now=True, run to completion) a streaming
-    encode of parquet files arriving under input_dir. Returns the query."""
+    encode of parquet files arriving under input_dir. Returns the query.
+
+    colocated=True uses the ZERO-shuffle encode per micro-batch (chunks
+    cut inside each scan task; ids from file/block/seq are deterministic
+    per file, so a replayed micro-batch recommits the same chunk ids and
+    the per-chunk markers make the replay a no-op)."""
     checkpoint_dir = checkpoint_dir or os.path.join(store_root, "_checkpoint")
     stream = (spark.readStream.schema(schema_ddl)
               .option("maxFilesPerTrigger", "64")
@@ -37,7 +43,11 @@ def stream_encode(spark: SparkSession, input_dir: str, store_root: str,
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         store = ChunkStore(os.path.join(store_root, f"batch={batch_id}"))
-        encode_to_store(batch_df, store, num_parts, resume=True)
+        if colocated:
+            from .store import encode_to_store_colocated
+            encode_to_store_colocated(batch_df, store, resume=True)
+        else:
+            encode_to_store(batch_df, store, num_parts, resume=True)
 
     writer = (stream.writeStream.foreachBatch(process)
               .option("checkpointLocation", checkpoint_dir))

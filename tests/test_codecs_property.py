@@ -83,3 +83,44 @@ def test_float_roundtrip_bit_identical(floats):
     v = np.array(floats, dtype=np.float32)
     out, _ = decode_array(encode_array(v))
     np.testing.assert_array_equal(out.view(np.uint32), v.view(np.uint32))
+
+
+@given(st.lists(st.integers(-2**31, 2**31 - 1), min_size=1, max_size=300),
+       st.integers(0, 50), st.integers(0, 50))
+@settings(max_examples=80, deadline=None)
+def test_primitive_np_view_matches_to_numpy_on_slices(vals, lo, hi):
+    """The frombuffer fast path must agree with to_numpy for every slice
+    offset/length (sliced IPC children are what mapInArrow hands us)."""
+    from tbl_spark.codecs.core import _primitive_np
+    arr = pa.array(vals, type=pa.int32())
+    lo = min(lo, len(arr))
+    length = max(0, min(len(arr) - lo, len(arr) - hi))
+    sl = arr.slice(lo, length)
+    np.testing.assert_array_equal(
+        _primitive_np(sl), sl.to_numpy(zero_copy_only=False))
+
+
+@given(st.lists(st.integers(1, 40), min_size=1, max_size=30),
+       st.integers(10, 200))
+@settings(max_examples=60, deadline=None)
+def test_colocated_cutter_partitions_stream_exactly(batch_rows, budget):
+    """cut_colocated_chunks must emit every input row exactly once, in
+    order, with unique part ids, regardless of batch boundaries/budget."""
+    from tbl_spark.encode import BLOCK_HELPER, FILE_HELPER, \
+        cut_colocated_chunks
+    batches, next_id = [], 0
+    for n in batch_rows:
+        ids = list(range(next_id, next_id + n))
+        next_id += n
+        batches.append(pa.RecordBatch.from_pydict({
+            "row_id": pa.array(ids, type=pa.int64()),
+            FILE_HELPER: pa.array(["f"] * n),
+            BLOCK_HELPER: pa.array([0] * n, type=pa.int64())}))
+    out_ids, pids = [], []
+    for pid, tbl in cut_colocated_chunks(batches, budget, has_tok=False,
+                                         token_col="tokens"):
+        assert set(tbl.column_names) == {"row_id"}
+        out_ids += tbl.column("row_id").to_pylist()
+        pids.append(pid)
+    assert out_ids == list(range(next_id))
+    assert len(pids) == len(set(pids))

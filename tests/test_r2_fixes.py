@@ -312,3 +312,18 @@ def test_colocated_store_encode_resume(spark, tmp_path):
     n = (decoded.alias("b").join(df.alias("a"), "doc_id")
          .filter(F.col("a.tokens") == F.col("b.tokens")).count())
     assert n == 2000
+
+
+def test_cli_python_handoff(small_parquet, monkeypatch):
+    """`cli python` preloads spark + df and hands off to code.interact
+    (python.rs:5-68 analog) — stub the REPL and check the namespace."""
+    import code
+    from tbl_spark.cli import main
+    captured = {}
+    monkeypatch.setattr(
+        code, "interact",
+        lambda banner=None, local=None: captured.update(local or {}))
+    rc = main(["python", small_parquet])
+    assert rc == 0
+    assert "spark" in captured and "df" in captured
+    assert captured["df"].count() == 10

@@ -41,3 +41,24 @@ def test_stream_encode_two_waves(spark, tmp_path):
     stats = stream_store_stats(store)
     assert stats["rows"] == 1800 and stats["batches"] >= 2
     assert stats["enc_bytes"] < stats["raw_bytes"]
+
+
+def test_stream_encode_colocated_zero_shuffle(spark, tmp_path):
+    """Streaming ingestion over the zero-shuffle path: same completeness
+    and bit-exactness contract, no Exchange in any micro-batch job."""
+    inbox = str(tmp_path / "inbox")
+    store = str(tmp_path / "store")
+    write_token_table(inbox, 1000, n_parts=4)
+    stream_encode(spark, inbox, store, num_parts=4,
+                  schema_ddl=SPARK_SCHEMA_DDL, colocated=True)
+    decoded = decode_stream_store(spark, store, SPARK_SCHEMA_DDL)
+    src = spark.read.parquet(inbox)
+    n = src.alias("a").join(decoded.alias("b"), "doc_id").filter(
+        F.col("a.tokens") == F.col("b.tokens")).count()
+    assert n == 1000
+    # replay idempotence: rerunning the same batch dir re-commits nothing
+    from tbl_spark.store import ChunkStore, encode_to_store_colocated
+    import glob
+    batch_dir = sorted(glob.glob(f"{store}/batch=*"))[0]
+    s2 = encode_to_store_colocated(src, ChunkStore(batch_dir))
+    assert s2["encoded_parts"] == 0

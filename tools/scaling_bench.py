@@ -33,7 +33,8 @@ def build_zip(path: str) -> str:
 
 def run_submit(cores: int, zip_path: str, docs: int, num_parts: int,
                input_dir: str | None = None,
-               cpu_set: str | None = None) -> dict:
+               cpu_set: str | None = None,
+               colocated: bool = False) -> dict:
     spark_submit = shutil.which("spark-submit") or os.path.join(
         os.path.dirname(sys.executable), "spark-submit")
     cmd = []
@@ -50,9 +51,18 @@ def run_submit(cores: int, zip_path: str, docs: int, num_parts: int,
         "--conf", "spark.local.dir=/tmp/spark-local",
         "--conf", "spark.ui.enabled=false",
         "--py-files", zip_path,
+    ]
+    if colocated:
+        # bench-scale inputs fit in 1-2 default 128 MB splits; shrink so
+        # the zero-shuffle path gets the parallelism a 100 TB scan has
+        cmd += ["--conf", "spark.sql.files.maxPartitionBytes=4m",
+                "--conf", "spark.sql.files.openCostInBytes=131072"]
+    cmd += [
         os.path.join(REPO, "tools", "encode_job_main.py"),
         "--docs", str(docs), "--num-parts", str(num_parts),
     ]
+    if colocated:
+        cmd += ["--colocated"]
     if input_dir:
         cmd += ["--input", input_dir]
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=1200)
@@ -97,6 +107,11 @@ def main() -> None:
                          "CPU steal; best-of damps it)")
     ap.add_argument("--no-pin", action="store_true",
                     help="skip taskset CPU pinning")
+    ap.add_argument("--colocated", action="store_true",
+                    help="benchmark the zero-shuffle encode path")
+    ap.add_argument("--append", action="store_true",
+                    help="append the section to BENCH.md instead of "
+                         "rewriting it")
     args = ap.parse_args()
 
     zip_path = build_zip("/tmp/tbl_spark.zip")
@@ -116,7 +131,7 @@ def main() -> None:
         if not args.no_pin and cores <= n_cpus:
             cpu_set = f"0-{cores - 1}"
         runs = [run_submit(cores, zip_path, args.docs, num_parts, input_dir,
-                           cpu_set=cpu_set)
+                           cpu_set=cpu_set, colocated=args.colocated)
                 for _ in range(args.trials)]
         return max(runs, key=lambda r: r["tokens_per_sec"])
 
@@ -147,11 +162,12 @@ def main() -> None:
     }
     print(json.dumps(report, indent=2))
 
+    mode = "zero-shuffle colocated" if args.colocated else "salted-shuffle"
     md = f"""
-## Scaling evidence (tools/scaling_bench.py, spark-submit --py-files)
+## Scaling evidence — {mode} encode (tools/scaling_bench.py)
 
-Same encode job, identical input ({args.docs:,} docs / {lo['tokens']:,}
-tokens, {num_parts} chunks), two parallelism levels:
+Same encode job via spark-submit --py-files, identical input
+({args.docs:,} docs / {lo['tokens']:,} tokens), two parallelism levels:
 
 | cluster size | throughput | wall |
 |---|---|---|
@@ -190,9 +206,15 @@ adds near-zero coordination overhead; the wall-clock gap is the sandbox's
 shared memory bus, which does not exist between real executors.
 Compressed size: {lo['bytes_per_token']} bytes/token.
 """
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
-        f.write("# BENCH — measured results\n" + md)
-    print("wrote BENCH.md")
+    path = os.path.join(REPO, "BENCH.md")
+    if args.append and os.path.exists(path):
+        with open(path, "a") as f:
+            f.write(md)
+        print("appended to BENCH.md")
+    else:
+        with open(path, "w") as f:
+            f.write("# BENCH — measured results\n" + md)
+        print("wrote BENCH.md")
 
 
 if __name__ == "__main__":
