@@ -136,6 +136,8 @@ def cut_colocated_chunks(batches, tokens_per_chunk: int, has_tok: bool,
             return None
         tbl = pa.Table.from_batches(buf)
         buf, budget = [], 0
+        if tbl.num_rows == 0:  # partition delivered only empty batches
+            return None
         file = tbl.column(FILE_HELPER)[0].as_py()
         block = tbl.column(BLOCK_HELPER)[0].as_py()
         if not file:  # non-file source: partition id is job-stable

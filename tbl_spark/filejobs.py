@@ -66,7 +66,14 @@ def write_single_file(df: DataFrame, dst: str,
             names=["path", "n_rows"])
 
     rows = df.coalesce(1).mapInArrow(run, stats_ddl).collect()
-    return int(rows[0]["n_rows"]) if rows else 0
+    if not rows:  # zero-partition plan: the task never ran — still emit
+        os.makedirs(os.path.dirname(dst) or ".", exist_ok=True)
+        tmp = f"{dst}.{uuid.uuid4().hex[:8]}_tmp"
+        pq.write_table(empty_schema.empty_table(), tmp,
+                       compression=compression)
+        os.replace(tmp, dst)
+        return 0
+    return int(rows[0]["n_rows"])
 
 
 def transform_files(spark: SparkSession, inputs: list[str],

@@ -327,3 +327,14 @@ def test_cli_python_handoff(small_parquet, monkeypatch):
     assert rc == 0
     assert "spark" in captured and "df" in captured
     assert captured["df"].count() == 10
+
+
+def test_colocated_cutter_handles_empty_batches():
+    from tbl_spark.encode import BLOCK_HELPER, FILE_HELPER, \
+        cut_colocated_chunks
+    empty = pa.RecordBatch.from_pydict({
+        "x": pa.array([], type=pa.int64()),
+        FILE_HELPER: pa.array([], type=pa.string()),
+        BLOCK_HELPER: pa.array([], type=pa.int64())})
+    assert list(cut_colocated_chunks([empty], 100, False, "tokens")) == []
+    assert list(cut_colocated_chunks([], 100, False, "tokens")) == []
