@@ -212,6 +212,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q = emb.filter("vec_id = 1").select("embedding").first()[0]
         return similarity.ivf_topk(emb, q, k=20, nlist=8, nprobe=4)
 
+    # -- composite training-data curation pipeline ---------------------------
+
+    def pipeline_curate(spark, sf):
+        """Quality-gate → language-gate → exact dedup → token budget: the
+        canonical pre-training curation chain, composed from the same
+        operators the individual queries verify — and still fully
+        re-derivable in SQL end-to-end."""
+        docs = _read(spark, sf, "documents")
+        scored = textstats.with_lang_id(textstats.with_quality_score(docs))
+        gated = scored.filter((F.col("quality") >= 0.5)
+                              & (F.col("lang_pred") == "en"))
+        unique = dedup.exact_dedup(gated.select("doc_id", "text"))
+        counted = textstats.with_token_count(unique)
+        return counted.select("doc_id", "n_ws_tokens", "n_bpe_tokens")
+
     # -- multimodal plumbing -------------------------------------------------
 
     def media_features(spark, sf):
@@ -253,6 +268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": ann_cosine_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "media_features": media_features,
+        "pipeline_curate": pipeline_curate,
     }
 
 
@@ -305,6 +321,28 @@ def oracle_sql() -> dict[str, str]:
         "len(list_intersect(wds, [{}])) AS h_{}".format(
             ", ".join(f"'{s}'" for s in sw), lang)
         for lang, sw in lang_lists.items())
+    # shared sub-expressions for text_quality / text_lang_id /
+    # pipeline_curate — identical math so the composite chain re-derives
+    # the exact same gate decisions the individual oracles verify
+    quality_expr = """
+        round(
+          least(n_words / 100.0, CAST(1.0 AS DOUBLE)) * 0.4
+          + (CAST(1.0 AS DOUBLE)
+             - least(n_punct / greatest(n_chars, 1) * 10,
+                     CAST(1.0 AS DOUBLE))) * 0.2
+          + n_stop / 10.0 * 0.2
+          + (CASE WHEN (n_chars - (n_words - 1))
+                       / greatest(n_words, 1) >= 3
+                   AND (n_chars - (n_words - 1))
+                       / greatest(n_words, 1) <= 10
+                  THEN CAST(1.0 AS DOUBLE)
+                  ELSE CAST(0.0 AS DOUBLE) END) * 0.2, 4)"""
+    lang_case = """
+        CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+             WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+             WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
+             WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+             ELSE 'de' END"""
     quality_base = """
         SELECT doc_id,
                length(text) AS n_chars,
@@ -430,24 +468,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ceil(length(text) / 4.0) AS INTEGER) AS n_bpe_tokens
             FROM documents""",
         "text_lang_id": f"""
+            -- tie-break mirrors Spark's greatest(struct(hits, lang)):
+            -- max hits, then lexicographically LARGEST language code
             WITH w AS (SELECT doc_id,
                               list_distinct(regexp_extract_all(
                                   lower(text), '[a-z]+')) AS wds
                        FROM documents),
             hits AS (SELECT doc_id, {lang_hits} FROM w)
-            SELECT doc_id,
-                   CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0
-                          THEN 'und'
-                        -- tie-break mirrors Spark's greatest(struct(hits,
-                        -- lang)): max hits, then lexicographically
-                        -- LARGEST language code
-                        WHEN h_fr = greatest(h_en, h_de, h_fr, h_es)
-                          THEN 'fr'
-                        WHEN h_es = greatest(h_en, h_de, h_fr, h_es)
-                          THEN 'es'
-                        WHEN h_en = greatest(h_en, h_de, h_fr, h_es)
-                          THEN 'en'
-                        ELSE 'de' END AS lang_pred
+            SELECT doc_id, {lang_case} AS lang_pred
             FROM hits""",
         "text_fingerprint": f"""
             SELECT doc_id,
@@ -464,20 +492,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_words AS INTEGER) AS n_words,
                    round(n_punct / greatest(n_chars, 1), 4) AS punct_ratio,
                    round(n_stop / 10.0, 4) AS stop_ratio,
-                   round(
-                     least(n_words / 100.0, CAST(1.0 AS DOUBLE)) * 0.4
-                     + (CAST(1.0 AS DOUBLE)
-                        - least(n_punct / greatest(n_chars, 1) * 10,
-                                CAST(1.0 AS DOUBLE))) * 0.2
-                     + n_stop / 10.0 * 0.2
-                     + (CASE WHEN (n_chars - (n_words - 1))
-                                  / greatest(n_words, 1) >= 3
-                              AND (n_chars - (n_words - 1))
-                                  / greatest(n_words, 1) <= 10
-                             THEN CAST(1.0 AS DOUBLE)
-                             ELSE CAST(0.0 AS DOUBLE) END) * 0.2, 4)
-                       AS quality
+                   {quality_expr} AS quality
             FROM ({quality_base})""",
+        "pipeline_curate": f"""
+            WITH scored AS (SELECT doc_id, {quality_expr} AS quality
+                            FROM ({quality_base})),
+            lw AS (SELECT doc_id,
+                          list_distinct(regexp_extract_all(
+                              lower(text), '[a-z]+')) AS wds
+                   FROM documents),
+            lang AS (SELECT doc_id, {lang_case} AS lang_pred
+                     FROM (SELECT doc_id, {lang_hits} FROM lw)),
+            gated AS (SELECT d.doc_id, d.text
+                      FROM documents d
+                      JOIN scored s ON d.doc_id = s.doc_id
+                      JOIN lang l ON d.doc_id = l.doc_id
+                      WHERE s.quality >= 0.5 AND l.lang_pred = 'en'),
+            uniq AS (SELECT min(doc_id) AS doc_id, text
+                     FROM gated GROUP BY text)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\\S+')) AS INTEGER)
+                       AS n_ws_tokens,
+                   CAST(ceil(length(text) / 4.0) AS INTEGER) AS n_bpe_tokens
+            FROM uniq""",
         "ann_ivf_topk": """
             -- full re-derivation of the IVF pipeline (similarity.py):
             -- strided-sample centroids, nearest-centroid assignment,
