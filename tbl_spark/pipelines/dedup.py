@@ -117,8 +117,23 @@ def ngram_dedup_tokens(df: DataFrame, tokens_col: str = "tokens",
     return df.join(drop_ids, id_col, "left_anti")
 
 
+def _shingles_of_words(words_col: str, n: int):
+    """Array of word n-gram shingle strings over a PRE-BOUND words-array
+    column (JVM-side, no UDF).
+
+    The words array must be materialized as a column first: referencing
+    split(text) inside the transform lambda would re-split the text once
+    PER SHINGLE — higher-order-function lambdas are evaluated interpreted,
+    with no common-subexpression elimination — turning an O(words) doc
+    into O(words²). Binding the array makes the lambda a pure slice."""
+    return F.expr(
+        f"transform(sequence(1, greatest(1, size({words_col}) - {n - 1})), "
+        f"i -> concat_ws(' ', slice({words_col}, i, {n})))")
+
+
 def _word_shingles(text_col: str, n: int = 5):
-    """Array of word n-gram shingle strings (JVM-side, no UDF)."""
+    """Back-compat helper: shingles expr + words expr (prefer binding
+    words to a column and using _shingles_of_words — see its docstring)."""
     words = F.split(F.col(text_col), r"\s+")
     return F.expr(
         f"transform(sequence(1, greatest(1, size(split({text_col}, "
@@ -140,8 +155,10 @@ def minhash_signature(df: DataFrame, id_col: str = "doc_id",
     and the expensive string shingling is never re-inlined per permutation
     (separate column expressions would be re-evaluated k times —
     CollapseProject has no cross-expression CSE)."""
-    shingles, _ = _word_shingles(text_col, shingle_n)
-    ex = (df.select(F.col(id_col), F.explode(shingles).alias("_s"))
+    ex = (df.withColumn("_w", F.split(F.col(text_col), r"\s+"))
+          .select(F.col(id_col),
+                  F.explode(_shingles_of_words("_w", shingle_n))
+                  .alias("_s"))
           .select(id_col, F.xxhash64("_s").alias("_h")))
     aggs = [F.min(F.xxhash64("_h", F.lit(i))).alias(f"_m{i}")
             for i in range(k)]
@@ -169,9 +186,10 @@ def _exact_jaccard_filter(pairs: DataFrame, df: DataFrame, text_col: str,
     The distinct-shingle arrays are joined back per candidate id (two slim
     hash joins on the id), so the heavy payload is shuffled once per
     CANDIDATE, never once per band — the fix for r1's fat band join."""
-    shingles, _ = _word_shingles(text_col, shingle_n)
-    sets = df.select(F.col(id_col),
-                     F.array_distinct(shingles).alias("_sh"))
+    sets = (df.withColumn("_w", F.split(F.col(text_col), r"\s+"))
+            .select(F.col(id_col),
+                    F.array_distinct(
+                        _shingles_of_words("_w", shingle_n)).alias("_sh")))
     joined = (pairs
               .join(sets.select(F.col(id_col).alias("a_id"),
                                 F.col("_sh").alias("a_sh")), "a_id")

@@ -79,10 +79,12 @@ def with_fingerprint(df: DataFrame, text_col: str = "text",
     slower than xxhash64 but exactly re-derivable in ANSI SQL engines,
     which is how the driver's DuckDB oracle verifies every fingerprint."""
     from .dedup import _word_hash_expr
-    gram = (f"concat_ws(' ', slice(split({text_col}, '\\\\s+'), "
-            f"i, {window}))")
+    # bind the words array first: split() inside the transform lambda
+    # would re-split the text once per gram (HOF lambdas have no CSE)
+    gram = f"concat_ws(' ', slice(_fp_w, i, {window}))"
     grams = F.expr(
-        f"transform(sequence(1, greatest(1, size(split({text_col}, "
-        f"'\\\\s+')) - {window - 1})), "
+        f"transform(sequence(1, greatest(1, size(_fp_w) - {window - 1})), "
         f"i -> {_word_hash_expr(gram, hash_fn)})")
-    return df.withColumn("fingerprint", F.array_min(grams))
+    return (df.withColumn("_fp_w", F.split(F.col(text_col), r"\s+"))
+            .withColumn("fingerprint", F.array_min(grams))
+            .drop("_fp_w"))
