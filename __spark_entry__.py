@@ -24,13 +24,17 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 def _roundtrip(spark: SparkSession, sf_dir: str, table: str,
                key_cols: list[str], num_parts: int = 32) -> DataFrame:
     """encode → decode identity pipeline over a testdata table."""
-    from tbl_spark.decode import decode_chunks
+    from tbl_spark.decode import decode_chunks_colocated
     from tbl_spark.encode import encode_chunks
     df = _read(spark, sf_dir, table)
     ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
                     for f in df.schema.fields)
     chunks = encode_chunks(df, num_parts, salt_cols=tuple(key_cols))
-    return decode_chunks(chunks, ddl)
+    # applyInArrow emits each part's chunk rows consecutively and a part
+    # lives entirely inside one (possibly AQE-coalesced) shuffle
+    # partition, so the zero-shuffle run-change decoder applies — the
+    # roundtrip costs exactly ONE exchange total (the encode's).
+    return decode_chunks_colocated(chunks, ddl)
 
 
 # ---------------------------------------------------------------------------

@@ -132,16 +132,17 @@ def main() -> None:
     queries["encode_colocated"] = round(best, 3)
     extras["encode_colocated_tokens_per_sec"] = round(agg["tokens"] / best)
 
-    # decode throughput (store-free roundtrip)
+    # decode throughput (store-free roundtrip; the colocated decoder
+    # applies because encode output keeps each part's rows contiguous)
     from tbl_spark.datagen import SPARK_SCHEMA_DDL, generate_df
-    from tbl_spark.decode import decode_chunks
+    from tbl_spark.decode import decode_chunks_colocated
     from tbl_spark.encode import encode_chunks
     chunks = encode_chunks(
         generate_df(spark, BENCH_DOCS // 2, CPUS), 4 * CPUS)
     chunks = chunks.cache()
     chunks.count()
     t0 = time.perf_counter()
-    decode_chunks(chunks, SPARK_SCHEMA_DDL).count()
+    decode_chunks_colocated(chunks, SPARK_SCHEMA_DDL).count()
     queries["decode_tokens"] = round(time.perf_counter() - t0, 3)
     chunks.unpersist()
 
