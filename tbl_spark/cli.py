@@ -53,8 +53,11 @@ def build_parser() -> argparse.ArgumentParser:
                       help="1:1 re-root outputs into this dir")
     data.add_argument("--file-prefix", default=None)
     data.add_argument("--file-postfix", default=None)
-    data.add_argument("-n", "--rows", type=int, default=20,
-                      help="stdout row budget")
+    data.add_argument("-n", "--rows", default="20",
+                      help="stdout row budget (a number, or 'all' — "
+                           "args.rs n semantics)")
+    data.add_argument("--jsonl", action="store_true",
+                      help="output data as json lines")
     data.add_argument("--hex", action="store_true",
                       help="render binary columns as 0x-hex on stdout")
     data.add_argument("--yes", "-y", action="store_true",
@@ -150,6 +153,38 @@ def confirm_io(pairs: list[tuple[str, str]], yes: bool,
     return reply in ("y", "yes")
 
 
+def _render_hex(df):
+    """0x-hex render of binary columns (output.rs:96-126)."""
+    import pyspark.sql.functions as F
+    for name, t in df.dtypes:
+        if t == "binary":
+            df = df.withColumn(name, F.concat(
+                F.lit("0x"), F.lower(F.hex(F.col(name)))))
+    return df
+
+
+def _print_stdout(out, args) -> None:
+    """PrintToStdout mode (output.rs:27-95): pretty table by default;
+    --csv / --json (array) / --jsonl switch the text format, which always
+    hex-encodes binary columns; -n bounds rows ('all' = everything)."""
+    n = None if str(args.rows).lower() == "all" else int(args.rows)
+    if args.csv or args.json or args.jsonl:
+        limited = _render_hex(out if n is None else out.limit(n))
+        pdf = limited.toPandas()
+        if args.csv:
+            sys.stdout.write(pdf.to_csv(index=False))
+        elif args.jsonl:
+            text = pdf.to_json(orient="records", lines=True)
+            sys.stdout.write(text if text.endswith("\n") or not text
+                             else text + "\n")
+        else:
+            print(pdf.to_json(orient="records"))
+        return
+    if args.hex:
+        out = _render_hex(out)
+    out.show(out.count() if n is None else n, truncate=False)
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
 
@@ -226,16 +261,23 @@ def main(argv: list[str] | None = None) -> int:
             if not confirm_io([(f, args.output) for f in files],
                               args.yes, args.dry_run):
                 return 0 if args.dry_run else 3
-            fmt = "csv" if args.csv else "json" if args.json else "parquet"
-            out.write.mode("overwrite").format(fmt).save(args.output)
+            import os as _os
+            ext = _os.path.splitext(args.output)[1].lower()
+            fmt = ("csv" if args.csv or ext == ".csv"
+                   else "json" if args.json or args.jsonl or ext == ".json"
+                   else "parquet")
+            if ext in (".parquet", ".csv", ".json"):
+                # SaveToSingleFile (output.rs:130-179): one streamed file,
+                # tmp+rename; format from flag or extension
+                from .filejobs import write_single_file, write_single_text
+                if fmt == "parquet":
+                    write_single_file(out, args.output)
+                else:
+                    write_single_text(out, args.output, fmt)
+            else:  # SaveToDirectory: Spark's native partitioned sink
+                out.write.mode("overwrite").format(fmt).save(args.output)
         else:
-            if args.hex:  # 0x-hex rendering of binary columns
-                import pyspark.sql.functions as F
-                for name, t in out.dtypes:
-                    if t == "binary":
-                        out = out.withColumn(name, F.concat(
-                            F.lit("0x"), F.lower(F.hex(F.col(name)))))
-            out.show(args.rows, truncate=False)
+            _print_stdout(out, args)
         return 0
 
     if args.cmd == "python":

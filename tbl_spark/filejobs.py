@@ -76,6 +76,50 @@ def write_single_file(df: DataFrame, dst: str,
     return int(rows[0]["n_rows"])
 
 
+def write_single_text(df: DataFrame, dst: str, fmt: str = "csv") -> int:
+    """Stream `df` into ONE csv or json-lines file, executor-side, atomic
+    — the reference's sink_csv/sink_json single-file semantics
+    (output.rs:151-166). Binary columns are rendered as 0x-hex (the
+    reference hex-encodes binaries for text formats, output.rs:96-126).
+    Returns the row count."""
+    import pyspark.sql.functions as F
+    if fmt not in ("csv", "json"):
+        raise ValueError(f"unsupported text format {fmt!r}")
+    for name, t in df.dtypes:
+        if t == "binary":
+            df = df.withColumn(name, F.concat(
+                F.lit("0x"), F.lower(F.hex(F.col(name)))))
+    stats_ddl = "path string, n_rows bigint"
+
+    def run(batches):
+        os.makedirs(os.path.dirname(dst) or ".", exist_ok=True)
+        tmp = f"{dst}.{uuid.uuid4().hex[:8]}_tmp"
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as f:
+            wrote_header = False
+            for batch in batches:
+                pdf = batch.to_pandas()
+                if fmt == "csv":
+                    pdf.to_csv(f, index=False, header=not wrote_header)
+                    wrote_header = True
+                else:  # json lines (polars sink_json default is NDJSON)
+                    text = pdf.to_json(orient="records", lines=True)
+                    f.write(text)
+                    if text and not text.endswith("\n"):
+                        f.write("\n")
+                n += batch.num_rows
+            if fmt == "csv" and not wrote_header:
+                f.write(",".join(batch_names) + "\n")
+        os.replace(tmp, dst)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([dst]), pa.array([n], type=pa.int64())],
+            names=["path", "n_rows"])
+
+    batch_names = df.columns
+    rows = df.coalesce(1).mapInArrow(run, stats_ddl).collect()
+    return int(rows[0]["n_rows"]) if rows else 0
+
+
 def transform_files(spark: SparkSession, inputs: list[str],
                     spec: TransformSpec, out_spec: OutputPathSpec,
                     compression: str = "zstd") -> list[tuple[str, str]]:

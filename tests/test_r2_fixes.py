@@ -338,3 +338,47 @@ def test_colocated_cutter_handles_empty_batches():
         BLOCK_HELPER: pa.array([], type=pa.int64())})
     assert list(cut_colocated_chunks([empty], 100, False, "tokens")) == []
     assert list(cut_colocated_chunks([], 100, False, "tokens")) == []
+
+
+def test_cli_stdout_csv_and_jsonl(small_parquet, capsys):
+    from tbl_spark.cli import main
+    rc = main(["data", small_parquet, "--select", "x", "b",
+               "--sort", "x", "--csv", "-n", "3"])
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert lines[0] == "x,b"                    # header (CsvWriter default)
+    assert lines[1] == "0,0x00" and len(lines) == 4
+    rc = main(["data", small_parquet, "--select", "x",
+               "--sort", "x", "--jsonl", "-n", "2"])
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert [json.loads(l) for l in lines] == [{"x": 0}, {"x": 1}]
+
+
+def test_cli_stdout_json_array_and_n_all(small_parquet, capsys):
+    from tbl_spark.cli import main
+    rc = main(["data", small_parquet, "--select", "x",
+               "--sort", "x", "--json", "-n", "all"])
+    assert rc == 0
+    arr = json.loads(capsys.readouterr().out)
+    assert [r["x"] for r in arr] == list(range(10))
+
+
+def test_cli_single_file_csv_sink(small_parquet, tmp_path, spark):
+    from tbl_spark.cli import main
+    out = str(tmp_path / "export.csv")
+    rc = main(["data", small_parquet, "--select", "x",
+               "--sort", "x", "--output", out, "--yes"])
+    assert rc == 0 and os.path.isfile(out)      # ONE file, not a directory
+    with open(out) as f:
+        lines = f.read().strip().splitlines()
+    assert lines[0] == "x" and lines[1:] == [str(i) for i in range(10)]
+
+
+def test_cli_single_file_parquet_sink(small_parquet, tmp_path, spark):
+    from tbl_spark.cli import main
+    out = str(tmp_path / "export.parquet")
+    rc = main(["data", small_parquet, "--select", "x", "--output", out,
+               "--yes"])
+    assert rc == 0 and os.path.isfile(out)
+    assert pq.read_table(out).num_rows == 10
