@@ -53,6 +53,19 @@ def build_parser() -> argparse.ArgumentParser:
                       help="1:1 re-root outputs into this dir")
     data.add_argument("--file-prefix", default=None)
     data.add_argument("--file-postfix", default=None)
+    # the reference DECLARES these four flags but its partition mode is an
+    # unimplemented stub (output.rs:180-189, args.rs:385-419); Spark's
+    # partitioned parquet sink is the finished version
+    data.add_argument("--partition", default=None, metavar="COL",
+                      help="partition output over this column")
+    data.add_argument("--partition-by-value", default=None, metavar="W",
+                      help="range width: each partition covers W values "
+                           "of the partition column")
+    data.add_argument("--partition-by-rows", type=int, default=None,
+                      metavar="N", help="max rows per output file")
+    data.add_argument("--partition-by-bytes", default=None, metavar="B",
+                      help="approximate max bytes per output file "
+                           "(sampled row size → max rows)")
     data.add_argument("-n", "--rows", default="20",
                       help="stdout row budget (a number, or 'all' — "
                            "args.rs n semantics)")
@@ -257,6 +270,21 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"{s} -> {d}")
             return 0
         out = apply_transforms(df, spec)
+        if args.partition:
+            if not args.output:
+                print("--partition requires --output DIR", file=sys.stderr)
+                return 1
+            if not confirm_io([(f, args.output) for f in files],
+                              args.yes, args.dry_run):
+                return 0 if args.dry_run else 3
+            from .partitioning import write_partitioned
+            n_files = write_partitioned(
+                out, args.output, args.partition,
+                by_value=args.partition_by_value,
+                by_rows=args.partition_by_rows,
+                by_bytes=args.partition_by_bytes)
+            print(f"{n_files} files -> {args.output}")
+            return 0
         if args.output:
             if not confirm_io([(f, args.output) for f in files],
                               args.yes, args.dry_run):

@@ -48,6 +48,50 @@ def resolve_salt_cols(df: DataFrame,
     return tuple(df.columns)
 
 
+def write_partitioned(df: DataFrame, output_dir: str, partition_col: str,
+                      by_value: str | None = None,
+                      by_rows: int | None = None,
+                      by_bytes: str | None = None) -> int:
+    """The FINISHED version of the reference's partition output mode
+    (declared flags at crates/tbl-cli/src/cli/args.rs:385-419; stub at
+    output.rs:180-189), Spark-first: a Hive-style partitioned parquet
+    sink.
+
+    - by_value=W: numeric range partitioning — each directory covers W
+      values of the column (dir key = floor(col/W)*W).
+    - by_rows=N: at most N rows per output file (maxRecordsPerFile).
+    - by_bytes=B: approximate byte cap — sampled average encoded row size
+      converts B into a maxRecordsPerFile.
+    Returns the number of data files written."""
+    import os
+    pcol = partition_col
+    if by_value is not None:
+        width = float(by_value)
+        bucket = (F.floor(F.col(pcol) / F.lit(width)) * F.lit(width))
+        if width == int(width):
+            bucket = bucket.cast("bigint")
+        df = df.withColumn(f"{pcol}_range", bucket)
+        pcol = f"{pcol}_range"
+    writer = df.write.mode("overwrite").partitionBy(pcol)
+    if by_bytes is not None and by_rows is None:
+        sample = df.limit(2000)
+        import tempfile
+        with tempfile.TemporaryDirectory() as tmp:
+            sample.write.mode("overwrite").parquet(tmp)
+            data = [os.path.join(tmp, f) for f in os.listdir(tmp)
+                    if f.endswith(".parquet")]
+            n_rows = max(1, sample.count())
+            per_row = max(1, sum(os.path.getsize(f) for f in data) // n_rows)
+        by_rows = max(1, int(by_bytes) // per_row)
+    if by_rows is not None:
+        writer = writer.option("maxRecordsPerFile", by_rows)
+    writer.parquet(output_dir)
+    n_files = 0
+    for root, _dirs, names in os.walk(output_dir):
+        n_files += sum(1 for n in names if n.endswith(".parquet"))
+    return n_files
+
+
 def with_part_id(df: DataFrame, num_parts: int,
                  salt_cols: tuple[str, ...] | None = None) -> DataFrame:
     """Deterministic chunk id: pmod(xxhash64(*salt_cols), num_parts).

@@ -382,3 +382,37 @@ def test_cli_single_file_parquet_sink(small_parquet, tmp_path, spark):
                "--yes"])
     assert rc == 0 and os.path.isfile(out)
     assert pq.read_table(out).num_rows == 10
+
+
+# -- partition output mode (reference stub, finished) ---------------------------
+
+def test_cli_partition_by_column(small_parquet, tmp_path, spark):
+    from tbl_spark.cli import main
+    out = str(tmp_path / "parted")
+    rc = main(["data", small_parquet,
+               "--with-columns", "grp:i32:x=1",
+               "--replace", "grp.1=1",  # no-op, keeps chain exercised
+               "--partition", "grp", "--output", out, "--yes"])
+    assert rc == 0
+    assert os.path.isdir(os.path.join(out, "grp=1"))
+    back = spark.read.parquet(out)
+    assert back.count() == 10
+
+
+def test_partition_by_value_and_rows(spark, tmp_path):
+    from tbl_spark.partitioning import write_partitioned
+    df = generate_df(spark, 300, 2).withColumn(
+        "v", F.pmod(F.xxhash64("doc_id"), F.lit(100)).cast("int"))
+    out = str(tmp_path / "ranged")
+    n_files = write_partitioned(df, out, "v", by_value="25", by_rows=40)
+    dirs = {d for d in os.listdir(out) if d.startswith("v_range=")}
+    assert dirs == {"v_range=0", "v_range=25", "v_range=50", "v_range=75"}
+    back = spark.read.parquet(out)
+    assert back.count() == 300
+    # max rows per file respected
+    for root, _d, names in os.walk(out):
+        for name in names:
+            if name.endswith(".parquet"):
+                assert pq.read_metadata(
+                    os.path.join(root, name)).num_rows <= 40
+    assert n_files >= 4
