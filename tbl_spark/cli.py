@@ -73,10 +73,12 @@ def build_parser() -> argparse.ArgumentParser:
                       help="output data as json lines")
     data.add_argument("--hex", action="store_true",
                       help="render binary columns as 0x-hex on stdout")
-    data.add_argument("--yes", "-y", action="store_true",
-                      help="skip the pre-write confirmation prompt")
-    data.add_argument("--dry-run", action="store_true",
-                      help="print the planned IO pairs and exit (no write)")
+    data.add_argument("--yes", "-y", "--confirm", action="store_true",
+                      help="skip the pre-write confirmation prompt "
+                           "(reference spelling: --confirm)")
+    data.add_argument("--dry-run", "--dry", action="store_true",
+                      help="print the planned IO pairs and exit (no "
+                           "write; reference spelling: --dry)")
 
     mg = sub.add_parser("merge", help="concatenate N files into one "
                                       "(strict schema equality)")
@@ -90,14 +92,32 @@ def build_parser() -> argparse.ArgumentParser:
     py.add_argument("paths", nargs="+")
     py.add_argument("--tree", action="store_true")
 
-    ls = sub.add_parser("ls", help="files/rows/bytes from footers only")
+    ls = sub.add_parser("ls", help="list tabular files + rows/bytes "
+                                   "summary (footers only)")
     ls.add_argument("paths", nargs="*", default=None)
     ls.add_argument("--tree", action="store_true")
+    ls.add_argument("--absolute", action="store_true",
+                    help="show absolute paths instead of "
+                         "common-prefix-stripped names")
+    ls.add_argument("-n", type=int, default=None,
+                    help="max file names to print (default 100)")
 
     sc = sub.add_parser("schema", help="per-column disk stats by schema")
     sc.add_argument("paths", nargs="*", default=None)
     sc.add_argument("--tree", action="store_true")
-    sc.add_argument("-n", "--top", type=int, default=None)
+    sc.add_argument("-n", "--top", type=int, default=None,
+                    help="schemas to show (reference default 3)")
+    sc.add_argument("--sort", default="bytes",
+                    choices=["bytes", "rows", "files"])
+    sc.add_argument("--examples", action="store_true",
+                    help="show example file paths per schema")
+    sc.add_argument("--absolute", action="store_true")
+
+    scs = sub.add_parser("schemas", help="single summary of all schemas")
+    scs.add_argument("paths", nargs="*", default=None)
+    scs.add_argument("--tree", action="store_true")
+    scs.add_argument("--sort", default="bytes",
+                     choices=["bytes", "rows", "files"])
 
     enc = sub.add_parser("encode", help="columnar-encode into a chunk store")
     enc.add_argument("paths", nargs="+")
@@ -202,19 +222,48 @@ def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
 
     if args.cmd == "ls":
+        from .inspect import display_paths, format_bytes
         from .inspect import ls as do_ls
         info = do_ls(args.paths or None, args.tree)
-        print(f"{info['files']} files, {info['rows']:,} rows, "
-              f"{info['bytes']:,} bytes")
+        if not info["paths"]:
+            print("[no tabular paths]")
+            return 0
+        shown = display_paths(info["paths"], args.absolute)
+        n_print = args.n if args.n is not None else 100
+        for p in shown[:n_print]:
+            print(p)
+        if n_print < len(shown):
+            print(f"... {len(shown) - n_print:,} files not shown")
+        print(f"{info['rows']:,} rows stored in "
+              f"{format_bytes(info['bytes'])} across "
+              f"{info['files']:,} tabular files")
         return 0
 
     if args.cmd == "schema":
         from .inspect import schema_summary
-        for g in schema_summary(args.paths or None, args.tree, args.top):
+        groups = schema_summary(args.paths or None, args.tree, args.top,
+                                sort_by=args.sort, examples=args.examples,
+                                absolute=args.absolute)
+        for g in groups:
             print(f"# {g['files']} files, {g['rows']:,} rows")
+            if args.examples and g["example_paths"]:
+                for p in g["example_paths"]:
+                    print(f"  example: {p}")
             for name, c in g["columns"].items():
                 print(f"  {name:24s} {c['disk_bytes']:>14,} disk  "
                       f"{c['full_bytes']:>14,} full  {c['disk_pct']:6.2f}%")
+        return 0
+
+    if args.cmd == "schemas":
+        # hidden reference subcommand (args.rs:87-88): one combined
+        # summary line per schema group across all inputs
+        from .inspect import format_bytes, schema_summary
+        groups = schema_summary(args.paths or None, args.tree,
+                                sort_by=args.sort)
+        for g in groups:
+            cols = ", ".join(n for n, _t in g["schema"])
+            print(f"{g['files']:>6} files  {g['rows']:>12,} rows  "
+                  f"{format_bytes(g['disk_bytes']):>12}  ({cols})")
         return 0
 
     if args.cmd == "compact":

@@ -32,6 +32,25 @@ def discover(paths: list[str] | None, tree: bool = False) -> list[str]:
     return sorted(out)
 
 
+def format_bytes(n: int) -> str:
+    """Human bytes exactly like the reference (formats.rs:4-15)."""
+    units = ["B", "KB", "MB", "GB", "TB", "PB", "EB"]
+    size, unit = float(n), 0
+    while size >= 1024.0 and unit < len(units) - 1:
+        size /= 1024.0
+        unit += 1
+    return f"{size:.2f} {units[unit]}"
+
+
+def display_paths(files: list[str], absolute: bool = False) -> list[str]:
+    """Common-prefix-stripped names unless absolute (ls.rs:27-37)."""
+    if absolute or len(files) <= 1:
+        return list(files)
+    common = os.path.commonpath([os.path.dirname(os.path.abspath(f))
+                                 for f in files])
+    return [os.path.relpath(os.path.abspath(f), common) for f in files]
+
+
 def ls(paths: list[str] | None = None, tree: bool = False) -> dict:
     """files / rows / bytes one-liner (ls.rs:87-96) from footers only."""
     files = discover(paths, tree)
@@ -44,21 +63,30 @@ def ls(paths: list[str] | None = None, tree: bool = False) -> dict:
 
 
 def schema_summary(paths: list[str] | None = None, tree: bool = False,
-                   top_n: int | None = None) -> list[dict]:
+                   top_n: int | None = None, sort_by: str = "bytes",
+                   examples: bool = False,
+                   absolute: bool = False) -> list[dict]:
     """Per-schema-group, per-column compressed/uncompressed bytes + disk %
-    (schema.rs:104-118,227-290; parquet_summary.rs:122-236)."""
+    (schema.rs:104-118,227-290; parquet_summary.rs:122-236). sort_by ∈
+    {bytes, rows, files} (default bytes, args.rs); examples attaches up
+    to 3 example file paths per schema group (schema.rs:35-46)."""
+    if sort_by not in ("bytes", "rows", "files"):
+        raise ValueError("must sort by rows, bytes, or files")
     files = discover(paths, tree)
+    names = display_paths(files, absolute)
     groups: dict[str, dict] = {}
-    for f in files:
+    for f, shown in zip(files, names):
         md = pq.read_metadata(f)
         schema = md.schema.to_arrow_schema()
         key = str(schema)
         g = groups.setdefault(key, {
             "schema": [(n, str(schema.field(n).type)) for n in schema.names],
-            "files": 0, "rows": 0,
+            "files": 0, "rows": 0, "example_paths": [],
             "columns": defaultdict(lambda: [0, 0])})
         g["files"] += 1
         g["rows"] += md.num_rows
+        if examples and len(g["example_paths"]) < 3:
+            g["example_paths"].append(shown)
         for rg in range(md.num_row_groups):
             row_group = md.row_group(rg)
             for ci in range(row_group.num_columns):
@@ -71,12 +99,17 @@ def schema_summary(paths: list[str] | None = None, tree: bool = False,
         total_disk = sum(v[0] for v in g["columns"].values()) or 1
         out.append({
             "schema": g["schema"], "files": g["files"], "rows": g["rows"],
+            "disk_bytes": sum(v[0] for v in g["columns"].values()),
+            "example_paths": g["example_paths"] if examples else None,
             "columns": {
                 name: {"disk_bytes": v[0], "full_bytes": v[1],
                        "disk_pct": 100.0 * v[0] / total_disk}
                 for name, v in sorted(g["columns"].items())},
         })
-    out.sort(key=lambda g: g["rows"], reverse=True)
+    sort_key = {"rows": lambda g: g["rows"],
+                "files": lambda g: g["files"],
+                "bytes": lambda g: g["disk_bytes"]}[sort_by]
+    out.sort(key=sort_key, reverse=True)
     return out[:top_n] if top_n else out
 
 

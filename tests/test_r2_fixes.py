@@ -416,3 +416,40 @@ def test_partition_by_value_and_rows(spark, tmp_path):
                 assert pq.read_metadata(
                     os.path.join(root, name)).num_rows <= 40
     assert n_files >= 4
+
+
+# -- inspect display parity (ls listing, schema sort/examples, schemas) --------
+
+def test_cli_ls_listing_and_summary(sf_dir, capsys):
+    from tbl_spark.cli import main
+    assert main(["ls", sf_dir, "-n", "2"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert out[0].endswith(".parquet") and out[1].endswith(".parquet")
+    assert "files not shown" in out[2]
+    assert "rows stored in" in out[-1] and "tabular files" in out[-1]
+
+
+def test_cli_schema_sort_and_examples(sf_dir, capsys):
+    from tbl_spark.cli import main
+    assert main(["schema", sf_dir, "--sort", "rows", "-n", "1",
+                 "--examples"]) == 0
+    out = capsys.readouterr().out
+    assert "example:" in out
+    assert "6,000 rows" in out          # lineitem is the biggest by rows
+
+
+def test_cli_schemas_summary(sf_dir, capsys):
+    from tbl_spark.cli import main
+    assert main(["schemas", sf_dir]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 10             # one line per distinct schema
+    assert all("rows" in l for l in lines)
+
+
+def test_format_bytes_matches_reference():
+    from tbl_spark.inspect import format_bytes
+    assert format_bytes(0) == "0.00 B"
+    assert format_bytes(1023) == "1023.00 B"
+    assert format_bytes(1024) == "1.00 KB"
+    assert format_bytes(1536) == "1.50 KB"
+    assert format_bytes(1024 ** 3 * 5) == "5.00 GB"
