@@ -71,6 +71,12 @@ def build_parser() -> argparse.ArgumentParser:
                            "args.rs n semantics)")
     data.add_argument("--jsonl", action="store_true",
                       help="output data as json lines")
+    data.add_argument("--df", action="store_true",
+                      help="interactive python with the TRANSFORMED "
+                           "DataFrame loaded (InteractiveDf mode)")
+    data.add_argument("--lf", action="store_true",
+                      help="alias of --df (Spark DataFrames are lazy — "
+                           "the reference's lf/df distinction collapses)")
     data.add_argument("--hex", action="store_true",
                       help="render binary columns as 0x-hex on stdout")
     data.add_argument("--yes", "-y", "--confirm", action="store_true",
@@ -319,6 +325,15 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"{s} -> {d}")
             return 0
         out = apply_transforms(df, spec)
+        if args.df or args.lf:
+            # InteractiveDf/Lf (data.rs:44-45): hand off with the
+            # transformed relation, not the raw scan
+            import code
+            code.interact(
+                banner=f"tbl-spark interactive: `spark` and `df` "
+                       f"(transformed, {len(files)} files) are defined",
+                local={"spark": spark, "df": out})
+            return 0
         if args.partition:
             if not args.output:
                 print("--partition requires --output DIR", file=sys.stderr)

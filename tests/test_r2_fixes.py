@@ -453,3 +453,16 @@ def test_format_bytes_matches_reference():
     assert format_bytes(1024) == "1.00 KB"
     assert format_bytes(1536) == "1.50 KB"
     assert format_bytes(1024 ** 3 * 5) == "5.00 GB"
+
+
+def test_cli_data_df_interactive_gets_transformed_frame(small_parquet,
+                                                        monkeypatch):
+    import code
+    from tbl_spark.cli import main
+    captured = {}
+    monkeypatch.setattr(
+        code, "interact",
+        lambda banner=None, local=None: captured.update(local or {}))
+    rc = main(["data", small_parquet, "--filter", "x>=5", "--df"])
+    assert rc == 0
+    assert captured["df"].count() == 5      # transforms applied pre-handoff
