@@ -221,10 +221,24 @@ def _print_stdout(out, args) -> None:
         return
     if args.hex:
         out = _render_hex(out)
-    out.show(out.count() if n is None else n, truncate=False)
+    total = out.count()
+    shown = total if n is None else min(n, total)
+    out.show(shown, truncate=False)
+    if shown < total:  # output.rs:63-70
+        print(f"{total - shown} rows omitted, use -n all to show all rows")
+
+
+_SUBCOMMANDS = {"data", "merge", "python", "ls", "schema", "schemas",
+                "encode", "decode", "stats", "compact", "verify"}
 
 
 def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    # data is the reference's DEFAULT subcommand (args.rs:90-92):
+    # `tbl PATHS [transforms]` works without naming it
+    if argv and argv[0] not in _SUBCOMMANDS \
+            and not argv[0].startswith("-"):
+        argv = ["data"] + argv
     args = build_parser().parse_args(argv)
 
     if args.cmd == "ls":

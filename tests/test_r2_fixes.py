@@ -466,3 +466,21 @@ def test_cli_data_df_interactive_gets_transformed_frame(small_parquet,
     rc = main(["data", small_parquet, "--filter", "x>=5", "--df"])
     assert rc == 0
     assert captured["df"].count() == 5      # transforms applied pre-handoff
+
+
+def test_cli_data_is_default_subcommand(small_parquet, capsys):
+    """`tbl PATHS [transforms]` without naming `data` (args.rs:90-92)."""
+    from tbl_spark.cli import main
+    rc = main([small_parquet, "--select", "x", "--sort", "x",
+               "--csv", "-n", "2"])
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert lines[0] == "x" and lines[1] == "0"
+
+
+def test_cli_rows_omitted_hint(small_parquet, capsys):
+    from tbl_spark.cli import main
+    rc = main(["data", small_parquet, "-n", "4"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "6 rows omitted, use -n all to show all rows" in out
