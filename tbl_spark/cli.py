@@ -118,6 +118,8 @@ def build_parser() -> argparse.ArgumentParser:
     sc.add_argument("--examples", action="store_true",
                     help="show example file paths per schema")
     sc.add_argument("--absolute", action="store_true")
+    sc.add_argument("--columns", nargs="*", default=None,
+                    help="only show these columns (SchemaArgs.columns)")
 
     scs = sub.add_parser("schemas", help="single summary of all schemas")
     scs.add_argument("paths", nargs="*", default=None)
@@ -270,6 +272,8 @@ def main(argv: list[str] | None = None) -> int:
                 for p in g["example_paths"]:
                     print(f"  example: {p}")
             for name, c in g["columns"].items():
+                if args.columns and name not in args.columns:
+                    continue
                 print(f"  {name:24s} {c['disk_bytes']:>14,} disk  "
                       f"{c['full_bytes']:>14,} full  {c['disk_pct']:6.2f}%")
         return 0

@@ -484,3 +484,9 @@ def test_cli_rows_omitted_hint(small_parquet, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "6 rows omitted, use -n all to show all rows" in out
+
+
+def test_cli_ls_empty_dir(tmp_path, capsys):
+    from tbl_spark.cli import main
+    assert main(["ls", str(tmp_path)]) == 0
+    assert "[no tabular paths]" in capsys.readouterr().out
