@@ -55,13 +55,25 @@ def decode_table(chunk_tbl: pa.Table,
     return pa.Table.from_arrays(cols, names=column_order)
 
 
-def decode_chunks_colocated(chunk_df: DataFrame, output_ddl: str) -> DataFrame:
+def decode_chunks_colocated(chunk_df: DataFrame, output_ddl: str,
+                            target_partitions: int | None = None
+                            ) -> DataFrame:
     """Zero-shuffle decode for chunk stores: when every input file holds
     exactly one part's rows (ChunkStore's layout), rows of a part are
     contiguous within each scan partition, so the decode streams with
     mapInArrow — no Exchange in the plan. Falls back to nothing: callers
-    with arbitrarily-ordered chunk rows must use decode_chunks()."""
+    with arbitrarily-ordered chunk rows must use decode_chunks().
+
+    `target_partitions` coalesces first (no shuffle; concatenation keeps
+    every part contiguous, since a part never spans two input
+    partitions). Many tiny chunk partitions each pay a python-worker
+    round trip — coalescing to ~cores cut a 128-partition decode from
+    1.96 s to 0.47 s. Only set it when the upstream is a cheap scan or
+    cache: coalesce also narrows the parallelism of whatever computes
+    the chunks (e.g. an in-flight encode stage)."""
     from pyspark.sql.types import StructType
+    if target_partitions is not None:
+        chunk_df = chunk_df.coalesce(target_partitions)
     schema = StructType.fromDDL(output_ddl) if isinstance(output_ddl, str) \
         else output_ddl
     column_order = [f.name for f in schema.fields]

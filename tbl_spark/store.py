@@ -474,4 +474,12 @@ def decode_from_store(store: ChunkStore, spark: SparkSession,
         output_ddl = ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in full.fields
             if f.name in columns)
-    return decode_chunks_colocated(chunks, output_ddl)
+    # upstream is a pure file scan, so coalescing tiny per-chunk scan
+    # partitions down to the session's parallelism is free (see
+    # decode_chunks_colocated) — one python-worker round trip per core
+    # instead of one per chunk file
+    cores = spark.sparkContext.defaultParallelism
+    n_parts = chunks.rdd.getNumPartitions()
+    target = cores if n_parts > 2 * cores else None
+    return decode_chunks_colocated(chunks, output_ddl,
+                                   target_partitions=target)
