@@ -29,6 +29,9 @@ def arrow_type_of_ddl(ddl: str) -> pa.DataType:
     ddl = ddl.strip().lower()
     if ddl.startswith("array<") and ddl.endswith(">"):
         return pa.list_(arrow_type_of_ddl(ddl[6:-1]))
+    if ddl.startswith("decimal(") and ddl.endswith(")"):
+        precision, scale = (int(x) for x in ddl[8:-1].split(","))
+        return pa.decimal128(precision, scale)
     if ddl in _SCALAR_DDL_TO_ARROW:
         return _SCALAR_DDL_TO_ARROW[ddl]
     raise ValueError(f"unsupported type for codec pipeline: {ddl}")

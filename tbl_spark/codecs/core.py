@@ -322,6 +322,49 @@ def _decode_string(blob: bytes) -> tuple[pa.Array, np.ndarray | None]:
 # lists (tokens: array<int32>, embeddings: array<float>)
 # --------------------------------------------------------------------------
 
+def _encode_decimal128(arr: pa.Array, try_zstd: bool,
+                       cache_key: str | None = None) -> bytes:
+    """decimal128(p, s) — e.g. the u64-widening target decimal(20,0) —
+    stored as two independently auto-encoded uint64 word planes of the
+    little-endian two's-complement 128-bit values (bit-exact for the
+    full range, negatives included). Payload = [precision, scale] +
+    framed(lo_blob, hi_blob)."""
+    import struct
+    t = arr.type
+    valid = None
+    if arr.null_count:
+        valid = np.asarray(arr.is_valid())
+        arr = pc.fill_null(arr, pa.scalar(0, type=t))
+    buf = arr.buffers()[1]
+    raw = np.frombuffer(buf, dtype=np.uint64,
+                        offset=arr.offset * 16, count=2 * len(arr))
+    lo, hi = raw[0::2].copy(), raw[1::2].copy()
+    lo_blob = encode_array(lo, try_zstd=try_zstd,
+                           cache_key=f"{cache_key}.lo" if cache_key else None)
+    hi_blob = encode_array(hi, try_zstd=try_zstd,
+                           cache_key=f"{cache_key}.hi" if cache_key else None)
+    payload = struct.pack("<BB", t.precision, t.scale) \
+        + frame(lo_blob, hi_blob)
+    return assemble(Codec.DEC128, DType.DEC128, len(arr), payload,
+                    valid=valid, try_zstd=False)
+
+
+def _decode_decimal128(blob: bytes) -> tuple[pa.Array, np.ndarray | None]:
+    import struct
+    _codec, _dtype, n, valid, payload = disassemble(blob)
+    precision, scale = struct.unpack_from("<BB", payload)
+    lo_blob, hi_blob = unframe(payload[2:], 2)
+    lo, _ = decode_array(lo_blob)
+    hi, _ = decode_array(hi_blob)
+    raw = np.empty(2 * n, dtype=np.uint64)
+    raw[0::2] = lo
+    raw[1::2] = hi
+    arr = pa.Array.from_buffers(
+        pa.decimal128(precision, scale), n,
+        [None, pa.py_buffer(raw.tobytes())])
+    return arr, valid
+
+
 def _primitive_np(values: pa.Array) -> np.ndarray:
     """Zero-copy numpy view of a no-null primitive arrow array.
 
@@ -391,9 +434,10 @@ def encode_array(values, valid: np.ndarray | None = None,
                 or pa.types.is_binary(t) or pa.types.is_large_binary(t)
                 or pa.types.is_list(t) or pa.types.is_large_list(t)
                 or pa.types.is_integer(t) or pa.types.is_floating(t)
-                or pa.types.is_boolean(t)):
-            # decimal128 / struct / map etc. would round-trip through numpy
-            # object dtype back into the same arrow type → infinite
+                or pa.types.is_boolean(t)
+                or (pa.types.is_decimal(t) and t.bit_width == 128)):
+            # struct / map / decimal256 etc. would round-trip through
+            # numpy object dtype back into the same arrow type → infinite
             # recursion. Fail like arrow_type_of_ddl does on decode.
             raise ValueError(f"unsupported type for codec pipeline: {t}")
         if pa.types.is_string(t) or pa.types.is_large_string(t):
@@ -404,6 +448,8 @@ def encode_array(values, valid: np.ndarray | None = None,
                                   cache_key=cache_key)
         if pa.types.is_list(t) or pa.types.is_large_list(t):
             return _encode_list(values, codec, try_zstd, cache_key=cache_key)
+        if pa.types.is_decimal(t):
+            return _encode_decimal128(values, try_zstd, cache_key=cache_key)
         if values.null_count:
             valid = np.asarray(values.is_valid()) if valid is None else valid
             values = pc.fill_null(values, values.drop_null()[0]
@@ -516,6 +562,8 @@ def decode_array(blob: bytes):
         return _decode_string(blob)
     if dtype_code == DType.LIST:
         return _decode_list(blob)
+    if dtype_code == DType.DEC128:
+        return _decode_decimal128(blob)
     work = _decode_int_blob(blob)
     logical = NUMPY_OF_DTYPE[dtype_code]
     if logical in _WORK_VIEW:

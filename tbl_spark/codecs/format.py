@@ -52,6 +52,7 @@ class Codec(enum.IntEnum):
     LIST = 9
     BYTE_PLANES = 10
     RANS = 11
+    DEC128 = 12  # decimal128 as two auto-encoded uint64 word planes
 
 
 class DType(enum.IntEnum):
@@ -69,6 +70,7 @@ class DType(enum.IntEnum):
     STR = 12
     BINARY = 13
     LIST = 14  # generic list; child dtype self-described by nested blob
+    DEC128 = 15  # decimal128(precision, scale) — stored in the payload
 
 
 NUMPY_OF_DTYPE = {

@@ -490,3 +490,37 @@ def test_cli_ls_empty_dir(tmp_path, capsys):
     from tbl_spark.cli import main
     assert main(["ls", str(tmp_path)]) == 0
     assert "[no tabular paths]" in capsys.readouterr().out
+
+
+# -- decimal128 codec (the u64-widening target type) ----------------------------
+
+def test_decimal128_codec_roundtrip():
+    import decimal
+    from tbl_spark.codecs import decode_array, encode_array
+    vals = [0, 1, -1, 2**64, -(2**70), 2**64 - 1, None,
+            12345678901234567890]
+    arr = pa.array([decimal.Decimal(v) if v is not None else None
+                    for v in vals], type=pa.decimal128(38, 0))
+    out, valid = decode_array(encode_array(arr))
+    assert out.type == arr.type
+    assert list(valid) == [v is not None for v in vals]
+    got = out.to_pylist()
+    for i, v in enumerate(vals):
+        if v is not None:
+            assert got[i] == decimal.Decimal(v)
+
+
+def test_u64_cast_column_roundtrips_through_store(spark, tmp_path):
+    """cast COL=u64 widens to decimal(20,0) (transforms.py) — that column
+    must now survive encode->decode bit-exactly instead of erroring."""
+    from tbl_spark.decode import decode_chunks
+    from tbl_spark.encode import encode_chunks
+    from tbl_spark.transforms import TransformSpec, apply_transforms
+    df = generate_df(spark, 300, 2)
+    wide = apply_transforms(df, TransformSpec(cast=["n_tok=u64"]))
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                    for f in wide.schema.fields)
+    decoded = decode_chunks(encode_chunks(wide, 4), ddl)
+    n = (decoded.alias("b").join(wide.alias("a"), "doc_id")
+         .filter(F.col("a.n_tok") == F.col("b.n_tok")).count())
+    assert n == 300
