@@ -124,3 +124,20 @@ def test_colocated_cutter_partitions_stream_exactly(batch_rows, budget):
         pids.append(pid)
     assert out_ids == list(range(next_id))
     assert len(pids) == len(set(pids))
+
+
+@given(st.lists(st.one_of(
+    st.none(), st.integers(-(2**95), 2**95 - 1)), max_size=80))
+@settings(max_examples=60, deadline=None)
+def test_decimal128_roundtrip_property(ints):
+    import decimal
+    arr = pa.array([decimal.Decimal(v) if v is not None else None
+                    for v in ints], type=pa.decimal128(38, 0))
+    from tbl_spark.codecs import decode_array, encode_array
+    out, valid = decode_array(encode_array(arr))
+    got = out.to_pylist()
+    for i, v in enumerate(ints):
+        if v is None:
+            assert valid is not None and not valid[i]
+        else:
+            assert got[i] == decimal.Decimal(v)
