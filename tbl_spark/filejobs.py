@@ -117,7 +117,15 @@ def write_single_text(df: DataFrame, dst: str, fmt: str = "csv") -> int:
 
     batch_names = df.columns
     rows = df.coalesce(1).mapInArrow(run, stats_ddl).collect()
-    return int(rows[0]["n_rows"]) if rows else 0
+    if not rows:  # zero-partition plan: still emit a valid (header) file
+        os.makedirs(os.path.dirname(dst) or ".", exist_ok=True)
+        tmp = f"{dst}.{uuid.uuid4().hex[:8]}_tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            if fmt == "csv":
+                f.write(",".join(batch_names) + "\n")
+        os.replace(tmp, dst)
+        return 0
+    return int(rows[0]["n_rows"])
 
 
 def transform_files(spark: SparkSession, inputs: list[str],

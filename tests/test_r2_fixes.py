@@ -87,10 +87,16 @@ def test_moved_store_resolves_wave_files(spark, tmp_path):
 # -- ADVICE: codec whitelist (no infinite recursion) --------------------------
 
 def test_unsupported_arrow_type_raises():
+    """Genuinely unsupported types (struct, map, decimal256) fail fast
+    instead of recursing (decimal128 became supported in r2)."""
     from tbl_spark.codecs import encode_array
-    arr = pa.array([1, 2, 3], type=pa.decimal128(20, 0))
+    arr = pa.array([{"a": 1}, {"a": 2}],
+                   type=pa.struct([("a", pa.int32())]))
     with pytest.raises(ValueError, match="unsupported"):
         encode_array(arr)
+    big = pa.array([1, 2], type=pa.decimal256(50, 0))
+    with pytest.raises(ValueError, match="unsupported"):
+        encode_array(big)
 
 
 # -- ADVICE: reference with_columns form --------------------------------------
