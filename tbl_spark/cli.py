@@ -223,11 +223,17 @@ def _print_stdout(out, args) -> None:
         return
     if args.hex:
         out = _render_hex(out)
-    total = out.count()
-    shown = total if n is None else min(n, total)
-    out.show(shown, truncate=False)
-    if shown < total:  # output.rs:63-70
-        print(f"{total - shown} rows omitted, use -n all to show all rows")
+    if n is None:  # -n all: the user asked for everything
+        out.show(out.count(), truncate=False)
+        return
+    # single pass: fetch n+1 rows once, pretty-print the local slice
+    # (show() on a local relation re-executes nothing), hint if more
+    # exist (output.rs:63-70) without a second full-plan run
+    rows = out.limit(n + 1).collect()
+    spark = out.sparkSession
+    spark.createDataFrame(rows[:n], out.schema).show(n, truncate=False)
+    if len(rows) > n:
+        print("more rows omitted, use -n all to show all rows")
 
 
 _SUBCOMMANDS = {"data", "merge", "python", "ls", "schema", "schemas",
@@ -374,9 +380,10 @@ def main(argv: list[str] | None = None) -> int:
             import os as _os
             ext = _os.path.splitext(args.output)[1].lower()
             fmt = ("csv" if args.csv or ext == ".csv"
-                   else "json" if args.json or args.jsonl or ext == ".json"
+                   else "json" if args.json or args.jsonl
+                   or ext in (".json", ".jsonl")
                    else "parquet")
-            if ext in (".parquet", ".csv", ".json"):
+            if ext in (".parquet", ".csv", ".json", ".jsonl"):
                 # SaveToSingleFile (output.rs:130-179): one streamed file,
                 # tmp+rename; format from flag or extension
                 from .filejobs import write_single_file, write_single_text

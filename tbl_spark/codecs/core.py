@@ -343,8 +343,8 @@ def _encode_decimal128(arr: pa.Array, try_zstd: bool,
                            cache_key=f"{cache_key}.lo" if cache_key else None)
     hi_blob = encode_array(hi, try_zstd=try_zstd,
                            cache_key=f"{cache_key}.hi" if cache_key else None)
-    payload = struct.pack("<BB", t.precision, t.scale) \
-        + frame(lo_blob, hi_blob)
+    payload = struct.pack("<Bb", t.precision, t.scale) \
+        + frame(lo_blob, hi_blob)  # scale is SIGNED in arrow
     return assemble(Codec.DEC128, DType.DEC128, len(arr), payload,
                     valid=valid, try_zstd=False)
 
@@ -352,7 +352,7 @@ def _encode_decimal128(arr: pa.Array, try_zstd: bool,
 def _decode_decimal128(blob: bytes) -> tuple[pa.Array, np.ndarray | None]:
     import struct
     _codec, _dtype, n, valid, payload = disassemble(blob)
-    precision, scale = struct.unpack_from("<BB", payload)
+    precision, scale = struct.unpack_from("<Bb", payload)
     lo_blob, hi_blob = unframe(payload[2:], 2)
     lo, _ = decode_array(lo_blob)
     hi, _ = decode_array(hi_blob)

@@ -131,17 +131,6 @@ def _shingles_of_words(words_col: str, n: int):
         f"i -> concat_ws(' ', slice({words_col}, i, {n})))")
 
 
-def _word_shingles(text_col: str, n: int = 5):
-    """Back-compat helper: shingles expr + words expr (prefer binding
-    words to a column and using _shingles_of_words — see its docstring)."""
-    words = F.split(F.col(text_col), r"\s+")
-    return F.expr(
-        f"transform(sequence(1, greatest(1, size(split({text_col}, "
-        f"'\\\\s+')) - {n - 1})), "
-        f"i -> concat_ws(' ', slice(split({text_col}, '\\\\s+'), i, {n})))"
-    ), words
-
-
 def minhash_signature(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", k: int = 32,
                       shingle_n: int = 5) -> DataFrame:
@@ -270,9 +259,15 @@ def simhash_values(df: DataFrame, text_col: str = "text",
 def with_simhash(df: DataFrame, text_col: str = "text",
                  nbits: int = 64, hash_fn: str = "xxhash64",
                  id_col: str = "doc_id") -> DataFrame:
-    """df + simhash column (computed via simhash_values, joined by id)."""
-    return df.join(simhash_values(df, text_col, id_col, nbits, hash_fn),
-                   id_col)
+    """df + simhash column (computed via simhash_values, joined by id).
+
+    Pure column-adding contract: every input row survives (left join;
+    rows whose text explodes to nothing — NULL/empty — get simhash 0,
+    matching the r1 inline-expression behavior). Requires unique ids."""
+    vals = simhash_values(df, text_col, id_col, nbits, hash_fn)
+    return (df.join(vals, id_col, "left")
+            .withColumn("simhash", F.coalesce(F.col("simhash"),
+                                              F.lit(0).cast("bigint"))))
 
 
 def simhash_dedup(df: DataFrame, text_col: str = "text",

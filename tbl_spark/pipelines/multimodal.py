@@ -91,8 +91,10 @@ def extract_features(df: DataFrame, dim: int = 16,
             widths = batch.column("width").to_numpy(zero_copy_only=False)
             heights = batch.column("height").to_numpy(zero_copy_only=False)
             payloads = batch.column("payload").to_pylist()
-            feats = np.empty((len(ids), dim), dtype=np.float32)
+            feats = np.zeros((len(ids), dim), dtype=np.float32)
             for i in range(len(ids)):
+                if payloads[i] is None:  # NULL payload → zero vector
+                    continue
                 px = decode_image(payloads[i], int(widths[i]),
                                   int(heights[i]), fake_decode=fake_decode)
                 pooled = px.reshape(-1, 3).mean(axis=0)
@@ -128,6 +130,8 @@ def payload_digest_features(df: DataFrame, dim: int = 16) -> DataFrame:
             n = len(ids)
             feats = np.zeros((n, dim), dtype=np.float64)
             for i, p in enumerate(payloads):
+                if p is None:  # NULL payload → zero vector, not a crash
+                    continue
                 b = np.frombuffer(p[:dim], dtype=np.uint8)
                 feats[i, :len(b)] = b / 255.0
             yield pa.RecordBatch.from_arrays(

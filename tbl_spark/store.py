@@ -80,23 +80,31 @@ class ChunkStore:
             json.dump(meta, f)
         os.replace(tmp, self.meta_path)
 
-    def check_or_init_meta(self, num_parts: int, salt_cols: tuple[str, ...],
-                           schema_ddl: str) -> None:
-        meta = self.read_meta()
-        if meta is None:
-            self.write_meta({"num_parts": num_parts,
-                             "salt_cols": list(salt_cols),
-                             "schema_ddl": schema_ddl})
+    def check_or_init_meta(self, meta: dict) -> None:
+        """Pin the store's chunk-assignment contract on first encode;
+        fail fast if ANY pinned key differs on a later run (each key is
+        something that changes chunk membership — resuming with it
+        altered would silently drop or duplicate rows)."""
+        existing = self.read_meta()
+        if existing is None:
+            self.write_meta(meta)
             return
-        for key, val in (("num_parts", num_parts),
-                         ("salt_cols", list(salt_cols)),
-                         ("schema_ddl", schema_ddl)):
-            if meta.get(key) != val:
+        if "mode" not in existing:  # pre-r2 store.json → salted encode
+            existing = {"mode": "salted", **existing}
+        if existing.get("mode") != meta.get("mode"):
+            raise ValueError(
+                f"store {self.root} was created by a "
+                f"{existing.get('mode')!r}-mode encode; this run uses "
+                f"{meta.get('mode')!r} — the two assign chunks "
+                f"differently. Use a new store.")
+        for key in sorted(set(meta) | set(existing)):
+            if existing.get(key) != meta.get(key):
                 raise ValueError(
                     f"store {self.root} was created with "
-                    f"{key}={meta.get(key)!r}; this run would use {val!r} — "
-                    f"resuming would silently misassign rows. Use a new "
-                    f"store or pass the original parameters.")
+                    f"{key}={existing.get(key)!r}; this run would use "
+                    f"{meta.get(key)!r} — resuming would silently "
+                    f"misassign rows. Use a new store or rerun with the "
+                    f"original parameters/configuration.")
 
     # -- snapshot log (run-level lineage, Iceberg-snapshot analog) ----------
 
@@ -285,7 +293,9 @@ def encode_to_store(df: DataFrame, store: ChunkStore, num_parts: int,
     salt_cols = resolve_salt_cols(df, salt_cols)
     schema_ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
                            for f in df.schema.fields)
-    store.check_or_init_meta(num_parts, salt_cols, schema_ddl)
+    store.check_or_init_meta({"mode": "salted", "num_parts": num_parts,
+                              "salt_cols": list(salt_cols),
+                              "schema_ddl": schema_ddl})
     df = with_part_id(df, num_parts, salt_cols)
     committed = store.committed_parts() if resume else set()
     pending_df = df
@@ -363,9 +373,18 @@ def encode_to_store_colocated(df: DataFrame, store: ChunkStore,
                               token_col: str = "tokens") -> dict:
     """ZERO-shuffle resumable encode: chunks are cut inside each scan task
     (encode.cut_colocated_chunks — no Exchange), committed with the same
-    atomic protocol, and a rerun skips chunks whose commit marker already
-    exists (the part id is deterministic for a fixed file set and split
-    config, both pinned in store.json)."""
+    atomic protocol, and a rerun skips already-committed chunk ids.
+
+    Chunk membership depends on the input FILE SET and on Spark's split
+    and Arrow-batch planning, so store.json pins all of them — the
+    sorted-input-files digest, maxPartitionBytes, openCostInBytes,
+    maxRecordsPerBatch, and defaultParallelism — and any mismatch on a
+    resume fails fast instead of silently dropping/duplicating the rows
+    whose chunk boundaries moved. (In-memory sources have no file list;
+    their pinning is correspondingly weaker and resume relies on the
+    stable task partition ids within one configuration.)"""
+    import hashlib
+
     import pyspark.sql.functions as F
     from .encode import (BLOCK_HELPER, FILE_HELPER, cut_colocated_chunks,
                          encode_table)
@@ -376,8 +395,23 @@ def encode_to_store_colocated(df: DataFrame, store: ChunkStore,
     store.init_dirs()
     schema_ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
                            for f in df.schema.fields)
-    store.check_or_init_meta(tokens_per_chunk, ("__colocated__",),
-                             schema_ddl)
+    spark = df.sparkSession
+    files_digest = hashlib.blake2b(
+        "\n".join(sorted(df.inputFiles())).encode(),
+        digest_size=8).hexdigest()
+    store.check_or_init_meta({
+        "mode": "colocated",
+        "tokens_per_chunk": tokens_per_chunk,
+        "schema_ddl": schema_ddl,
+        "input_files_digest": files_digest,
+        "max_partition_bytes":
+            spark.conf.get("spark.sql.files.maxPartitionBytes"),
+        "open_cost_bytes":
+            spark.conf.get("spark.sql.files.openCostInBytes"),
+        "arrow_batch_rows":
+            spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch"),
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+    })
     spark_types = {f.name: f.dataType.simpleString()
                    for f in df.schema.fields}
     has_tok = any(f.name == token_col and
@@ -386,7 +420,9 @@ def encode_to_store_colocated(df: DataFrame, store: ChunkStore,
     src = df.select("*", F.input_file_name().alias(FILE_HELPER),
                     F.input_file_block_start().alias(BLOCK_HELPER))
     store_root = store.root
-    committed_before = len(store.committed_parts()) if resume else 0
+    # the committed set INCLUDES wave-compacted parts (whose loose
+    # markers were deleted by compact()) — resume must not re-encode them
+    committed = frozenset(store.committed_parts()) if resume else frozenset()
 
     def run(batches):
         local_store = ChunkStore(store_root)
@@ -395,7 +431,9 @@ def encode_to_store_colocated(df: DataFrame, store: ChunkStore,
                                              has_tok, token_col):
             marker = os.path.join(local_store.manifest_dir,
                                   f"part-{pid:05d}.json")
-            if resume and os.path.exists(marker):
+            # marker re-check covers chunks committed by a task retry
+            # within THIS run; `committed` covers prior runs + waves
+            if resume and (pid in committed or os.path.exists(marker)):
                 continue  # committed by a previous run — skip re-encode
             t0 = time.perf_counter()
             chunk_tbl = encode_table(pid, tbl, spark_types)
@@ -438,7 +476,7 @@ def encode_to_store_colocated(df: DataFrame, store: ChunkStore,
              "enc_bytes bigint").collect()
     summary = {
         "encoded_parts": len(rows),
-        "skipped_parts": committed_before,
+        "skipped_parts": len(committed),
         "n_rows": sum(r["n_rows"] for r in rows),
         "n_values": sum(r["n_values"] for r in rows),
         "enc_bytes": sum(r["enc_bytes"] for r in rows),

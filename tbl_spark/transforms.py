@@ -119,21 +119,31 @@ def apply_transforms(df: DataFrame, spec: TransformSpec) -> DataFrame:
     # 1. with_columns (transform.rs:26-59). The reference's
     # parse_new_column_expr splits on ':' into ≤3 segments with the value
     # inside the third ('NAME:TYPE:x=VAL', transform.rs:42-59); the compact
-    # 'NAME:TYPE=VAL' form is also accepted. No '=' anywhere → typed null.
+    # 'NAME:TYPE=VAL' form is also accepted — including values that
+    # themselves contain ':' (URLs, timestamps), which is why the
+    # 3-segment reading only applies when segment 2 is a bare type name.
+    # No '=' anywhere → typed null.
     for wc in spec.with_columns:
-        parts = wc.split(":", 2)
-        if len(parts) < 2:
+        if ":" not in wc:
             raise ValueError(f"invalid with_column spec: {wc!r}")
-        name, t = parts[0], parts[1]
-        raw = None
-        if len(parts) == 3:  # reference form: value after '=' in segment 3
-            raw = parts[2].split("=", 1)[1] if "=" in parts[2] else None
-        elif "=" in t:  # compact form NAME:TYPE=VAL
-            t, raw = t.split("=", 1)
-        if raw is not None:
-            df = df.withColumn(name, _typed_lit(raw, spark_type(t)))
-        else:
-            df = df.withColumn(name, F.lit(None).cast(spark_type(t)))
+        name, rest = wc.split(":", 1)
+        t, raw = rest, None
+        if ":" in rest:
+            ref_t, third = rest.split(":", 1)
+            if ref_t.strip().lower() in TBL_TYPE_TO_SPARK:
+                # reference form — value is whatever follows '=' in the
+                # third segment (may contain more ':')
+                t = ref_t
+                raw = third.split("=", 1)[1] if "=" in third else None
+                df = df.withColumn(
+                    name, _typed_lit(raw, spark_type(t)) if raw is not None
+                    else F.lit(None).cast(spark_type(t)))
+                continue
+        if "=" in rest:  # compact form NAME:TYPE=VAL (VAL may contain ':')
+            t, raw = rest.split("=", 1)
+        df = df.withColumn(
+            name, _typed_lit(raw, spark_type(t)) if raw is not None
+            else F.lit(None).cast(spark_type(t)))
     # 2. filter — chained = AND (transform.rs:146-155)
     for fx in spec.filters:
         df = df.filter(_parse_filter(df, fx))

@@ -312,8 +312,11 @@ def test_colocated_store_encode_resume(spark, tmp_path):
     s2 = encode_to_store_colocated(df, store, tokens_per_chunk=50_000)
     assert s2["encoded_parts"] == 0
     # different chunking on the same store must fail fast, not corrupt
-    with pytest.raises(ValueError, match="num_parts"):
+    with pytest.raises(ValueError, match="tokens_per_chunk"):
         encode_to_store_colocated(df, store, tokens_per_chunk=99_999)
+    # a salted encode into a colocated store must also fail fast
+    with pytest.raises(ValueError, match="mode"):
+        encode_to_store(df, store, 4)
     decoded = decode_from_store(store, spark)
     n = (decoded.alias("b").join(df.alias("a"), "doc_id")
          .filter(F.col("a.tokens") == F.col("b.tokens")).count())
@@ -489,7 +492,7 @@ def test_cli_rows_omitted_hint(small_parquet, capsys):
     rc = main(["data", small_parquet, "-n", "4"])
     assert rc == 0
     out = capsys.readouterr().out
-    assert "6 rows omitted, use -n all to show all rows" in out
+    assert "rows omitted, use -n all to show all rows" in out
 
 
 def test_cli_ls_empty_dir(tmp_path, capsys):
@@ -530,3 +533,82 @@ def test_u64_cast_column_roundtrips_through_store(spark, tmp_path):
     n = (decoded.alias("b").join(wide.alias("a"), "doc_id")
          .filter(F.col("a.n_tok") == F.col("b.n_tok")).count())
     assert n == 300
+
+
+# -- review-pass regressions ----------------------------------------------------
+
+def test_colocated_resume_respects_wave_compaction(spark, tmp_path):
+    """compact() deletes loose markers; a resume must still skip parts
+    folded into waves instead of re-encoding the whole store."""
+    from tbl_spark.datagen import write_token_table
+    from tbl_spark.store import encode_to_store_colocated
+    path = str(tmp_path / "tt")
+    write_token_table(path, 2000, n_parts=6)
+    df = spark.read.parquet(path)
+    store = ChunkStore(str(tmp_path / "store"))
+    s1 = encode_to_store_colocated(df, store, tokens_per_chunk=50_000)
+    assert store.compact(wave_size=2) >= 1
+    s2 = encode_to_store_colocated(df, store, tokens_per_chunk=50_000)
+    assert s2["encoded_parts"] == 0             # nothing re-encoded
+    assert len(store.manifest_rows()) == s1["encoded_parts"]  # no dupes
+    assert decode_from_store(store, spark).count() == 2000
+
+
+def test_colocated_resume_pins_split_config(spark, tmp_path):
+    """Changing a chunk-membership-affecting config between runs must
+    fail fast, not silently drop rows."""
+    from tbl_spark.datagen import write_token_table
+    from tbl_spark.store import encode_to_store_colocated
+    path = str(tmp_path / "tt")
+    write_token_table(path, 1000, n_parts=4)
+    df = spark.read.parquet(path)
+    store = ChunkStore(str(tmp_path / "store"))
+    encode_to_store_colocated(df, store, tokens_per_chunk=50_000)
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1m")
+        with pytest.raises(ValueError, match="max_partition_bytes"):
+            encode_to_store_colocated(df, store, tokens_per_chunk=50_000)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+    # an added input file changes chunk membership → fail fast too
+    import pyarrow.parquet as _pq
+    from tbl_spark.datagen import generate_part
+    _pq.write_table(generate_part(9, 100, rows_per_part=100),
+                    f"{path}/late.parquet", compression="zstd")
+    with pytest.raises(ValueError, match="input_files_digest"):
+        encode_to_store_colocated(spark.read.parquet(path), store,
+                                  tokens_per_chunk=50_000)
+
+
+def test_with_columns_value_containing_colon(spark, sf_dir):
+    from tbl_spark.transforms import TransformSpec, apply_transforms
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(2)
+    out = apply_transforms(df, TransformSpec(
+        with_columns=["url:str=http://example.com:8080/x",
+                      "ref:str:x=a:b:c"]))
+    row = out.select("url", "ref").first()
+    assert row["url"] == "http://example.com:8080/x"
+    assert row["ref"] == "a:b:c"
+
+
+def test_with_simhash_keeps_null_text_rows(spark):
+    from tbl_spark.pipelines import dedup
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, None), (3, "")],
+        "doc_id long, text string")
+    out = dedup.with_simhash(df)
+    assert out.count() == 3
+    rows = {r["doc_id"]: r["simhash"] for r in out.collect()}
+    assert rows[2] is not None                  # coalesced, not dropped
+
+
+def test_cli_single_file_jsonl_sink(small_parquet, tmp_path):
+    from tbl_spark.cli import main
+    out = str(tmp_path / "export.jsonl")
+    rc = main(["data", small_parquet, "--select", "x", "--jsonl",
+               "--output", out, "--yes"])
+    assert rc == 0 and os.path.isfile(out)
+    with open(out) as f:
+        xs = sorted(json.loads(l)["x"] for l in f if l.strip())
+    assert xs == list(range(10))

@@ -56,9 +56,18 @@ def test_stream_encode_colocated_zero_shuffle(spark, tmp_path):
     n = src.alias("a").join(decoded.alias("b"), "doc_id").filter(
         F.col("a.tokens") == F.col("b.tokens")).count()
     assert n == 1000
-    # replay idempotence: rerunning the same batch dir re-commits nothing
-    from tbl_spark.store import ChunkStore, encode_to_store_colocated
+    # replay idempotence: wipe the streaming checkpoint so the SAME
+    # micro-batch replays into the same batch dir — nothing re-commits
+    # (a batch-API read would be rejected by the input-files pin, which
+    # is the store's fail-fast doing its job)
     import glob
+    import shutil as _sh
+    from tbl_spark.store import ChunkStore
+    _sh.rmtree(f"{store}/_checkpoint")
+    stream_encode(spark, inbox, store, num_parts=4,
+                  schema_ddl=SPARK_SCHEMA_DDL, colocated=True)
     batch_dir = sorted(glob.glob(f"{store}/batch=*"))[0]
-    s2 = encode_to_store_colocated(src, ChunkStore(batch_dir))
-    assert s2["encoded_parts"] == 0
+    replayed = ChunkStore(batch_dir).snapshots()[-1]
+    assert replayed["encoded_parts"] == 0
+    assert decode_stream_store(spark, store, SPARK_SCHEMA_DDL).count() \
+        == 1000
