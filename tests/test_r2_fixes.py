@@ -612,3 +612,21 @@ def test_cli_single_file_jsonl_sink(small_parquet, tmp_path):
     with open(out) as f:
         xs = sorted(json.loads(l)["x"] for l in f if l.strip())
     assert xs == list(range(10))
+
+
+def test_partition_by_bytes_caps_file_sizes(spark, tmp_path):
+    from tbl_spark.partitioning import write_partitioned
+    df = generate_df(spark, 400, 2).withColumn(
+        "g", F.pmod(F.xxhash64("doc_id"), F.lit(2)).cast("int"))
+    out = str(tmp_path / "bybytes")
+    n_files = write_partitioned(df, out, "g", by_bytes="20000")
+    assert n_files >= 2
+    sizes = []
+    for root, _d, names in os.walk(out):
+        sizes += [os.path.getsize(os.path.join(root, f))
+                  for f in names if f.endswith(".parquet")]
+    # sampled row-size estimate keeps files in the right ballpark
+    # (parquet framing overhead means small files can overshoot a bit)
+    assert max(sizes) < 20000 * 4
+    back = spark.read.parquet(out)
+    assert back.count() == 400
