@@ -630,3 +630,27 @@ def test_partition_by_bytes_caps_file_sizes(spark, tmp_path):
     assert max(sizes) < 20000 * 4
     back = spark.read.parquet(out)
     assert back.count() == 400
+
+
+def test_colocated_resume_reencodes_only_missing_chunks(spark, tmp_path):
+    """Kill-simulation for the zero-shuffle path: drop k commit markers
+    (and their chunk files) → the rerun re-encodes exactly k chunks and
+    the decode is complete again."""
+    from tbl_spark.datagen import write_token_table
+    from tbl_spark.store import encode_to_store_colocated
+    path = str(tmp_path / "tt")
+    write_token_table(path, 2000, n_parts=4)
+    df = spark.read.parquet(path)
+    store = ChunkStore(str(tmp_path / "store"))
+    s1 = encode_to_store_colocated(df, store, tokens_per_chunk=50_000)
+    parts = sorted(store.committed_parts())
+    assert len(parts) == s1["encoded_parts"] >= 3
+    for p in parts[:2]:  # simulate a crash that lost two chunks
+        os.remove(os.path.join(store.manifest_dir, f"part-{p:05d}.json"))
+        os.remove(os.path.join(store.chunks_dir, f"part-{p:05d}.parquet"))
+    s2 = encode_to_store_colocated(df, store, tokens_per_chunk=50_000)
+    assert s2["encoded_parts"] == 2
+    decoded = decode_from_store(store, spark)
+    n = (decoded.alias("b").join(df.alias("a"), "doc_id")
+         .filter(F.col("a.tokens") == F.col("b.tokens")).count())
+    assert n == 2000
