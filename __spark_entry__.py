@@ -80,6 +80,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             replace=["o_orderstatus.O=OPEN"],
             select=["o_orderkey", "o_orderstatus", "flag"]))
 
+    def with_columns_insert(spark, sf):
+        # mid-schema insert-at-index (NAME:TYPE@IDX=VAL) — the library
+        # surface of tbl-core's parquet_insert.rs:101-118; the position is
+        # asserted by pytest (the driver compare is column-order-blind).
+        o = _read(spark, sf, "orders")
+        return apply_transforms(o, TransformSpec(
+            with_columns=["prio_flag:i32@1=9"]))
+
     def merge_union_counts(spark, sf):
         li = _read(spark, sf, "lineitem")
         return apply_transforms(merge([li, li]), TransformSpec(
@@ -183,6 +191,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _read(spark, sf, "embeddings"), threshold=0.98)
         return out.select("vec_id").orderBy("vec_id")
 
+    # cross-engine deterministic tokenizer: word → ascii(first char)*131 +
+    # length. Lossy on purpose — it exists so the token-array dedups have
+    # a DuckDB-derivable token table (documents.parquet carries no tokens
+    # column); both engines derive the SAME arrays from text.
+    _TOKENS = "transform(split(text, '\\\\s+'), w -> ascii(w) * 131 + length(w))"
+
+    def dedup_exact_tokens(spark, sf):
+        docs = _read(spark, sf, "documents")
+        toks = docs.withColumn("tokens", F.expr(_TOKENS))
+        out = dedup.exact_dedup_tokens(toks, verify=True)
+        return out.select("doc_id").orderBy("doc_id")
+
+    def dedup_ngram_tokens(spark, sf):
+        # verified token-n-gram LSH (bands=16×2 → candidate knee ≈0.25,
+        # recall ~1-1e-7 at the corpus's ≥0.8 dup similarity); exact
+        # 3-gram Jaccard ≥ 0.5 confirms, so the all-pairs DuckDB twin
+        # re-derives the kept set value-exactly.
+        docs = _read(spark, sf, "documents")
+        toks = docs.withColumn("tokens", F.expr(_TOKENS))
+        out = dedup.ngram_dedup_tokens(toks, n=3, k=32, bands=16,
+                                       verify_threshold=0.5)
+        return out.select("doc_id").orderBy("doc_id")
+
     # -- text analysis -------------------------------------------------------
 
     def text_token_count(spark, sf):
@@ -260,7 +291,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_documents": roundtrip_documents,
         "roundtrip_embeddings": roundtrip_embeddings,
         "encode_stats": encode_stats,
+        "with_columns_insert": with_columns_insert,
         "dedup_exact": dedup_exact,
+        "dedup_exact_tokens": dedup_exact_tokens,
+        "dedup_ngram_tokens": dedup_ngram_tokens,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -309,6 +343,11 @@ def _jaccard_drops_sql(shingle_n: int, threshold: float) -> str:
 # top 60 bits of md5 as a BIGINT — identical integers in both engines.
 _MD5_60 = ("CAST(CAST(concat('0x', substring(md5({x}), 1, 15)) AS UBIGINT) "
            "AS BIGINT)")
+
+# DuckDB twin of the queries() cross-engine tokenizer (_TOKENS): identical
+# int arrays derived from text in both engines.
+_DUCK_TOKENS = ("list_transform(regexp_split_to_array(text, '\\s+'), "
+                "w -> ascii(w) * 131 + length(w))")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -414,9 +453,31 @@ def oracle_sql() -> dict[str, str]:
                        AS DOUBLE) / 255.0 AS val
             FROM (SELECT media_id, unnest(generate_series(1, 16)) AS pos
                   FROM m)""",
+        "with_columns_insert": """
+            SELECT *, CAST(9 AS INTEGER) AS prio_flag FROM orders""",
         "dedup_exact": """
             SELECT text, min(doc_id) AS doc_id
             FROM documents GROUP BY text""",
+        "dedup_exact_tokens": f"""
+            WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS toks
+                       FROM documents)
+            SELECT min(doc_id) AS doc_id FROM t GROUP BY toks
+            ORDER BY doc_id""",
+        "dedup_ngram_tokens": f"""
+            WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS toks
+                       FROM documents),
+            g AS (SELECT doc_id, list_distinct(list_transform(
+                    generate_series(1, greatest(1, len(toks) - 2)),
+                    i -> array_to_string(toks[i:i+2], ','))) AS s
+                  FROM t),
+            p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.s, b.s))) AS j
+                  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT DISTINCT b_id FROM p
+                                 WHERE j >= 0.5)
+            ORDER BY doc_id""",
         "dedup_minhash_lsh": _jaccard_drops_sql(5, 0.5),
         "dedup_ngram_jaccard": _jaccard_drops_sql(3, 0.8),
         "dedup_embedding_cosine": """

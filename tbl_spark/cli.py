@@ -223,8 +223,12 @@ def _print_stdout(out, args) -> None:
         return
     if args.hex:
         out = _render_hex(out)
-    if n is None:  # -n all: the user asked for everything
-        out.show(out.count(), truncate=False)
+    if n is None:  # -n all: the user asked for everything — collect ONCE
+        # and pretty-print the local relation (count()+show(count) would
+        # execute the plan twice, ADVICE r2)
+        rows = out.collect()
+        (out.sparkSession.createDataFrame(rows, out.schema)
+         .show(max(len(rows), 1), truncate=False))
         return
     # single pass: fetch n+1 rows once, pretty-print the local slice
     # (show() on a local relation re-executes nothing), hint if more

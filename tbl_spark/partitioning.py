@@ -48,6 +48,42 @@ def resolve_salt_cols(df: DataFrame,
     return tuple(df.columns)
 
 
+_SIZE_UNITS = {"": 1, "b": 1, "k": 1 << 10, "kb": 1 << 10, "kib": 1 << 10,
+               "m": 1 << 20, "mb": 1 << 20, "mib": 1 << 20,
+               "g": 1 << 30, "gb": 1 << 30, "gib": 1 << 30,
+               "t": 1 << 40, "tb": 1 << 40, "tib": 1 << 40}
+
+
+def parse_size(size: str | int) -> int:
+    """'64MB' / '1.5g' / 1048576 → bytes (ADVICE r2: a bare int() raised
+    an unexplained ValueError on human-readable sizes)."""
+    if isinstance(size, int):
+        return size
+    s = str(size).strip().lower()
+    num = s.rstrip("kmgtib ")
+    unit = s[len(num):].strip()
+    if unit not in _SIZE_UNITS or not num:
+        raise ValueError(
+            f"cannot parse size {size!r}; expected e.g. 67108864, '64MB', "
+            f"'1.5g'")
+    try:
+        return int(float(num) * _SIZE_UNITS[unit])
+    except ValueError:
+        raise ValueError(f"cannot parse size {size!r}") from None
+
+
+def _spread_sample(df: DataFrame, rows: int) -> DataFrame:
+    """~`rows` rows drawn from the FIRST ARROW BATCH OF EVERY PARTITION
+    (not limit(n), which reads only the head partition — sorted or
+    heterogeneous data would bias the per-row size estimate badly,
+    ADVICE r2). One batch per partition is cheap and needs no count()."""
+    def head_batch(batches):
+        for b in batches:
+            yield b
+            break
+    return df.mapInArrow(head_batch, df.schema).limit(rows)
+
+
 def write_partitioned(df: DataFrame, output_dir: str, partition_col: str,
                       by_value: str | None = None,
                       by_rows: int | None = None,
@@ -60,8 +96,9 @@ def write_partitioned(df: DataFrame, output_dir: str, partition_col: str,
     - by_value=W: numeric range partitioning — each directory covers W
       values of the column (dir key = floor(col/W)*W).
     - by_rows=N: at most N rows per output file (maxRecordsPerFile).
-    - by_bytes=B: approximate byte cap — sampled average encoded row size
-      converts B into a maxRecordsPerFile.
+    - by_bytes=B: approximate byte cap ('64MB'-style suffixes accepted) —
+      the average encoded row size of a partition-spread sample converts
+      B into a maxRecordsPerFile.
     Returns the number of data files written."""
     import os
     pcol = partition_col
@@ -74,7 +111,7 @@ def write_partitioned(df: DataFrame, output_dir: str, partition_col: str,
         pcol = f"{pcol}_range"
     writer = df.write.mode("overwrite").partitionBy(pcol)
     if by_bytes is not None and by_rows is None:
-        sample = df.limit(2000)
+        sample = _spread_sample(df, 2000)
         import tempfile
         with tempfile.TemporaryDirectory() as tmp:
             sample.write.mode("overwrite").parquet(tmp)
@@ -82,7 +119,7 @@ def write_partitioned(df: DataFrame, output_dir: str, partition_col: str,
                     if f.endswith(".parquet")]
             n_rows = max(1, sample.count())
             per_row = max(1, sum(os.path.getsize(f) for f in data) // n_rows)
-        by_rows = max(1, int(by_bytes) // per_row)
+        by_rows = max(1, parse_size(by_bytes) // per_row)
     if by_rows is not None:
         writer = writer.option("maxRecordsPerFile", by_rows)
     writer.parquet(output_dir)

@@ -35,7 +35,8 @@ def _word_hash_expr(word_expr: str, hash_fn: str) -> str:
 
 
 def _candidate_pairs(exploded: DataFrame, id_col: str,
-                     pair_mode: str = "all") -> DataFrame:
+                     pair_mode: str = "auto",
+                     small_bucket_cap: int = 16) -> DataFrame:
     """Distinct (a_id, b_id) pairs (a<b) sharing any band bucket.
 
     The join carries ONLY (id, band, band_hash) — never signatures or
@@ -43,35 +44,84 @@ def _candidate_pairs(exploded: DataFrame, id_col: str,
     join heavy columns back per candidate pair afterwards.
 
     pair_mode='all': every in-bucket pair (exact candidate set; a bucket
-    of m mutual near-dups emits m² pairs — fine when band keys are wide
-    enough that buckets are true-dup groups).
+    of m mutual near-dups emits m² pairs — a boilerplate-heavy web corpus
+    floods one bucket with 10⁶+ docs and produces 10¹² pairs, so this is
+    a test/debug mode, not the scale default).
     pair_mode='min': each doc pairs only with its bucket's MINIMUM id
-    (one edge per doc per band — O(n·bands) even when a dense duplicate
-    cluster floods one bucket; the keep-smallest-id dedup semantics only
-    ever needs a smaller-id witness, and across b independent bands a true
-    duplicate gets b chances for its partner to be the bucket min)."""
+    (one edge per doc per band — the tightest bound, but in a bucket
+    {noise-min, dupA, dupB} the dupA–dupB pair is never tested).
+    pair_mode='auto' (default): buckets of ≤ small_bucket_cap members
+    emit ALL pairs (exact, ≤ cap·(cap-1)/2 per bucket); larger buckets
+    emit bucket-min edges PLUS sorted-neighbor chain edges
+    (prev_id, id) — ≤ 2 edges per doc per band, so a dense duplicate
+    cluster stays O(n·bands) while every member of a contiguous dup run
+    still gets a same-cluster witness (the chain edge verifies even when
+    the bucket min is an unrelated hash collision). Across b independent
+    bands with different bucket compositions, the probability that a true
+    dup pair is interposed by noise in EVERY shared band is negligible —
+    'auto' keeps the all-pairs recall at test scale with the min-edge
+    bound at corpus scale."""
     slim = exploded.select(id_col, "band", "band_hash")
+
+    def _all_pairs(df: DataFrame) -> DataFrame:
+        left = df.select(F.col(id_col).alias("a_id"), "band", "band_hash")
+        right = df.select(F.col(id_col).alias("b_id"), "band", "band_hash")
+        return (left.join(right, ["band", "band_hash"])
+                .filter(F.col("a_id") < F.col("b_id"))
+                .select("a_id", "b_id"))
+
+    if pair_mode == "all":
+        return _all_pairs(slim).dropDuplicates(["a_id", "b_id"])
     if pair_mode == "min":
         w = Window.partitionBy("band", "band_hash")
         edges = (slim.withColumn("a_id", F.min(id_col).over(w))
                  .filter(F.col(id_col) != F.col("a_id"))
                  .select("a_id", F.col(id_col).alias("b_id")))
         return edges.dropDuplicates(["a_id", "b_id"])
-    if pair_mode != "all":
+    if pair_mode != "auto":
         raise ValueError(f"unknown pair_mode {pair_mode!r}")
-    left = slim.select(F.col(id_col).alias("a_id"), "band", "band_hash")
-    right = slim.select(F.col(id_col).alias("b_id"), "band", "band_hash")
-    return (left.join(right, ["band", "band_hash"])
-            .filter(F.col("a_id") < F.col("b_id"))
-            .select("a_id", "b_id").dropDuplicates(["a_id", "b_id"]))
+    w = Window.partitionBy("band", "band_hash")
+    wo = w.orderBy(id_col)
+    sized = (slim.withColumn("_sz", F.count(F.lit(1)).over(w))
+             .withColumn("_min", F.min(id_col).over(w))
+             .withColumn("_prev", F.lag(id_col).over(wo)))
+    small = (sized.filter(F.col("_sz") <= small_bucket_cap)
+             .select(id_col, "band", "band_hash"))
+    big = sized.filter(F.col("_sz") > small_bucket_cap)
+    min_edges = (big.filter(F.col(id_col) != F.col("_min"))
+                 .select(F.col("_min").alias("a_id"),
+                         F.col(id_col).alias("b_id")))
+    chain_edges = (big.filter(F.col("_prev").isNotNull())
+                   .select(F.col("_prev").alias("a_id"),
+                           F.col(id_col).alias("b_id")))
+    return (_all_pairs(small)
+            .unionByName(min_edges).unionByName(chain_edges)
+            .dropDuplicates(["a_id", "b_id"]))
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
-                id_col: str = "doc_id") -> DataFrame:
-    """Keep the smallest id per distinct content (one shuffle on content
-    hash; Catalyst plans a partial min before the exchange)."""
-    return (df.groupBy(text_col)
-            .agg(F.min(id_col).alias(id_col))
+                id_col: str = "doc_id", verify: bool = False) -> DataFrame:
+    """Keep the smallest id per distinct content.
+
+    Scale shape (r3, VERDICT r2 #2): the dedup decision shuffles
+    (id, xxhash64(text)) — 16 bytes per row — instead of grouping on the
+    full text, whose exchange payload was ≈ the whole corpus. Survivor
+    rows are then restored by a left-anti join against the (small) drop
+    list, which AQE broadcasts when it fits. verify=True re-compares the
+    full text inside each hash bucket (collision odds 2^-64 per pair;
+    the verify shuffle carries the text, trading payload for certainty —
+    same contract as exact_dedup_tokens)."""
+    h = F.xxhash64(F.col(text_col))
+    if verify:
+        keyed = df.select(F.col(id_col), h.alias("_h"), F.col(text_col))
+        w = Window.partitionBy("_h", text_col)
+    else:
+        keyed = df.select(F.col(id_col), h.alias("_h"))
+        w = Window.partitionBy("_h")
+    drops = (keyed.withColumn("_keep", F.min(id_col).over(w))
+             .filter(F.col(id_col) != F.col("_keep"))
+             .select(id_col))
+    return (df.join(drops, id_col, "left_anti")
             .select(id_col, text_col))
 
 
@@ -93,16 +143,28 @@ def exact_dedup_tokens(df: DataFrame, tokens_col: str = "tokens",
     return df.join(keep, id_col, "left_semi")
 
 
-def ngram_dedup_tokens(df: DataFrame, tokens_col: str = "tokens",
-                       id_col: str = "doc_id", n: int = 8,
-                       k: int = 32, bands: int = 8) -> DataFrame:
-    """MinHash-LSH near-dedup directly over token-id sequences: shingles
-    are n-grams of token ids (hashed via aggregate over a slice — no
-    string materialization), then the standard banded minhash pipeline."""
-    grams = F.expr(
+def _token_grams(tokens_col: str, n: int):
+    """Array of hashed token-id n-grams (xxhash64 chain over a slice — no
+    string materialization, pure JVM)."""
+    return F.expr(
         f"transform(sequence(1, greatest(1, size({tokens_col}) - {n - 1})),"
         f" i -> aggregate(slice({tokens_col}, i, {n}), 0L,"
         f" (acc, x) -> xxhash64(acc, x)))")
+
+
+def ngram_dedup_tokens(df: DataFrame, tokens_col: str = "tokens",
+                       id_col: str = "doc_id", n: int = 8,
+                       k: int = 32, bands: int = 8,
+                       verify_threshold: float | None = None) -> DataFrame:
+    """MinHash-LSH near-dedup directly over token-id sequences: shingles
+    are n-grams of token ids (hashed via aggregate over a slice — no
+    string materialization), then the standard banded minhash pipeline.
+
+    With `verify_threshold`, band-bucket candidates are confirmed by
+    EXACT token-n-gram Jaccard ≥ threshold before dropping (same verified
+    production shape as the text dedups: no drops from band collisions,
+    and the kept set is re-derivable by an all-pairs oracle)."""
+    grams = _token_grams(tokens_col, n)
     ex = (df.select(F.col(id_col), F.explode(grams).alias("_h")))
     aggs = [F.min(F.xxhash64("_h", F.lit(i))).alias(f"_m{i}")
             for i in range(k)]
@@ -110,10 +172,18 @@ def ngram_dedup_tokens(df: DataFrame, tokens_col: str = "tokens",
            .select(id_col, F.array(*[f"_m{i}" for i in range(k)])
                    .alias("minhash")))
     exploded = _band_explode(sig, "minhash", bands, k // bands)
-    w = Window.partitionBy("band", "band_hash")
-    drop_ids = (exploded.withColumn("_keep", F.min(id_col).over(w))
-                .filter(F.col(id_col) != F.col("_keep"))
-                .select(id_col).distinct())
+    if verify_threshold is None:
+        w = Window.partitionBy("band", "band_hash")
+        drop_ids = (exploded.withColumn("_keep", F.min(id_col).over(w))
+                    .filter(F.col(id_col) != F.col("_keep"))
+                    .select(id_col).distinct())
+    else:
+        pairs = _candidate_pairs(exploded, id_col)
+        sets = df.select(F.col(id_col),
+                         F.array_distinct(grams).alias("_sh"))
+        dups = _jaccard_filter_on_sets(pairs, sets, id_col,
+                                       verify_threshold)
+        drop_ids = dups.select(F.col("b_id").alias(id_col)).distinct()
     return df.join(drop_ids, id_col, "left_anti")
 
 
@@ -167,18 +237,14 @@ def _band_explode(df: DataFrame, sig_col: str, bands: int,
             .drop("_bands"))
 
 
-def _exact_jaccard_filter(pairs: DataFrame, df: DataFrame, text_col: str,
-                          id_col: str, shingle_n: int,
-                          threshold: float) -> DataFrame:
-    """Verify candidate (a_id, b_id) pairs by EXACT word-shingle Jaccard.
+def _jaccard_filter_on_sets(pairs: DataFrame, sets: DataFrame,
+                            id_col: str, threshold: float) -> DataFrame:
+    """Verify candidate (a_id, b_id) pairs by EXACT Jaccard over a
+    (id, _sh: array) distinct-shingle frame.
 
-    The distinct-shingle arrays are joined back per candidate id (two slim
-    hash joins on the id), so the heavy payload is shuffled once per
+    The shingle arrays are joined back per candidate id (two slim hash
+    joins on the id), so the heavy payload is shuffled once per
     CANDIDATE, never once per band — the fix for r1's fat band join."""
-    sets = (df.withColumn("_w", F.split(F.col(text_col), r"\s+"))
-            .select(F.col(id_col),
-                    F.array_distinct(
-                        _shingles_of_words("_w", shingle_n)).alias("_sh")))
     joined = (pairs
               .join(sets.select(F.col(id_col).alias("a_id"),
                                 F.col("_sh").alias("a_sh")), "a_id")
@@ -188,6 +254,17 @@ def _exact_jaccard_filter(pairs: DataFrame, df: DataFrame, text_col: str,
     union = F.size(F.array_union("a_sh", "b_sh"))
     return (joined.filter(inter / union >= threshold)
             .select("a_id", "b_id"))
+
+
+def _exact_jaccard_filter(pairs: DataFrame, df: DataFrame, text_col: str,
+                          id_col: str, shingle_n: int,
+                          threshold: float) -> DataFrame:
+    """Word-shingle specialization of _jaccard_filter_on_sets."""
+    sets = (df.withColumn("_w", F.split(F.col(text_col), r"\s+"))
+            .select(F.col(id_col),
+                    F.array_distinct(
+                        _shingles_of_words("_w", shingle_n)).alias("_sh")))
+    return _jaccard_filter_on_sets(pairs, sets, id_col, threshold)
 
 
 def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
@@ -340,16 +417,19 @@ def embedding_cosine_dedup(df: DataFrame, vec_col: str = "embedding",
                            threshold: float = 0.95,
                            bands: int = 32,
                            bits_per_band: int = 16,
-                           pair_mode: str = "min") -> DataFrame:
+                           pair_mode: str = "auto") -> DataFrame:
     """Banded random-hyperplane LSH + exact cosine verification.
 
     r1 used ONE 16-bit sketch as the bucket key — a dense cluster of
     near-duplicates lands in a single hot bucket and the in-bucket
     self-join goes quadratic. r2 fixes both failure modes: `bands`
     independent 16-bit sketches give recall 1-(1-p^r)^b with
-    p = 1-acos(cos)/π (≈1-1e-6 at cos 0.98 with 32×16), and
-    pair_mode='min' (see _candidate_pairs) emits one edge per doc per
-    band, so even a flood of identical vectors stays O(n·bands).
+    p = 1-acos(cos)/π (≈1-1e-6 at cos 0.98 with 32×16), and the bounded
+    pair modes (see _candidate_pairs) keep even a flood of identical
+    vectors at O(n·bands) edges. r3 defaults to pair_mode='auto'
+    (ADVICE r2): small buckets get the exact all-pairs set, hot buckets
+    get min+chain edges — so a dupA–dupB pair behind an unrelated
+    bucket-min is still tested, without reopening the quadratic path.
     Candidate edges are id-only; vectors are joined back per edge and
     verified by exact cosine — no false drops, slim shuffles throughout."""
     if dim is None:

@@ -87,6 +87,17 @@ class ChunkStore:
         altered would silently drop or duplicate rows)."""
         existing = self.read_meta()
         if existing is None:
+            if self.committed_parts():
+                # a store with committed chunks but no store.json (legacy
+                # or torn) must NOT silently adopt this run's parameters —
+                # that is exactly the row-misassignment the pin prevents
+                # (ADVICE r2). Write store.json by hand after verifying
+                # the original parameters to migrate.
+                raise ValueError(
+                    f"store {self.root} has committed chunks but no "
+                    f"store.json — cannot verify this run uses the same "
+                    f"partitioning parameters. Recreate the store or "
+                    f"restore its store.json before resuming.")
             self.write_meta(meta)
             return
         if "mode" not in existing:  # pre-r2 store.json → salted encode
@@ -171,58 +182,60 @@ class ChunkStore:
                     out.append(json.load(f))
         return out
 
-    def compact(self, wave_size: int = 64) -> int:
-        """Coalesce committed, not-yet-waved chunk files into wave files of
-        `wave_size` parts each (one row group per part). Returns number of
-        waves written. Partial tail groups are left uncompacted."""
+    def plan_waves(self, wave_size: int = 64) -> list[tuple[int, list[int]]]:
+        """(wave_seq, part_ids) groups for committed, not-yet-waved chunk
+        files — the driver-side planning half of compaction (tiny: one
+        dir listing, no data reads). Partial tail groups are left
+        uncompacted."""
         covered = {p for w in self.waves() for p in w["parts"]}
         loose = sorted(self.committed_parts() - covered)
-        os.makedirs(os.path.join(self.root, "waves"), exist_ok=True)
         n_waves = len(self.waves())
-        written = 0
-        for i in range(0, len(loose) - wave_size + 1, wave_size):
-            parts = loose[i:i + wave_size]
-            seq = n_waves + written
-            token = uuid.uuid4().hex[:8]
-            wave_name = f"wave-{seq:06d}.parquet"
-            tmp = os.path.join(self.staging_dir, f"{wave_name}.{token}")
-            manifests = []
-            writer = None
-            try:
-                for p in parts:
-                    tbl = pq.read_table(os.path.join(
-                        self.chunks_dir, f"part-{p:05d}.parquet"))
-                    if writer is None:
-                        writer = pq.ParquetWriter(tmp, tbl.schema,
-                                                  compression="none")
-                    writer.write_table(tbl)  # one row group per part
-                    with open(os.path.join(self.manifest_dir,
-                                           f"part-{p:05d}.json")) as f:
-                        manifests.append(json.load(f))
-            finally:
-                if writer is not None:
-                    writer.close()
-            final = os.path.join(self.root, "waves", wave_name)
-            os.replace(tmp, final)
-            # store only the basename: a store moved/renamed (or opened from
-            # a different cwd with a relative root) must still resolve its
-            # wave files — data_files() re-joins with self.root (ADVICE r1).
-            wave_manifest = {"wave": seq, "parts": parts,
-                             "file": wave_name, "manifests": manifests}
-            tmp_json = os.path.join(self.staging_dir,
-                                    f"wave-{seq:06d}.{token}.json")
-            with open(tmp_json, "w") as f:
-                json.dump(wave_manifest, f)
-            os.replace(tmp_json, os.path.join(
-                self.manifest_dir, f"wave-{seq:06d}.json"))  # commit point
-            for p in parts:  # cleanup, idempotent
-                for path in (
-                        os.path.join(self.chunks_dir, f"part-{p:05d}.parquet"),
-                        os.path.join(self.manifest_dir, f"part-{p:05d}.json")):
-                    if os.path.exists(path):
-                        os.remove(path)
-            written += 1
-        return written
+        return [(n_waves + j, loose[i:i + wave_size])
+                for j, i in enumerate(
+                    range(0, len(loose) - wave_size + 1, wave_size))]
+
+    def compact(self, wave_size: int = 64, spark=None) -> int:
+        """Coalesce committed chunk files into wave files of `wave_size`
+        parts each (one row group per part). Returns waves written.
+
+        Execution is split driver/executor (VERDICT r2 #3): the driver
+        only PLANS wave groups (an O(parts) dir listing); the per-wave
+        read+write+commit runs on EXECUTORS via mapInArrow when a
+        SparkSession is passed — at the 10¹²-sequence design point
+        (~62M chunk files, SCALE.md) a sequential driver loop is days of
+        single-threaded IO, while executor waves are embarrassingly
+        parallel against the shared store filesystem. Without `spark` the
+        plan executes in-process (small stores, tests). Each wave's
+        manifest rename remains the commit point, and _write_wave skips
+        waves whose manifest already exists, so task retries and
+        interrupted runs are idempotent."""
+        plans = self.plan_waves(wave_size)
+        if not plans:
+            return 0
+        os.makedirs(os.path.join(self.root, "waves"), exist_ok=True)
+        if spark is None or len(plans) == 1:
+            for seq, parts in plans:
+                _write_wave(self.root, seq, parts)
+            return len(plans)
+        root = self.root
+        plan_df = spark.createDataFrame(
+            [(seq, [int(p) for p in parts]) for seq, parts in plans],
+            "seq int, parts array<int>")
+        plan_df = plan_df.repartition(len(plans), "seq")
+
+        def run(batches):
+            for batch in batches:
+                for row in batch.to_pylist():
+                    _write_wave(root, row["seq"], row["parts"])
+                    yield pa.RecordBatch.from_pydict(
+                        {"seq": [row["seq"]],
+                         "n_parts": [len(row["parts"])]},
+                        schema=pa.schema([("seq", pa.int32()),
+                                          ("n_parts", pa.int32())]))
+
+        done = plan_df.mapInArrow(run, "seq int, n_parts int").collect()
+        assert len(done) == len(plans)
+        return len(plans)
 
     # -- readers ------------------------------------------------------------
 
@@ -275,6 +288,59 @@ class ChunkStore:
         for w in self.waves():
             out.extend(w["manifests"])
         return sorted(out, key=lambda m: m["part_id"])
+
+
+def _write_wave(store_root: str, seq: int, parts: list[int]) -> dict:
+    """Build + atomically commit ONE wave file (executor-safe: plain
+    module function, touches only the shared store filesystem).
+
+    Protocol (mirrors Iceberg compaction): stage wave parquet → rename →
+    stage wave manifest → rename (COMMIT) → delete covered part files.
+    Idempotent: if the wave manifest already exists (task retry, resumed
+    run) the build is skipped and only the cleanup re-runs; a crash
+    before the manifest rename leaves staging garbage and intact part
+    files, so a re-plan simply rebuilds the wave."""
+    store = ChunkStore(store_root)
+    wave_name = f"wave-{seq:06d}.parquet"
+    manifest_path = os.path.join(store.manifest_dir, f"wave-{seq:06d}.json")
+    if not os.path.exists(manifest_path):
+        token = uuid.uuid4().hex[:8]
+        tmp = os.path.join(store.staging_dir, f"{wave_name}.{token}")
+        manifests = []
+        writer = None
+        try:
+            for p in parts:
+                tbl = pq.read_table(os.path.join(
+                    store.chunks_dir, f"part-{p:05d}.parquet"))
+                if writer is None:
+                    writer = pq.ParquetWriter(tmp, tbl.schema,
+                                              compression="none")
+                writer.write_table(tbl)  # one row group per part
+                with open(os.path.join(store.manifest_dir,
+                                       f"part-{p:05d}.json")) as f:
+                    manifests.append(json.load(f))
+        finally:
+            if writer is not None:
+                writer.close()
+        os.makedirs(os.path.join(store_root, "waves"), exist_ok=True)
+        os.replace(tmp, os.path.join(store_root, "waves", wave_name))
+        # store only the basename: a store moved/renamed (or opened from
+        # a different cwd with a relative root) must still resolve its
+        # wave files — data_files() re-joins with self.root (ADVICE r1).
+        wave_manifest = {"wave": seq, "parts": list(parts),
+                         "file": wave_name, "manifests": manifests}
+        tmp_json = os.path.join(store.staging_dir,
+                                f"wave-{seq:06d}.{token}.json")
+        with open(tmp_json, "w") as f:
+            json.dump(wave_manifest, f)
+        os.replace(tmp_json, manifest_path)  # commit point
+    for p in parts:  # cleanup, idempotent
+        for path in (
+                os.path.join(store.chunks_dir, f"part-{p:05d}.parquet"),
+                os.path.join(store.manifest_dir, f"part-{p:05d}.json")):
+            if os.path.exists(path):
+                os.remove(path)
+    return {"wave": seq, "n_parts": len(parts)}
 
 
 def encode_to_store(df: DataFrame, store: ChunkStore, num_parts: int,

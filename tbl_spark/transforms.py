@@ -123,6 +123,34 @@ def apply_transforms(df: DataFrame, spec: TransformSpec) -> DataFrame:
     # themselves contain ':' (URLs, timestamps), which is why the
     # 3-segment reading only applies when segment 2 is a bare type name.
     # No '=' anywhere → typed null.
+    #
+    # Intentional divergence (documented, ADVICE r2): for a value that
+    # itself contains '=' ('a:str:x=k=v'), the reference's split('=')
+    # .nth(1) silently truncates to 'k'; we keep the full remainder
+    # 'k=v' — truncating user data is a reference bug, not a semantic.
+    #
+    # TYPE may carry '@IDX' to INSERT the new column at schema position
+    # IDX instead of appending — the library surface of tbl-core's
+    # streaming insert-at-index (parquet_insert.rs:27,101-118), which
+    # the reference CLI itself never exposes.
+    def _apply_with_column(df: DataFrame, name: str, t: str,
+                           raw: str | None) -> DataFrame:
+        idx = None
+        if "@" in t:
+            t, idx_raw = t.split("@", 1)
+            idx = int(idx_raw)
+        existing = list(df.columns)
+        df = df.withColumn(
+            name, _typed_lit(raw, spark_type(t)) if raw is not None
+            else F.lit(None).cast(spark_type(t)))
+        if idx is not None and name not in existing:
+            if not 0 <= idx <= len(existing):
+                raise ValueError(
+                    f"insert index {idx} out of range for "
+                    f"{len(existing)}-column schema")
+            df = df.select(*existing[:idx], name, *existing[idx:])
+        return df
+
     for wc in spec.with_columns:
         if ":" not in wc:
             raise ValueError(f"invalid with_column spec: {wc!r}")
@@ -130,20 +158,15 @@ def apply_transforms(df: DataFrame, spec: TransformSpec) -> DataFrame:
         t, raw = rest, None
         if ":" in rest:
             ref_t, third = rest.split(":", 1)
-            if ref_t.strip().lower() in TBL_TYPE_TO_SPARK:
+            if ref_t.strip().lower().split("@", 1)[0] in TBL_TYPE_TO_SPARK:
                 # reference form — value is whatever follows '=' in the
                 # third segment (may contain more ':')
-                t = ref_t
                 raw = third.split("=", 1)[1] if "=" in third else None
-                df = df.withColumn(
-                    name, _typed_lit(raw, spark_type(t)) if raw is not None
-                    else F.lit(None).cast(spark_type(t)))
+                df = _apply_with_column(df, name, ref_t, raw)
                 continue
         if "=" in rest:  # compact form NAME:TYPE=VAL (VAL may contain ':')
             t, raw = rest.split("=", 1)
-        df = df.withColumn(
-            name, _typed_lit(raw, spark_type(t)) if raw is not None
-            else F.lit(None).cast(spark_type(t)))
+        df = _apply_with_column(df, name, t, raw)
     # 2. filter — chained = AND (transform.rs:146-155)
     for fx in spec.filters:
         df = df.filter(_parse_filter(df, fx))

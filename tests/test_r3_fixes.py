@@ -1,0 +1,260 @@
+"""Round-3 scale-shape fixes (VERDICT r2 'Next round' + ADVICE r2).
+
+Covers: bounded candidate pairs for verified dedups (hot buckets stay
+linear WITHOUT losing the dupA-dupB pair behind a noise bucket-min),
+hash-keyed exact_dedup, distributed wave compaction (byte-identical
+decode + interruption resume), persisted IVF index (probe has no Python
+re-assignment), insert-at-index with_columns, size-suffix parsing, and
+the legacy-store meta guard."""
+
+import json
+import os
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from tbl_spark.pipelines import dedup, similarity
+
+
+# -- bounded candidate pairs ------------------------------------------------
+
+def _one_bucket_df(spark, ids):
+    rows = [(str(i), 0, 0) for i in ids]
+    return spark.createDataFrame(rows, "doc_id string, band int, "
+                                       "band_hash bigint")
+
+
+def test_candidate_pairs_small_bucket_is_exact(spark):
+    ex = _one_bucket_df(spark, range(8))
+    pairs = dedup._candidate_pairs(ex, "doc_id").collect()
+    assert len(pairs) == 8 * 7 // 2          # all pairs, bucket ≤ cap
+
+
+def test_candidate_pairs_hot_bucket_stays_linear(spark):
+    n = 5000
+    ex = _one_bucket_df(spark, range(n))
+    cnt = dedup._candidate_pairs(ex, "doc_id").count()
+    # min edges (n-1) + chain edges (n-1), minus the shared (min, second)
+    assert cnt <= 2 * n                      # O(n), NOT n²/2 ≈ 12.5M
+    assert cnt >= n - 1
+
+
+def test_candidate_pairs_chain_covers_non_min_dup_pair(spark):
+    # ADVICE r2: bucket {noise-min, dupA, dupB} — pure min edges never
+    # test dupA-dupB; the chain edge must. Force the hot-bucket path by
+    # exceeding the cap.
+    ids = [f"{i:03d}" for i in range(20)]    # 000 is the bucket min
+    ex = _one_bucket_df(spark, ids)
+    pairs = {(r["a_id"], r["b_id"]) for r in dedup._candidate_pairs(
+        ex, "doc_id", small_bucket_cap=4).collect()}
+    for i in range(1, 20):                   # every adjacent pair present
+        assert (f"{i - 1:03d}", f"{i:03d}") in pairs
+
+
+def test_verified_minhash_dense_cluster_keeps_one(spark):
+    # a dense near-duplicate cluster (the boilerplate-web-corpus shape
+    # that made pair_mode='all' quadratic) must still collapse to its
+    # min id under the bounded default, via chain-edge verification
+    base = " ".join(f"boiler{j} plate{j}" for j in range(20))  # 40 words
+    rows = []
+    for i in range(300):                     # shared body + unique tail
+        rows.append((f"c{i:04d}", f"{base} unique{i}"))        # J ≈ 0.76
+    for i in range(40):                      # unrelated noise docs
+        rows.append((f"n{i:04d}",
+                     " ".join(f"word{i}_{j} item{j}q" for j in range(20))))
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = dedup.minhash_lsh_dedup(df, verify_threshold=0.5)
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert "c0000" in kept
+    # pairwise recall is probabilistic (0.76^4-per-band LSH) — the point
+    # is the cluster COLLAPSES (no quadratic blowup, near-total dedup),
+    # not a recall=1 guarantee
+    assert len([k for k in kept if k.startswith("c")]) <= 15
+    assert len([k for k in kept if k.startswith("n")]) == 40
+
+
+# -- hash-keyed exact dedup -------------------------------------------------
+
+def test_exact_dedup_hash_key_parity_and_plan(spark):
+    rows = [(f"d{i:03d}", f"text number {i % 40}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    for verify in (False, True):
+        out = dedup.exact_dedup(df, verify=verify)
+        got = {(r["doc_id"], r["text"]) for r in out.collect()}
+        # keep-min-id-per-distinct-text semantics
+        assert len(got) == 40
+        assert ("d000", "text number 0") in got
+        assert ("d039", "text number 39") in got
+    # the dedup-decision exchange hashes the 8-byte xxhash64 key, never
+    # the text column (VERDICT r2 #1)
+    plan = (dedup.exact_dedup(df)._jdf.queryExecution()
+            .executedPlan().toString())
+    keys = [seg.split(")")[0]                # partitioning key expressions
+            for seg in plan.split("hashpartitioning")[1:]]
+    assert keys
+    assert any("_h" in k for k in keys)      # dedup decision: 8-byte hash
+    assert not any("text" in k for k in keys)  # corpus never a shuffle key
+
+
+# -- distributed compaction -------------------------------------------------
+
+def _make_store(spark, tmp_path, n_docs=3000, n_parts=12):
+    from tbl_spark.datagen import generate_df
+    from tbl_spark.store import ChunkStore, encode_to_store
+    store = ChunkStore(str(tmp_path / "store"))
+    df = generate_df(spark, n_docs, 4)
+    encode_to_store(df, store, n_parts)
+    return store, df
+
+
+def test_distributed_compact_decode_identical(spark, tmp_path):
+    from tbl_spark.datagen import SPARK_SCHEMA_DDL
+    from tbl_spark.store import decode_from_store
+    store, df = _make_store(spark, tmp_path)
+    before = sorted(decode_from_store(store, spark, SPARK_SCHEMA_DDL)
+                    .select("doc_id", "tokens").collect())
+    n_waves = store.compact(wave_size=4, spark=spark)
+    assert n_waves == 3
+    assert len(store.waves()) == 3
+    assert not os.listdir(store.chunks_dir)  # all parts covered + cleaned
+    after = sorted(decode_from_store(store, spark, SPARK_SCHEMA_DDL)
+                   .select("doc_id", "tokens").collect())
+    assert before == after
+
+
+def test_distributed_compact_resumes_after_interruption(spark, tmp_path):
+    from tbl_spark.datagen import SPARK_SCHEMA_DDL
+    from tbl_spark.store import _write_wave, decode_from_store
+    store, df = _make_store(spark, tmp_path)
+    plans = store.plan_waves(wave_size=4)
+    assert len(plans) == 3
+    # interruption: wave 0 fully committed, wave 1 died mid-write
+    # (staging garbage, no manifest), wave 2 never started
+    _write_wave(store.root, *plans[0])
+    with open(os.path.join(store.staging_dir,
+                           "wave-000001.parquet.dead"), "wb") as f:
+        f.write(b"torn")
+    assert store.compact(wave_size=4, spark=spark) == 2  # only 1 and 2
+    assert len(store.waves()) == 3
+    decoded = decode_from_store(store, spark, SPARK_SCHEMA_DDL)
+    n = (decoded.alias("b").join(df.alias("a"), "doc_id")
+         .filter(F.col("a.tokens") == F.col("b.tokens")).count())
+    assert n == 3000
+
+
+def test_write_wave_idempotent_on_retry(spark, tmp_path):
+    from tbl_spark.store import _write_wave
+    store, _ = _make_store(spark, tmp_path, n_docs=1000, n_parts=4)
+    seq, parts = store.plan_waves(wave_size=4)[0]
+    _write_wave(store.root, seq, parts)
+    stamp = os.path.getmtime(os.path.join(store.root, "waves",
+                                          f"wave-{seq:06d}.parquet"))
+    _write_wave(store.root, seq, parts)  # task retry: must not rebuild
+    assert os.path.getmtime(os.path.join(
+        store.root, "waves", f"wave-{seq:06d}.parquet")) == stamp
+
+
+# -- persisted IVF index ----------------------------------------------------
+
+def test_ivf_persisted_index_probe_has_no_python(spark, tmp_path, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter("vec_id = 1").select("embedding").first()[0]
+    expected = similarity.ivf_topk(emb, q, k=10, nlist=8, nprobe=4).collect()
+
+    path = str(tmp_path / "ivf_index")
+    index = similarity.build_ivf_index(emb, nlist=8, path=path)
+    got = similarity.ivf_probe(index, q, k=10, nprobe=4)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # the probe plan scans the stored assignment: no Arrow/pandas UDF
+    # re-assignment anywhere (VERDICT r2 #4)
+    assert "ArrowEvalPython" not in plan and "EvalPython" not in plan
+    assert got.collect() == expected
+    # partition-pruned layout on disk: one directory per cluster
+    assert any(d.startswith("cluster=") for d in os.listdir(path))
+
+    reloaded = similarity.load_ivf_index(spark, path)
+    assert np.allclose(reloaded.centroids, index.centroids)
+    assert similarity.ivf_probe(reloaded, q, k=10, nprobe=4).collect() \
+        == expected
+
+
+# -- insert-at-index with_columns ------------------------------------------
+
+def test_with_columns_insert_at_index(spark):
+    from tbl_spark.transforms import TransformSpec, apply_transforms
+    df = spark.createDataFrame([(1, "a", 2.0)], "x int, y string, z double")
+    out = apply_transforms(df, TransformSpec(
+        with_columns=["mid:i32@1=7"]))
+    assert out.columns == ["x", "mid", "y", "z"]
+    assert out.first()["mid"] == 7
+    # 3-segment reference form with @IDX, typed-null value
+    out2 = apply_transforms(df, TransformSpec(
+        with_columns=["head:str@0"]))
+    assert out2.columns == ["head", "x", "y", "z"]
+    assert out2.first()["head"] is None
+    # append (no @) unchanged
+    out3 = apply_transforms(df, TransformSpec(with_columns=["tail:i64=1"]))
+    assert out3.columns == ["x", "y", "z", "tail"]
+    with pytest.raises(ValueError, match="out of range"):
+        apply_transforms(df, TransformSpec(with_columns=["bad:i32@9=1"]))
+
+
+# -- size parsing + partition sink -----------------------------------------
+
+def test_parse_size_suffixes():
+    from tbl_spark.partitioning import parse_size
+    assert parse_size(4096) == 4096
+    assert parse_size("64KB") == 64 * 1024
+    assert parse_size("1.5m") == int(1.5 * (1 << 20))
+    assert parse_size("2GiB") == 2 << 30
+    assert parse_size(" 10 ") == 10
+    with pytest.raises(ValueError, match="cannot parse size"):
+        parse_size("64 elephants")
+    with pytest.raises(ValueError, match="cannot parse size"):
+        parse_size("MB")
+
+
+def test_write_partitioned_by_bytes_suffix(spark, tmp_path):
+    from tbl_spark.partitioning import write_partitioned
+    df = spark.range(5000).withColumn("pad", F.expr("repeat('x', 100)")) \
+        .withColumn("grp", (F.col("id") % 2).cast("int"))
+    out = str(tmp_path / "parted")
+    n = write_partitioned(df, out, "grp", by_bytes="64KB")
+    assert n >= 4                    # the cap split each group's file
+    sizes = [os.path.getsize(os.path.join(r, f))
+             for r, _d, fs in os.walk(out) for f in fs
+             if f.endswith(".parquet")]
+    assert max(sizes) < 4 * 64 * 1024
+
+
+# -- store meta guard -------------------------------------------------------
+
+def test_meta_guard_rejects_committed_store_without_meta(spark, tmp_path):
+    from tbl_spark.store import ChunkStore, encode_to_store
+    from tbl_spark.datagen import generate_df
+    store, _ = _make_store(spark, tmp_path, n_docs=500, n_parts=2)
+    os.remove(store.meta_path)       # legacy / torn store.json
+    with pytest.raises(ValueError, match="no store.json"):
+        encode_to_store(generate_df(spark, 500, 2), store, 2)
+
+
+# -- parallel footer reads --------------------------------------------------
+
+def test_parallel_footers_match_sequential(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from tbl_spark import inspect as tins
+    files = []
+    for i in range(37):              # > pool width, odd remainder
+        p = str(tmp_path / f"f{i:02d}.parquet")
+        pq.write_table(pa.table({"a": list(range(i + 1))}), p)
+        files.append(p)
+    got = tins.ls([str(tmp_path)])
+    assert got["files"] == 37
+    assert got["rows"] == sum(range(1, 38))
+    summary = tins.schema_summary([str(tmp_path)], examples=True)
+    assert summary[0]["rows"] == sum(range(1, 38))
+    # order-preserving: examples come from the sorted head of the listing
+    assert summary[0]["example_paths"] == ["f00.parquet", "f01.parquet",
+                                           "f02.parquet"]

@@ -31,10 +31,16 @@ def build_zip(path: str) -> str:
     return path
 
 
-def run_submit(cores: int, zip_path: str, docs: int, num_parts: int,
+def run_submit(master: str, cores: int, zip_path: str, docs: int,
+               num_parts: int,
                input_dir: str | None = None,
                cpu_set: str | None = None,
                colocated: bool = False) -> dict:
+    """One spark-submit run. `master` is either local[N] (threads) or
+    local-cluster[E,C,M] (E SEPARATE executor JVMs × C cores — real
+    multi-executor scheduling, task serialization, and --py-files
+    shipping, the closest a single box gets to the north rule's N→4N
+    executor axis). `cores` = total task slots, for shuffle sizing."""
     spark_submit = shutil.which("spark-submit") or os.path.join(
         os.path.dirname(sys.executable), "spark-submit")
     cmd = []
@@ -45,7 +51,7 @@ def run_submit(cores: int, zip_path: str, docs: int, num_parts: int,
         # (VERDICT r1 item 9).
         cmd += ["taskset", "-c", cpu_set]
     cmd += [
-        spark_submit, "--master", f"local[{cores}]",
+        spark_submit, "--master", master,
         "--conf", "spark.sql.shuffle.partitions=%d" % max(32, 4 * cores),
         "--conf", "spark.driver.memory=12g",
         "--conf", "spark.local.dir=/tmp/spark-local",
@@ -107,6 +113,14 @@ def main() -> None:
                          "CPU steal; best-of damps it)")
     ap.add_argument("--no-pin", action="store_true",
                     help="skip taskset CPU pinning")
+    ap.add_argument("--mode", choices=("threads", "executors"),
+                    default="threads",
+                    help="threads: local[N] vs local[4N] (thread "
+                         "parallelism). executors: local-cluster[N,c,m] "
+                         "vs local-cluster[4N,c,m] — N vs 4N SEPARATE "
+                         "executor JVMs, the north rule's actual axis")
+    ap.add_argument("--cores-per-exec", type=int, default=2)
+    ap.add_argument("--exec-mem-mb", type=int, default=2048)
     ap.add_argument("--colocated", action="store_true",
                     help="benchmark the zero-shuffle encode path")
     ap.add_argument("--append", action="store_true",
@@ -115,23 +129,32 @@ def main() -> None:
     args = ap.parse_args()
 
     zip_path = build_zip("/tmp/tbl_spark.zip")
+    # total task slots at the low level: N threads, or N executors × c
+    cpe = args.cores_per_exec if args.mode == "executors" else 1
     # stage the input table once (pyarrow, no Spark) so BOTH runs read the
-    # same parquet bytes; identical chunk count — only threads change
+    # same parquet bytes; identical chunk count — only parallelism changes
     input_dir = f"/tmp/tbl_scaling_input_{args.docs}"
     if not os.path.isdir(input_dir):
         sys.path.insert(0, REPO)
         from tbl_spark.datagen import write_token_table
-        write_token_table(input_dir, args.docs, n_parts=16 * args.n)
-    num_parts = 32 * args.n
+        write_token_table(input_dir, args.docs, n_parts=16 * args.n * cpe)
+    num_parts = 32 * args.n * cpe
 
     n_cpus = os.cpu_count() or 32
 
-    def best_of(cores: int) -> dict:
+    def best_of(n_units: int) -> dict:
+        cores = n_units * cpe
+        if args.mode == "executors":
+            master = (f"local-cluster[{n_units},{args.cores_per_exec},"
+                      f"{args.exec_mem_mb}]")
+        else:
+            master = f"local[{n_units}]"
         cpu_set = None
         if not args.no_pin and cores <= n_cpus:
             cpu_set = f"0-{cores - 1}"
-        runs = [run_submit(cores, zip_path, args.docs, num_parts, input_dir,
-                           cpu_set=cpu_set, colocated=args.colocated)
+        runs = [run_submit(master, cores, zip_path, args.docs, num_parts,
+                           input_dir, cpu_set=cpu_set,
+                           colocated=args.colocated)
                 for _ in range(args.trials)]
         return max(runs, key=lambda r: r["tokens_per_sec"])
 
@@ -139,13 +162,22 @@ def main() -> None:
     hi = best_of(4 * args.n)
     eff = (hi["tokens_per_sec"] / lo["tokens_per_sec"]) / 4.0
 
-    cap_n = host_capacity(args.n)
-    cap_4n = host_capacity(4 * args.n)
+    cap_n = host_capacity(args.n * cpe)
+    cap_4n = host_capacity(4 * args.n * cpe)
     host_speedup = cap_4n / cap_n       # what the box itself gives, ≤ 4
     job_speedup = hi["tokens_per_sec"] / lo["tokens_per_sec"]
     norm_eff = job_speedup / host_speedup
 
+    if args.mode == "executors":
+        label_lo = (f"local-cluster[{args.n},{cpe},{args.exec_mem_mb}] "
+                    f"({args.n} executors)")
+        label_hi = (f"local-cluster[{4 * args.n},{cpe},{args.exec_mem_mb}] "
+                    f"({4 * args.n} executors)")
+    else:
+        label_lo, label_hi = f"local[{args.n}]", f"local[{4 * args.n}]"
+
     report = {
+        "mode": args.mode, "cores_per_exec": cpe,
         "docs": args.docs, "tokens": lo["tokens"], "num_parts": num_parts,
         "cores_n": args.n, "tokens_per_sec_n": lo["tokens_per_sec"],
         "seconds_n": lo["seconds"],
@@ -163,21 +195,23 @@ def main() -> None:
     print(json.dumps(report, indent=2))
 
     mode = "zero-shuffle colocated" if args.colocated else "salted-shuffle"
+    axis = ("separate executor JVMs (local-cluster)"
+            if args.mode == "executors" else "task threads (local)")
     md = f"""
-## Scaling evidence — {mode} encode (tools/scaling_bench.py)
+## Scaling evidence — {mode} encode, {axis} (tools/scaling_bench.py)
 
 Same encode job via spark-submit --py-files, identical input
-({args.docs:,} docs / {lo['tokens']:,} tokens), two parallelism levels:
+({args.docs:,} docs / {lo['tokens']:,} tokens), two cluster sizes:
 
 | cluster size | throughput | wall |
 |---|---|---|
-| local[{args.n}] (N) | {lo['tokens_per_sec']:,} tokens/sec | {lo['seconds']} s |
-| local[{4 * args.n}] (4N) | {hi['tokens_per_sec']:,} tokens/sec | {hi['seconds']} s |
+| {label_lo} (N) | {lo['tokens_per_sec']:,} tokens/sec | {lo['seconds']} s |
+| {label_hi} (4N) | {hi['tokens_per_sec']:,} tokens/sec | {hi['seconds']} s |
 
 Raw efficiency (thr@4N / thr@N) / 4 = **{eff:.3f}** (target ≥ 0.8 on a
 real multi-executor cluster). Each run is taskset-pinned to an
-exactly-sized cpuset ({'on' if not args.no_pin else 'OFF'}) so local[N]
-really uses N CPUs.
+exactly-sized cpuset ({'on' if not args.no_pin else 'OFF'}) so the low
+level really uses N units' worth of CPUs.
 
 Per-partition skew check at 4N (salted partitioning evidence — flat means
 the Zipf source skew was defused): tokens per chunk min/med/max =
@@ -193,8 +227,8 @@ zero Spark) measures the box's own parallel capacity:
 
 | workers | host control throughput |
 |---|---|
-| {args.n} (N) | {cap_n:.2f} units/s |
-| {4 * args.n} (4N) | {cap_4n:.2f} units/s |
+| {args.n * cpe} (N) | {cap_n:.2f} units/s |
+| {4 * args.n * cpe} (4N) | {cap_4n:.2f} units/s |
 
 The host itself yields only **{host_speedup:.2f}×** from N to 4N workers
 (a true 4-node cluster yields 4×, since each node brings its own memory
