@@ -303,7 +303,13 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "compact":
         from .store import ChunkStore
         store = ChunkStore(args.store)
-        waves = store.compact(args.wave_size)
+        # >1 planned wave → distribute the wave builds over executors
+        # (driver only plans); a single wave runs in-process
+        spark = None
+        if len(store.plan_waves(args.wave_size)) > 1:
+            from .session import get_spark
+            spark = get_spark()
+        waves = store.compact(args.wave_size, spark=spark)
         print(json.dumps({"waves_written": waves,
                           "data_files": len(store.data_files())}))
         return 0

@@ -258,3 +258,13 @@ def test_parallel_footers_match_sequential(spark, tmp_path):
     # order-preserving: examples come from the sorted head of the listing
     assert summary[0]["example_paths"] == ["f00.parquet", "f01.parquet",
                                            "f02.parquet"]
+
+
+def test_cli_compact_distributes_multiwave(spark, tmp_path, capsys):
+    from tbl_spark.cli import main
+    store, _ = _make_store(spark, tmp_path, n_docs=2000, n_parts=8)
+    rc = main(["compact", "--store", store.root, "--wave-size", "4"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["waves_written"] == 2
+    assert len(store.waves()) == 2
