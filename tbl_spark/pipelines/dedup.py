@@ -155,7 +155,8 @@ def _token_grams(tokens_col: str, n: int):
 def ngram_dedup_tokens(df: DataFrame, tokens_col: str = "tokens",
                        id_col: str = "doc_id", n: int = 8,
                        k: int = 32, bands: int = 8,
-                       verify_threshold: float | None = None) -> DataFrame:
+                       verify_threshold: float | None = None,
+                       pair_mode: str = "auto") -> DataFrame:
     """MinHash-LSH near-dedup directly over token-id sequences: shingles
     are n-grams of token ids (hashed via aggregate over a slice — no
     string materialization), then the standard banded minhash pipeline.
@@ -178,7 +179,7 @@ def ngram_dedup_tokens(df: DataFrame, tokens_col: str = "tokens",
                     .filter(F.col(id_col) != F.col("_keep"))
                     .select(id_col).distinct())
     else:
-        pairs = _candidate_pairs(exploded, id_col)
+        pairs = _candidate_pairs(exploded, id_col, pair_mode)
         sets = df.select(F.col(id_col),
                          F.array_distinct(grams).alias("_sh"))
         dups = _jaccard_filter_on_sets(pairs, sets, id_col,
@@ -270,7 +271,8 @@ def _exact_jaccard_filter(pairs: DataFrame, df: DataFrame, text_col: str,
 def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", k: int = 32, bands: int = 8,
                       shingle_n: int = 5,
-                      verify_threshold: float | None = None) -> DataFrame:
+                      verify_threshold: float | None = None,
+                      pair_mode: str = "auto") -> DataFrame:
     """Drop any doc that shares an LSH band bucket with a smaller-id doc.
 
     bands=8 × rows=4 over k=32 minhashes ⇒ candidate threshold ≈
@@ -292,7 +294,8 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
                     .select(id_col).distinct())
     else:
         pairs = _candidate_pairs(exploded.select(id_col, "band",
-                                                 "band_hash"), id_col)
+                                                 "band_hash"), id_col,
+                                 pair_mode)
         dups = _exact_jaccard_filter(pairs, df, text_col, id_col,
                                      shingle_n, verify_threshold)
         drop_ids = dups.select(F.col("b_id").alias(id_col)).distinct()
@@ -350,7 +353,7 @@ def with_simhash(df: DataFrame, text_col: str = "text",
 def simhash_dedup(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", hd_max: int | None = None,
                   hash_fn: str = "xxhash64",
-                  nbits: int = 64) -> DataFrame:
+                  nbits: int = 64, pair_mode: str = "auto") -> DataFrame:
     """Simhash near-dedup via chunked LSH (Manku/Jain/Sarma 2007, public).
 
     Candidates share ≥1 of four simhash chunks — which guarantees catching
@@ -375,7 +378,7 @@ def simhash_dedup(df: DataFrame, text_col: str = "text",
                     .filter(F.col(id_col) != F.col("_keep"))
                     .select(id_col).distinct())
     else:
-        pairs = _candidate_pairs(exploded, id_col)
+        pairs = _candidate_pairs(exploded, id_col, pair_mode)
         sims = sim.select(F.col(id_col), F.col("simhash"))
         joined = (pairs
                   .join(sims.select(F.col(id_col).alias("a_id"),
@@ -391,7 +394,8 @@ def simhash_dedup(df: DataFrame, text_col: str = "text",
 def ngram_jaccard_dedup(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", threshold: float = 0.8,
                         shingle_n: int = 3, k: int = 32,
-                        bands: int = 16) -> DataFrame:
+                        bands: int = 16,
+                        pair_mode: str = "auto") -> DataFrame:
     """LSH candidate pairs verified by EXACT n-gram Jaccard ≥ threshold.
 
     Scale shape (fixed in r2): the band self-join carries (id, band,
@@ -400,7 +404,7 @@ def ngram_jaccard_dedup(df: DataFrame, text_col: str = "text",
     candidates × shingles, not corpus × bands × shingles."""
     sig = minhash_signature(df, id_col, text_col, k, shingle_n)
     exploded = _band_explode(sig, "minhash", bands, k // bands)
-    pairs = _candidate_pairs(exploded, id_col)
+    pairs = _candidate_pairs(exploded, id_col, pair_mode)
     dups = _exact_jaccard_filter(pairs, df, text_col, id_col,
                                  shingle_n, threshold)
     drop_ids = dups.select(F.col("b_id").alias(id_col)).distinct()

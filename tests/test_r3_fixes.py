@@ -268,3 +268,33 @@ def test_cli_compact_distributes_multiwave(spark, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["waves_written"] == 2
     assert len(store.waves()) == 2
+
+
+def test_auto_pair_mode_matches_all_pairs_on_random_corpora(spark):
+    """Randomized equivalence: for corpora whose duplicate pairs are
+    well-separated from noise (the regime every verified dedup query
+    targets), the bounded 'auto' candidate mode must produce EXACTLY the
+    drop set of the exhaustive 'all' mode — the verification step makes
+    extra candidates harmless, so only missed candidates could differ."""
+    rng = np.random.default_rng(20260816)
+    vocab = [f"w{i:03d}" for i in range(300)]
+    for trial in range(3):
+        rows = []
+        for i in range(120):                  # noise docs: random words
+            words = rng.choice(vocab, size=30, replace=True)
+            rows.append((f"t{trial}n{i:04d}", " ".join(words)))
+        for i in range(25):                   # planted near-dup pairs
+            words = list(rng.choice(vocab, size=30, replace=True))
+            mutated = list(words)
+            mutated[rng.integers(0, 30)] = "zz" + str(i)
+            rows.append((f"t{trial}pa{i:04d}", " ".join(words)))
+            rows.append((f"t{trial}pb{i:04d}", " ".join(mutated)))
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        kept = {}
+        for mode in ("auto", "all"):
+            out = dedup.minhash_lsh_dedup(df, verify_threshold=0.5,
+                                          pair_mode=mode)
+            kept[mode] = {r["doc_id"] for r in out.select("doc_id").collect()}
+        assert kept["auto"] == kept["all"], (
+            f"trial {trial}: auto≠all diff="
+            f"{kept['auto'] ^ kept['all']}")
