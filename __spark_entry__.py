@@ -149,6 +149,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "vec_id", "pos", F.col("val").cast("double").alias("val"),
                 "label")
 
+    def roundtrip_store_pruned(spark, sf):
+        # store-based roundtrip with a decode-side predicate: manifest
+        # zone maps prune chunks (metadata-only), then the exact filter
+        # re-applies on decoded rows — so the oracle is simply the
+        # filtered identity SELECT. Bit-exact through encode→store→
+        # zone-prune→decode→filter.
+        import tempfile
+        from tbl_spark.store import (ChunkStore, decode_from_store,
+                                     encode_to_store)
+        docs = _read(spark, sf, "documents")
+        store = ChunkStore(tempfile.mkdtemp(prefix="tbl_zone_"))
+        encode_to_store(docs, store, 8, salt_cols=("doc_id",))
+        return decode_from_store(store, spark, predicate="n_chars>=300")
+
     def encode_stats(spark, sf):
         from tbl_spark.encode import encode_chunks
         docs = _read(spark, sf, "documents")
@@ -290,6 +304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_events": roundtrip_events,
         "roundtrip_documents": roundtrip_documents,
         "roundtrip_embeddings": roundtrip_embeddings,
+        "roundtrip_store_pruned": roundtrip_store_pruned,
         "encode_stats": encode_stats,
         "with_columns_insert": with_columns_insert,
         "dedup_exact": dedup_exact,
@@ -434,6 +449,8 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_lineitem": "SELECT * FROM lineitem",
         "roundtrip_events": "SELECT * FROM events",
         "roundtrip_documents": "SELECT * FROM documents",
+        "roundtrip_store_pruned":
+            "SELECT * FROM documents WHERE n_chars >= 300",
         "roundtrip_embeddings": """
             SELECT vec_id, CAST(pos - 1 AS INTEGER) AS pos,
                    CAST(embedding[pos] AS DOUBLE) AS val, label

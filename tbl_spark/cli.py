@@ -146,6 +146,13 @@ def build_parser() -> argparse.ArgumentParser:
                           "in the store's store.json at first encode)")
     dec.add_argument("--output", default=None)
     dec.add_argument("-n", "--rows", type=int, default=20)
+    dec.add_argument("--columns", default=None,
+                     help="comma-separated projection (decodes only these "
+                          "columns' blobs)")
+    dec.add_argument("--where", default=None,
+                     help="filter 'col>=value' (same mini-language as -f); "
+                          "prunes whole chunks via manifest zone maps "
+                          "before reading, then filters rows exactly")
 
     st = sub.add_parser("stats", help="chunk-manifest metrics rollup")
     st.add_argument("--store", required=True)
@@ -487,7 +494,9 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "decode":
         from .store import ChunkStore, decode_from_store
-        out = decode_from_store(ChunkStore(args.store), spark, args.schema)
+        cols = args.columns.split(",") if args.columns else None
+        out = decode_from_store(ChunkStore(args.store), spark, args.schema,
+                                columns=cols, predicate=args.where)
         if args.output:
             out.write.mode("overwrite").parquet(args.output)
         else:

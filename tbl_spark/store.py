@@ -218,9 +218,10 @@ class ChunkStore:
                 _write_wave(self.root, seq, parts)
             return len(plans)
         root = self.root
+        # parts are bigint: colocated stores hash 63-bit chunk ids
         plan_df = spark.createDataFrame(
             [(seq, [int(p) for p in parts]) for seq, parts in plans],
-            "seq int, parts array<int>")
+            "seq int, parts array<bigint>")
         plan_df = plan_df.repartition(len(plans), "seq")
 
         def run(batches):
@@ -239,24 +240,38 @@ class ChunkStore:
 
     # -- readers ------------------------------------------------------------
 
-    def data_files(self) -> list[str]:
+    def data_files(self, parts: set[int] | None = None) -> list[str]:
         """Committed data files: wave files + part files not covered by a
-        wave (covered part files may transiently exist mid-cleanup)."""
+        wave (covered part files may transiently exist mid-cleanup).
+
+        With `parts` (zone pruning), loose part files outside the set are
+        skipped entirely, and a wave file is read only if ANY member part
+        survives — file-level skipping, the coarse half of zone-map
+        pruning (parquet row-group stats on part_id do the fine half
+        inside a wave, since each part is one row group)."""
         waves = self.waves()
         covered = {p for w in waves for p in w["parts"]}
         files = [w["file"] if os.path.isabs(w["file"])  # pre-r2 manifests
                  else os.path.join(self.root, "waves", w["file"])
-                 for w in waves]
+                 for w in waves
+                 if parts is None or any(p in parts for p in w["parts"])]
         if os.path.isdir(self.chunks_dir):
             for name in sorted(os.listdir(self.chunks_dir)):
                 if name.startswith("part-") and name.endswith(".parquet"):
-                    if int(name[5:-8]) not in covered:
+                    pid = int(name[5:-8])
+                    if pid not in covered and (parts is None
+                                               or pid in parts):
                         files.append(os.path.join(self.chunks_dir, name))
         return files
 
-    def read_chunks(self, spark: SparkSession) -> DataFrame:
-        files = self.data_files()
+    def read_chunks(self, spark: SparkSession,
+                    parts: set[int] | None = None) -> DataFrame:
+        files = self.data_files(parts)
         if not files:
+            if parts is not None:
+                # a predicate can legitimately prune everything; the
+                # caller still needs an empty frame of the right shape
+                return spark.createDataFrame([], CHUNK_SCHEMA_DDL)
             raise ValueError(f"no committed chunks under {self.root}")
         return spark.read.schema(CHUNK_SCHEMA_DDL).parquet(*files)
 
@@ -288,6 +303,89 @@ class ChunkStore:
         for w in self.waves():
             out.extend(w["manifests"])
         return sorted(out, key=lambda m: m["part_id"])
+
+
+def _column_stats(tbl: pa.Table) -> dict[str, dict]:
+    """Per-column zone-map stats (min/max/null_count) for one chunk's
+    Arrow table — the manifest-level analog of parquet row-group
+    statistics and Iceberg partition/file stats. Scalar types only
+    (numeric, string, date, timestamp, bool); list/binary columns carry
+    no zone. Values are JSON-native (non-numeric → ISO/str, which
+    compares lexicographically for dates/strings)."""
+    import pyarrow.compute as pc
+    from .partitioning import PART_COL
+    out: dict[str, dict] = {}
+    for name in tbl.column_names:
+        if name == PART_COL:
+            continue
+        arr = tbl.column(name)
+        t = arr.type
+        if not (pa.types.is_integer(t) or pa.types.is_floating(t)
+                or pa.types.is_decimal(t) or pa.types.is_boolean(t)
+                or pa.types.is_string(t) or pa.types.is_large_string(t)
+                or pa.types.is_date(t) or pa.types.is_timestamp(t)):
+            continue
+        nulls = arr.null_count
+        if nulls == len(arr):
+            out[name] = {"min": None, "max": None, "nulls": nulls}
+            continue
+        mm = pc.min_max(arr)
+        lo, hi = mm["min"].as_py(), mm["max"].as_py()
+        if not isinstance(lo, (int, float, bool, type(None))):
+            lo, hi = str(lo), str(hi)
+        out[name] = {"min": lo, "max": hi, "nulls": nulls}
+    return out
+
+
+_ZONE_OPS = ("!=", ">=", "<=", "=", ">", "<")
+
+
+def parse_zone_predicate(predicate: str) -> tuple[str, str, str]:
+    """'col>=value' → (col, op, raw_value) — same mini-language as the
+    CLI filters (transforms._FILTER_RE)."""
+    import re
+    m = re.match(r"^(.*?)(!=|>=|<=|=|>|<)(.*)$", predicate)
+    if not m:
+        raise ValueError(f"cannot parse predicate {predicate!r}")
+    return m.group(1).strip(), m.group(2), m.group(3).strip()
+
+
+def _zone_may_match(stats: dict | None, op: str, raw: str) -> bool:
+    """Could ANY row in a chunk with these column stats satisfy the
+    predicate? (None/missing stats → must keep: no pruning evidence.)"""
+    if not stats:
+        return True
+    lo, hi = stats.get("min"), stats.get("max")
+    if lo is None or hi is None:        # all-null chunk: no comparison hits
+        return False
+    if isinstance(lo, bool) or not isinstance(lo, (int, float)):
+        v: object = raw
+        lo, hi = str(lo), str(hi)
+    else:
+        try:
+            v = float(raw)
+        except ValueError:
+            return True                  # type mismatch — keep, filter later
+    return {">=": lambda: hi >= v, ">": lambda: hi > v,
+            "<=": lambda: lo <= v, "<": lambda: lo < v,
+            "=": lambda: lo <= v <= hi,
+            "!=": lambda: not (lo == hi == v)}[op]()
+
+
+def zone_prune_parts(store: ChunkStore, predicate: str) -> set[int]:
+    """Part ids whose manifest zone maps might satisfy `predicate` —
+    a driver-side metadata scan (no data read), the chunk-store analog
+    of parquet row-group pruning / Iceberg file skipping."""
+    import json as _json
+    col, op, raw = parse_zone_predicate(predicate)
+    keep: set[int] = set()
+    for m in store.manifest_rows():
+        cols = _json.loads(m["columns"]) if isinstance(m["columns"], str) \
+            else m["columns"]
+        stats = (cols.get(col) or {}).get("stats")
+        if _zone_may_match(stats, op, raw):
+            keep.add(m["part_id"])
+    return keep
 
 
 def _write_wave(store_root: str, seq: int, parts: list[int]) -> dict:
@@ -392,6 +490,9 @@ def encode_to_store(df: DataFrame, store: ChunkStore, num_parts: int,
                 chunk_tbl.column("enc_bytes").to_pylist(),
                 chunk_tbl.column("n_values").to_pylist())
         }
+        for cname, st in _column_stats(tbl).items():  # zone maps (r3)
+            if cname in cols:
+                cols[cname]["stats"] = st
         n_rows = int(chunk_tbl.column("n_rows")[0].as_py()) if len(chunk_tbl) else 0
         n_values = max((c["n_values"] for c in cols.values()), default=0)
         manifest = {
@@ -514,6 +615,9 @@ def encode_to_store_colocated(df: DataFrame, store: ChunkStore,
                     chunk_tbl.column("enc_bytes").to_pylist(),
                     chunk_tbl.column("n_values").to_pylist())
             }
+            for cname, st in _column_stats(tbl).items():  # zone maps (r3)
+                if cname in cols:
+                    cols[cname]["stats"] = st
             manifest = {
                 "part_id": pid,
                 "n_rows": int(chunk_tbl.column("n_rows")[0].as_py())
@@ -556,7 +660,8 @@ def encode_to_store_colocated(df: DataFrame, store: ChunkStore,
 
 def decode_from_store(store: ChunkStore, spark: SparkSession,
                       output_ddl: str | None = None,
-                      columns: list[str] | None = None) -> DataFrame:
+                      columns: list[str] | None = None,
+                      predicate: str | None = None) -> DataFrame:
     if output_ddl is None:  # schema was pinned at first encode
         meta = store.read_meta()
         if meta is None or "schema_ddl" not in meta:
@@ -567,9 +672,30 @@ def decode_from_store(store: ChunkStore, spark: SparkSession,
     # contiguous within a scan partition → zero-shuffle streaming decode.
     # `columns` prunes at the chunk scan, so unrequested columns' blobs are
     # never read or decoded (projection pushdown for the chunk store).
+    # `predicate` ('col>=value', CLI filter mini-language) prunes whole
+    # CHUNKS via the manifest zone maps before any file is opened —
+    # predicate pushdown to the store's metadata layer (parquet
+    # row-group-stats / Iceberg file-skipping analog; effective when the
+    # data is value-clustered across chunks, e.g. the colocated path on
+    # sorted inputs) — then re-applies the exact filter after decode.
     from .decode import decode_chunks_colocated
-    chunks = store.read_chunks(spark)
+    keep_parts = None
+    pred_col = None
+    if predicate is not None:
+        pred_col, _op, _raw = parse_zone_predicate(predicate)
+        keep_parts = zone_prune_parts(store, predicate)
+    chunks = store.read_chunks(spark, keep_parts)
+    if keep_parts is not None and len(keep_parts) <= 10_000:
+        # fine-grained half: parquet row-group stats on part_id (one part
+        # = one row group in wave files) skip surviving waves' other parts
+        from pyspark.sql.functions import col
+        chunks = chunks.filter(
+            col("part_id").isin([int(p) for p in keep_parts]))
+    drop_after = []
     if columns is not None:
+        if pred_col is not None and pred_col not in columns:
+            columns = list(columns) + [pred_col]  # needed for the filter
+            drop_after.append(pred_col)
         from pyspark.sql.functions import col
         chunks = chunks.filter(col("column").isin(list(columns)))
         from pyspark.sql.types import StructType
@@ -585,5 +711,14 @@ def decode_from_store(store: ChunkStore, spark: SparkSession,
     cores = spark.sparkContext.defaultParallelism
     n_parts = chunks.rdd.getNumPartitions()
     target = cores if n_parts > 2 * cores else None
-    return decode_chunks_colocated(chunks, output_ddl,
-                                   target_partitions=target)
+    decoded = decode_chunks_colocated(chunks, output_ddl,
+                                      target_partitions=target)
+    if predicate is not None:
+        # exact filter on the decoded rows: zone pruning only skipped
+        # chunks that could not match; surviving chunks still carry
+        # non-matching rows
+        from .transforms import _parse_filter
+        decoded = decoded.filter(_parse_filter(decoded, predicate))
+        if drop_after:
+            decoded = decoded.drop(*drop_after)
+    return decoded

@@ -298,3 +298,89 @@ def test_auto_pair_mode_matches_all_pairs_on_random_corpora(spark):
         assert kept["auto"] == kept["all"], (
             f"trial {trial}: auto≠all diff="
             f"{kept['auto'] ^ kept['all']}")
+
+
+# -- zone maps (manifest min/max stats + predicate-pruned decode) ----------
+
+def _sorted_token_store(spark, tmp_path):
+    """Colocated store over an input whose files are doc_id-ordered, so
+    chunks are value-clustered and zone maps can actually prune."""
+    from tbl_spark.datagen import write_token_table
+    from tbl_spark.store import ChunkStore, encode_to_store_colocated
+    path = str(tmp_path / "tt")
+    write_token_table(path, 4000, n_parts=16)  # 16 files → ≥16 chunks
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "262144")
+    try:
+        df = spark.read.parquet(path)
+        store = ChunkStore(str(tmp_path / "store"))
+        encode_to_store_colocated(df, store, tokens_per_chunk=100_000)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+    return store, df
+
+
+def test_manifests_carry_zone_stats(spark, tmp_path):
+    store, _ = _sorted_token_store(spark, tmp_path)
+    m = store.manifest_rows()[0]
+    cols = json.loads(m["columns"])
+    st = cols["doc_id"]["stats"]
+    assert st["min"] <= st["max"] and st["nulls"] == 0
+    assert cols["n_tok"]["stats"]["min"] >= 0
+    assert "stats" not in cols["tokens"]     # list column: no zone
+
+
+def test_zone_pruned_decode_exact_and_skips_chunks(spark, tmp_path):
+    from tbl_spark.datagen import SPARK_SCHEMA_DDL
+    from tbl_spark.store import decode_from_store, zone_prune_parts
+    store, df = _sorted_token_store(spark, tmp_path)
+    n_parts = len(store.committed_parts())
+    assert n_parts >= 6
+    hi = sorted(r["doc_id"] for r in df.select("doc_id").collect())[-200]
+    pred = f"doc_id>={hi}"
+    kept = zone_prune_parts(store, pred)
+    assert 0 < len(kept) < n_parts           # pruning really skipped chunks
+    got = decode_from_store(store, spark, SPARK_SCHEMA_DDL, predicate=pred)
+    expected = df.filter(F.col("doc_id") >= hi)
+    assert got.count() == expected.count() == 200
+    joined = (got.alias("b").join(expected.alias("a"), "doc_id")
+              .filter(F.col("a.tokens") == F.col("b.tokens")).count())
+    assert joined == 200
+
+
+def test_zone_prune_numeric_and_all_pruned(spark, tmp_path):
+    from tbl_spark.datagen import SPARK_SCHEMA_DDL
+    from tbl_spark.store import decode_from_store, zone_prune_parts
+    store, _ = _sorted_token_store(spark, tmp_path)
+    # impossible numeric predicate → every chunk pruned, empty result of
+    # the right schema
+    assert zone_prune_parts(store, "n_tok>=100000") == set()
+    out = decode_from_store(store, spark, SPARK_SCHEMA_DDL,
+                            predicate="n_tok>=100000")
+    assert out.count() == 0
+    assert out.columns == [f.split()[0] for f in SPARK_SCHEMA_DDL.split(", ")]
+
+
+def test_zone_pruned_projection_adds_filter_column(spark, tmp_path):
+    from tbl_spark.datagen import SPARK_SCHEMA_DDL
+    from tbl_spark.store import decode_from_store
+    store, df = _sorted_token_store(spark, tmp_path)
+    lo = sorted(r["doc_id"] for r in df.select("doc_id").collect())[100]
+    out = decode_from_store(store, spark, SPARK_SCHEMA_DDL,
+                            columns=["n_tok"], predicate=f"doc_id<{lo}")
+    assert out.columns == ["n_tok"]          # filter column dropped again
+    assert out.count() == 100
+
+
+def test_zone_survives_wave_compaction(spark, tmp_path):
+    from tbl_spark.datagen import SPARK_SCHEMA_DDL
+    from tbl_spark.store import decode_from_store
+    store, df = _sorted_token_store(spark, tmp_path)
+    hi = sorted(r["doc_id"] for r in df.select("doc_id").collect())[-150]
+    pred = f"doc_id>={hi}"
+    before = {r["doc_id"] for r in decode_from_store(
+        store, spark, SPARK_SCHEMA_DDL, predicate=pred).collect()}
+    store.compact(wave_size=2, spark=spark)  # stats move into wave manifests
+    after = {r["doc_id"] for r in decode_from_store(
+        store, spark, SPARK_SCHEMA_DDL, predicate=pred).collect()}
+    assert before == after and len(after) == 150
