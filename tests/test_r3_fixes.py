@@ -384,3 +384,30 @@ def test_zone_survives_wave_compaction(spark, tmp_path):
     after = {r["doc_id"] for r in decode_from_store(
         store, spark, SPARK_SCHEMA_DDL, predicate=pred).collect()}
     assert before == after and len(after) == 150
+
+
+# -- k-means IVF trainer ----------------------------------------------------
+
+def test_kmeans_trainer_tightens_clusters_and_probes(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def mean_best_cos(centroids):
+        c = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+        vecs = np.stack([np.asarray(r[0], dtype=np.float32)
+                         for r in emb.select("embedding").collect()])
+        v = vecs / np.maximum(
+            np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        return float((v @ c.T).max(axis=1).mean())
+
+    strided = similarity.train_centroids(emb, 8)
+    kmeans = similarity.train_centroids_kmeans(emb, 8, iters=4)
+    # Lloyd refinement must tighten the clustering objective (mean cosine
+    # of each vector to its best centroid)
+    assert mean_best_cos(kmeans) > mean_best_cos(strided)
+
+    # the refined index works end-to-end and finds the exact neighbor
+    q = emb.filter("vec_id = 7").select("embedding").first()[0]
+    index = similarity.build_ivf_index(emb, nlist=8, trainer="kmeans",
+                                       kmeans_iters=3, persist=False)
+    top = similarity.ivf_probe(index, q, k=5, nprobe=4).collect()
+    assert top[0]["vec_id"] == 7 and top[0]["cos"] == 1.0
