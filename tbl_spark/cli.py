@@ -150,7 +150,8 @@ def build_parser() -> argparse.ArgumentParser:
                      help="comma-separated projection (decodes only these "
                           "columns' blobs)")
     dec.add_argument("--where", default=None,
-                     help="filter 'col>=value' (same mini-language as -f); "
+                     help="comparison filter 'col{=,!=,>,>=,<,<=}value' "
+                          "(the -f mini-language minus null predicates); "
                           "prunes whole chunks via manifest zone maps "
                           "before reading, then filters rows exactly")
 
@@ -311,12 +312,15 @@ def main(argv: list[str] | None = None) -> int:
         from .store import ChunkStore
         store = ChunkStore(args.store)
         # >1 planned wave → distribute the wave builds over executors
-        # (driver only plans); a single wave runs in-process
+        # (driver only plans); a single wave runs in-process. The plan is
+        # computed once and handed to compact (a re-plan would re-list
+        # the ~62M-file manifest dir at the design point).
+        plans = store.plan_waves(args.wave_size)
         spark = None
-        if len(store.plan_waves(args.wave_size)) > 1:
+        if len(plans) > 1:
             from .session import get_spark
             spark = get_spark()
-        waves = store.compact(args.wave_size, spark=spark)
+        waves = store.compact(args.wave_size, spark=spark, plans=plans)
         print(json.dumps({"waves_written": waves,
                           "data_files": len(store.data_files())}))
         return 0
@@ -494,7 +498,8 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "decode":
         from .store import ChunkStore, decode_from_store
-        cols = args.columns.split(",") if args.columns else None
+        cols = [c.strip() for c in args.columns.split(",")] \
+            if args.columns else None
         out = decode_from_store(ChunkStore(args.store), spark, args.schema,
                                 columns=cols, predicate=args.where)
         if args.output:

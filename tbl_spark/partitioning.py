@@ -113,11 +113,17 @@ def write_partitioned(df: DataFrame, output_dir: str, partition_col: str,
     if by_bytes is not None and by_rows is None:
         sample = _spread_sample(df, 2000)
         import tempfile
+
+        import pyarrow.parquet as pq
         with tempfile.TemporaryDirectory() as tmp:
             sample.write.mode("overwrite").parquet(tmp)
             data = [os.path.join(tmp, f) for f in os.listdir(tmp)
                     if f.endswith(".parquet")]
-            n_rows = max(1, sample.count())
+            # row count from the written footers: a second sample.count()
+            # job would re-run the sampling pass (and could see different
+            # batches than the bytes it is divided by)
+            n_rows = max(1, sum(pq.read_metadata(f).num_rows
+                                for f in data))
             per_row = max(1, sum(os.path.getsize(f) for f in data) // n_rows)
         by_rows = max(1, parse_size(by_bytes) // per_row)
     if by_rows is not None:

@@ -69,6 +69,7 @@ def train_centroids_kmeans(df: DataFrame, nlist: int,
     stays the default for oracle-checked queries; k-means is the quality
     option (tighter clusters → fewer probes for the same recall)."""
     c = train_centroids(df, nlist, vec_col, id_col)
+    nlist = c.shape[0]   # small corpora yield fewer centroids than asked
     dim = c.shape[1]
     for _ in range(iters):
         assigned = assign_clusters(df, c, vec_col)

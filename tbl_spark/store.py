@@ -194,7 +194,8 @@ class ChunkStore:
                 for j, i in enumerate(
                     range(0, len(loose) - wave_size + 1, wave_size))]
 
-    def compact(self, wave_size: int = 64, spark=None) -> int:
+    def compact(self, wave_size: int = 64, spark=None,
+                plans: list[tuple[int, list[int]]] | None = None) -> int:
         """Coalesce committed chunk files into wave files of `wave_size`
         parts each (one row group per part). Returns waves written.
 
@@ -209,7 +210,8 @@ class ChunkStore:
         manifest rename remains the commit point, and _write_wave skips
         waves whose manifest already exists, so task retries and
         interrupted runs are idempotent."""
-        plans = self.plan_waves(wave_size)
+        if plans is None:
+            plans = self.plan_waves(wave_size)
         if not plans:
             return 0
         os.makedirs(os.path.join(self.root, "waves"), exist_ok=True)
@@ -312,6 +314,8 @@ def _column_stats(tbl: pa.Table) -> dict[str, dict]:
     (numeric, string, date, timestamp, bool); list/binary columns carry
     no zone. Values are JSON-native (non-numeric → ISO/str, which
     compares lexicographically for dates/strings)."""
+    import decimal as _dec
+
     import pyarrow.compute as pc
     from .partitioning import PART_COL
     out: dict[str, dict] = {}
@@ -320,20 +324,34 @@ def _column_stats(tbl: pa.Table) -> dict[str, dict]:
             continue
         arr = tbl.column(name)
         t = arr.type
-        if not (pa.types.is_integer(t) or pa.types.is_floating(t)
-                or pa.types.is_decimal(t) or pa.types.is_boolean(t)
-                or pa.types.is_string(t) or pa.types.is_large_string(t)
-                or pa.types.is_date(t) or pa.types.is_timestamp(t)):
+        if pa.types.is_integer(t) or pa.types.is_floating(t) \
+                or pa.types.is_decimal(t):
+            kind = "num"
+        elif pa.types.is_string(t) or pa.types.is_large_string(t):
+            kind = "str"
+        elif pa.types.is_date(t):
+            kind = "date"
+        elif pa.types.is_timestamp(t):
+            kind = "ts"
+        elif pa.types.is_boolean(t):
+            kind = "bool"
+        else:
             continue
         nulls = arr.null_count
         if nulls == len(arr):
-            out[name] = {"min": None, "max": None, "nulls": nulls}
+            out[name] = {"kind": kind, "min": None, "max": None,
+                         "nulls": nulls}
             continue
         mm = pc.min_max(arr)
         lo, hi = mm["min"].as_py(), mm["max"].as_py()
-        if not isinstance(lo, (int, float, bool, type(None))):
-            lo, hi = str(lo), str(hi)
-        out[name] = {"min": lo, "max": hi, "nulls": nulls}
+        if isinstance(lo, _dec.Decimal):
+            # JSON-native AND numerically comparable (str() would make
+            # '30'>='5' lexicographically False — silent false pruning)
+            lo = int(lo) if lo == int(lo) else float(lo)
+            hi = int(hi) if hi == int(hi) else float(hi)
+        elif not isinstance(lo, (int, float, bool)):
+            lo, hi = str(lo), str(hi)   # date/timestamp → ISO-ish str
+        out[name] = {"kind": kind, "min": lo, "max": hi, "nulls": nulls}
     return out
 
 
@@ -352,20 +370,47 @@ def parse_zone_predicate(predicate: str) -> tuple[str, str, str]:
 
 def _zone_may_match(stats: dict | None, op: str, raw: str) -> bool:
     """Could ANY row in a chunk with these column stats satisfy the
-    predicate? (None/missing stats → must keep: no pruning evidence.)"""
+    predicate? Sound-by-construction: pruning fires only when the stat
+    kind and predicate value are UNAMBIGUOUSLY comparable — anything
+    else keeps the chunk and lets the exact post-decode filter decide
+    (missing stats, bool columns, unparseable values, mixed formats).
+    A false keep costs one decoded chunk; a false prune silently drops
+    rows, so every doubtful case keeps."""
     if not stats:
         return True
     lo, hi = stats.get("min"), stats.get("max")
     if lo is None or hi is None:        # all-null chunk: no comparison hits
         return False
-    if isinstance(lo, bool) or not isinstance(lo, (int, float)):
-        v: object = raw
-        lo, hi = str(lo), str(hi)
-    else:
+    kind = stats.get("kind")
+    if kind is None:                     # legacy manifest without kinds
+        kind = "num" if isinstance(lo, (int, float)) \
+            and not isinstance(lo, bool) else None
+    v: object
+    if kind == "num":
         try:
-            v = float(raw)
+            # int first: float(raw) rounds above 2^53 and can falsely
+            # prune an exact-match bigint chunk
+            v = int(raw)
         except ValueError:
-            return True                  # type mismatch — keep, filter later
+            try:
+                v = float(raw)
+            except ValueError:
+                return True              # not numeric — keep, filter later
+    elif kind == "str":
+        v = raw
+        lo, hi = str(lo), str(hi)
+    elif kind == "ts":
+        # stats are str(datetime) ('2024-01-02 23:59:59'); normalize the
+        # common ISO 'T' form so lexicographic comparison is meaningful
+        v = raw.strip().replace("T", " ")
+        lo, hi = str(lo), str(hi)
+    elif kind == "date":
+        v = raw.strip()
+        if len(v) != 10:                 # only plain YYYY-MM-DD is safe
+            return True
+        lo, hi = str(lo), str(hi)
+    else:                                # bool / unknown: never prune
+        return True
     return {">=": lambda: hi >= v, ">": lambda: hi > v,
             "<=": lambda: lo <= v, "<": lambda: lo < v,
             "=": lambda: lo <= v <= hi,

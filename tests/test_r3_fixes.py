@@ -411,3 +411,50 @@ def test_kmeans_trainer_tightens_clusters_and_probes(spark, sf_dir):
                                        kmeans_iters=3, persist=False)
     top = similarity.ivf_probe(index, q, k=5, nprobe=4).collect()
     assert top[0]["vec_id"] == 7 and top[0]["cos"] == 1.0
+
+
+# -- zone-map soundness (code-review regressions) ---------------------------
+
+def test_zone_stats_and_match_are_type_sound():
+    import datetime
+    import decimal
+    import pyarrow as pa
+    from tbl_spark.store import _column_stats, _zone_may_match
+
+    tbl = pa.table({
+        "big": pa.array([9223372036854775807, 9223372036854775806]),
+        "dec": pa.array([decimal.Decimal(20), decimal.Decimal(30)],
+                        pa.decimal128(20, 0)),
+        "flag": pa.array([True, True]),
+        "ts": pa.array([datetime.datetime(2024, 1, 2, 12, 0, 0),
+                        datetime.datetime(2024, 1, 2, 23, 59, 59)]),
+        "s": pa.array(["a", "b"]),
+    })
+    st = _column_stats(tbl)
+    # bigint above 2^53: exact-match predicate must NOT be pruned
+    assert _zone_may_match(st["big"], "=", "9223372036854775807")
+    # decimal stats are numeric, not strings: '30' >= '5' lexicographic
+    # false-prune is gone
+    assert isinstance(st["dec"]["min"], int)
+    assert _zone_may_match(st["dec"], ">=", "5")
+    assert not _zone_may_match(st["dec"], ">", "30")
+    # bool columns never prune (predicate form is engine-ambiguous)
+    assert _zone_may_match(st["flag"], "=", "true")
+    assert _zone_may_match(st["flag"], "=", "false")
+    # ISO 'T' timestamp form compares against str(datetime) stats
+    assert _zone_may_match(st["ts"], ">=", "2024-01-02T13:00:00")
+    assert not _zone_may_match(st["ts"], ">", "2024-01-03T00:00:00")
+    # plain strings still prune
+    assert not _zone_may_match(st["s"], ">=", "c")
+    assert _zone_may_match(st["s"], ">=", "b")
+    # unparseable numeric predicate keeps the chunk
+    assert _zone_may_match(st["big"], ">=", "not-a-number")
+    # legacy manifests without 'kind' stay prunable for plain numbers
+    assert not _zone_may_match({"min": 1, "max": 2}, ">", "5")
+
+
+def test_kmeans_small_corpus_does_not_crash(spark):
+    rows = [(i, [float(i), 1.0]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    c = similarity.train_centroids_kmeans(df, nlist=16, iters=2)
+    assert 1 <= c.shape[0] <= 5 and c.shape[1] == 2

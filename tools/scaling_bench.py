@@ -133,11 +133,15 @@ def main() -> None:
     cpe = args.cores_per_exec if args.mode == "executors" else 1
     # stage the input table once (pyarrow, no Spark) so BOTH runs read the
     # same parquet bytes; identical chunk count — only parallelism changes
-    input_dir = f"/tmp/tbl_scaling_input_{args.docs}"
+    # cache key includes the file count: a dir staged for another
+    # mode/core config would silently change read parallelism and break
+    # the identical-input premise of the comparison
+    n_files = 16 * args.n * cpe
+    input_dir = f"/tmp/tbl_scaling_input_{args.docs}_{n_files}"
     if not os.path.isdir(input_dir):
         sys.path.insert(0, REPO)
         from tbl_spark.datagen import write_token_table
-        write_token_table(input_dir, args.docs, n_parts=16 * args.n * cpe)
+        write_token_table(input_dir, args.docs, n_parts=n_files)
     num_parts = 32 * args.n * cpe
 
     n_cpus = os.cpu_count() or 32
