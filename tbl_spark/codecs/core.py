@@ -50,7 +50,7 @@ _WORK_VIEW = {  # logical numpy dtype -> integer work dtype
 # --------------------------------------------------------------------------
 
 _INT_CANDIDATES = (Codec.CONST, Codec.FOR_BITPACK, Codec.DELTA_FOR,
-                   Codec.RLE, Codec.DICT, Codec.RAW)
+                   Codec.DELTA_NESTED, Codec.RLE, Codec.DICT, Codec.RAW)
 
 
 def _encode_int_payload(v: np.ndarray, codec: Codec,
@@ -63,6 +63,21 @@ def _encode_int_payload(v: np.ndarray, codec: Codec,
         return numeric.for_encode(v)
     if codec == Codec.DELTA_FOR:
         return numeric.delta_encode(v)
+    if codec == Codec.DELTA_NESTED:
+        # first value + the deltas auto-encoded as their own nested blob.
+        # Exists for DELTA_FOR's blind spot: a sorted array with a few
+        # huge jumps (e.g. a token vocab with an int32-max sentinel) has
+        # a delta RANGE that ruins bit-packing, but the delta VALUES
+        # dict/RLE-encode to a few bits each.
+        import struct as _struct
+        if len(v) < 2 or _depth >= 2:
+            return None
+        vmin, vmax = int(v.min()), int(v.max())
+        if not (numeric._I64_MIN <= vmin and vmax <= numeric._I64_MAX):
+            return None
+        d = np.diff(v.astype(np.int64, copy=False))
+        inner = _encode_int_auto(d, _depth + 1)
+        return _struct.pack("<q", int(v[0])) + inner
     if codec == Codec.RLE:
         values, lengths = numeric.run_split(v)
         if len(values) == len(v):
@@ -109,7 +124,8 @@ def _rans_payload(v: np.ndarray) -> bytes | None:
     return frame(_encode_int_auto(freqs), _encode_int_auto(uniques), core)
 
 
-def _estimate_int_sizes(v: np.ndarray) -> dict[Codec, float]:
+def _estimate_int_sizes(v: np.ndarray,
+                        _nested: bool = False) -> dict[Codec, float]:
     """Analytic size estimates (bytes). min/max are exact (one cheap pass);
     delta-range / run-count / uniqueness come from a contiguous sample
     window scaled up — the sampling cost model of the north rule. A wrong
@@ -135,6 +151,12 @@ def _estimate_int_sizes(v: np.ndarray) -> dict[Codec, float]:
         if dmax - dmin <= numeric._RANGE_CAP // 2:
             dw = int(dmax - dmin).bit_length() + 1  # headroom for unseen
             est[Codec.DELTA_FOR] = 17 + n * min(dw, 64) / 8
+        if not _nested and len(diffs) > 1:
+            # best sub-codec on the deltas themselves (one level deep),
+            # projected from the window to full size
+            sub = _estimate_int_sizes(diffs, _nested=True)
+            est[Codec.DELTA_NESTED] = \
+                25 + min(sub.values()) * (n / len(diffs))
     run_values, run_lengths = numeric.run_split(window)
     n_runs = len(run_values)
     if n_runs < len(window) // 3:
@@ -178,6 +200,16 @@ def _decode_int_blob(blob: bytes) -> np.ndarray:
         return numeric.for_decode(payload, n, work_dtype)
     if codec == Codec.DELTA_FOR:
         return numeric.delta_decode(payload, n, work_dtype)
+    if codec == Codec.DELTA_NESTED:
+        import struct as _struct
+        (first,) = _struct.unpack_from("<q", payload, 0)
+        out = np.empty(n, dtype=np.int64)
+        out[0] = first
+        if n > 1:
+            d = _decode_int_blob(payload[8:]).astype(np.int64, copy=False)
+            np.cumsum(d, out=out[1:])
+            out[1:] += first
+        return out.astype(work_dtype, copy=False)
     if codec == Codec.BYTE_PLANES:
         return numeric.planes_decode(payload, n, work_dtype)
     if codec == Codec.RANS:

@@ -53,6 +53,7 @@ class Codec(enum.IntEnum):
     BYTE_PLANES = 10
     RANS = 11
     DEC128 = 12  # decimal128 as two auto-encoded uint64 word planes
+    DELTA_NESTED = 13  # first value + recursively auto-encoded deltas
 
 
 class DType(enum.IntEnum):

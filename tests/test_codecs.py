@@ -225,3 +225,25 @@ def test_numeric_cache_roundtrip_across_chunks():
         out, _ = decode_array(encode_array(v, cache_key="tok"))
         np.testing.assert_array_equal(out, v)
     assert "tok" in _choice_cache
+
+
+def test_delta_nested_sorted_with_outlier():
+    """DELTA_FOR's blind spot: sorted values with one huge jump (a token
+    vocab with an int32-max sentinel) ruin the delta bit-width, but the
+    delta VALUES dict/RLE to a few bits — DELTA_NESTED must win and
+    roundtrip exactly."""
+    import numpy as np
+    from tbl_spark.codecs import decode_array, encode_array
+    from tbl_spark.codecs.format import Codec, disassemble
+
+    u = np.unique(np.concatenate(
+        [np.arange(0, 50257), [2147483647]])).astype(np.int32)
+    blob = encode_array(u)
+    assert Codec(disassemble(blob)[0]) == Codec.DELTA_NESTED
+    assert len(blob) < 1000                 # was ~122 KB as RAW
+    out, _ = decode_array(blob)
+    assert (np.asarray(out) == u).all()
+    # negative deltas + int64 + duplicates also roundtrip
+    v = np.array([-5, -5, 0, 3, 3, 2**40, 2**40 + 1], np.int64)
+    out2, _ = decode_array(encode_array(v))
+    assert (np.asarray(out2) == v).all()
