@@ -173,6 +173,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.sum("n_rows").alias("n_rows"))
                 .orderBy("column"))
 
+    def encode_raw_stats(spark, sf):
+        # the oracle-bearing half of the encode metrics (VERDICT r3 #5):
+        # per-column row counts and LOGICAL data bytes as reported by the
+        # encoder itself (encode.py _logical_bytes), re-derived exactly by
+        # DuckDB from the source table — enc_bytes stays engine-specific
+        # in encode_stats above.
+        from tbl_spark.encode import encode_chunks
+        docs = _read(spark, sf, "documents")
+        chunks = encode_chunks(docs, 4, salt_cols=("doc_id",))
+        return (chunks.groupBy("column")
+                .agg(F.sum("n_rows").alias("n_rows"),
+                     F.sum("logical_bytes").alias("raw_bytes"))
+                .orderBy("column"))
+
     # -- dedup ---------------------------------------------------------------
 
     def dedup_exact(spark, sf):
@@ -306,6 +320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_embeddings": roundtrip_embeddings,
         "roundtrip_store_pruned": roundtrip_store_pruned,
         "encode_stats": encode_stats,
+        "encode_raw_stats": encode_raw_stats,
         "with_columns_insert": with_columns_insert,
         "dedup_exact": dedup_exact,
         "dedup_exact_tokens": dedup_exact_tokens,
@@ -472,6 +487,26 @@ def oracle_sql() -> dict[str, str]:
                   FROM m)""",
         "with_columns_insert": """
             SELECT *, CAST(9 AS INTEGER) AS prio_flag FROM orders""",
+        "encode_raw_stats": """
+            -- independent re-derivation of the encoder's per-column
+            -- logical sizes: fixed width × non-null count for numerics,
+            -- byte totals for strings via strlen (encode.py _logical_bytes)
+            SELECT 'doc_id' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(doc_id) * 8 AS BIGINT) AS raw_bytes
+            FROM documents
+            UNION ALL
+            SELECT 'lang', CAST(count(*) AS BIGINT),
+                   CAST(sum(strlen(lang)) AS BIGINT) FROM documents
+            UNION ALL
+            SELECT 'n_chars', CAST(count(*) AS BIGINT),
+                   CAST(count(n_chars) * 8 AS BIGINT) FROM documents
+            UNION ALL
+            SELECT 'source', CAST(count(*) AS BIGINT),
+                   CAST(sum(strlen(source)) AS BIGINT) FROM documents
+            UNION ALL
+            SELECT 'text', CAST(count(*) AS BIGINT),
+                   CAST(sum(strlen(text)) AS BIGINT) FROM documents
+            ORDER BY "column" """,
         "dedup_exact": """
             SELECT text, min(doc_id) AS doc_id
             FROM documents GROUP BY text""",

@@ -30,7 +30,7 @@ from .partitioning import PART_COL, with_part_id
 CHUNK_SCHEMA_DDL = (
     "part_id bigint, column string, codec string, blob binary, "
     "n_rows bigint, n_values bigint, raw_bytes bigint, enc_bytes bigint, "
-    "spark_type string, encode_ms double")
+    "spark_type string, encode_ms double, logical_bytes bigint")
 
 CHUNK_ARROW_SCHEMA = pa.schema([
     ("part_id", pa.int64()), ("column", pa.string()),
@@ -38,7 +38,34 @@ CHUNK_ARROW_SCHEMA = pa.schema([
     ("n_rows", pa.int64()), ("n_values", pa.int64()),
     ("raw_bytes", pa.int64()), ("enc_bytes", pa.int64()),
     ("spark_type", pa.string()), ("encode_ms", pa.float64()),
+    ("logical_bytes", pa.int64()),
 ])
+
+
+def _logical_bytes(arr: pa.Array) -> int:
+    """ENGINE-INDEPENDENT per-column data size: fixed width × non-null
+    count for primitives, utf8/binary byte totals for strings, recursed
+    over list elements. Unlike `raw_bytes` (Arrow buffer bytes, which
+    depend on offsets/validity layout), this is exactly re-derivable in
+    ANSI SQL (count(col)*width / sum(octet_length)) — the oracle-bearing
+    half of the encode metrics (VERDICT r3 #5)."""
+    import pyarrow.compute as pc
+    t = arr.type
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return _logical_bytes(arr.flatten())
+    non_null = len(arr) - arr.null_count
+    if pa.types.is_string(t) or pa.types.is_large_string(t) \
+            or pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        total = pc.sum(pc.binary_length(arr), min_count=0).as_py()
+        return int(total or 0)
+    if pa.types.is_boolean(t):
+        return non_null
+    if pa.types.is_decimal(t):
+        return 16 * non_null
+    try:
+        return t.bit_width // 8 * non_null
+    except (ValueError, AttributeError):
+        return 0
 
 
 def encode_table(part_id: int, tbl: pa.Table,
@@ -66,6 +93,7 @@ def encode_table(part_id: int, tbl: pa.Table,
         rows["enc_bytes"].append(len(blob))
         rows["spark_type"].append(spark_types[name])
         rows["encode_ms"].append(ms)
+        rows["logical_bytes"].append(_logical_bytes(arr))
     return pa.Table.from_pydict(rows, schema=CHUNK_ARROW_SCHEMA)
 
 

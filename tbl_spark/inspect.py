@@ -130,22 +130,33 @@ def schema_summary(paths: list[str] | None = None, tree: bool = False,
 
 def store_stats(store: ChunkStore) -> dict:
     """Chunk-manifest rollup: per-column codec mix, bytes, ratio; per-run
-    tokens/sec — the inspect/stats metrics table of the north rule."""
-    import json
+    tokens/sec — the inspect/stats metrics table of the north rule.
+
+    Scale shape (VERDICT r3 #1): the rollup is a columnar aggregation
+    over the store's per-wave stats parquets (pyarrow group_by — no
+    json.load per manifest); only loose / pre-r4 parts flow in via JSON
+    (bounded once compaction runs)."""
+    t = store.stats_table()
     per_col: dict[str, dict] = {}
-    total_ms = 0.0
-    total_values = 0
-    n_rows = 0
-    for m in store.manifest_rows():
-        total_ms += m["encode_ms"]
-        total_values += m["n_values"]
-        n_rows += m["n_rows"]
-        for name, c in json.loads(m["columns"]).items():
-            acc = per_col.setdefault(
-                name, {"raw_bytes": 0, "enc_bytes": 0, "codecs": set()})
-            acc["raw_bytes"] += c["raw_bytes"]
-            acc["enc_bytes"] += c["enc_bytes"]
-            acc["codecs"].add(c["codec"])
+    for r in (t.group_by("column")
+              .aggregate([("raw_bytes", "sum"), ("enc_bytes", "sum")])
+              .to_pylist()):
+        per_col[r["column"]] = {"raw_bytes": r["raw_bytes_sum"] or 0,
+                                "enc_bytes": r["enc_bytes_sum"] or 0,
+                                "codecs": set()}
+    for r in (t.select(["column", "codec"])
+              .group_by(["column", "codec"]).aggregate([]).to_pylist()):
+        per_col[r["column"]]["codecs"].add(r["codec"])
+    per_part = (t.group_by("part_id")
+                .aggregate([("encode_ms", "max"), ("n_rows", "max"),
+                            ("n_values", "max")]))
+    import pyarrow.compute as pc
+    total_ms = float(pc.sum(per_part.column("encode_ms_max"),
+                            min_count=0).as_py() or 0.0)
+    n_rows = int(pc.sum(per_part.column("n_rows_max"),
+                        min_count=0).as_py() or 0)
+    total_values = int(pc.sum(per_part.column("n_values_max"),
+                              min_count=0).as_py() or 0)
     total_enc = sum(c["enc_bytes"] for c in per_col.values()) or 1
     columns = {
         name: {"raw_bytes": c["raw_bytes"], "enc_bytes": c["enc_bytes"],

@@ -100,17 +100,24 @@ def _candidate_pairs(exploded: DataFrame, id_col: str,
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
-                id_col: str = "doc_id", verify: bool = False) -> DataFrame:
+                id_col: str = "doc_id", verify: bool = True) -> DataFrame:
     """Keep the smallest id per distinct content.
 
     Scale shape (r3, VERDICT r2 #2): the dedup decision shuffles
     (id, xxhash64(text)) — 16 bytes per row — instead of grouping on the
     full text, whose exchange payload was ≈ the whole corpus. Survivor
     rows are then restored by a left-anti join against the (small) drop
-    list, which AQE broadcasts when it fits. verify=True re-compares the
-    full text inside each hash bucket (collision odds 2^-64 per pair;
-    the verify shuffle carries the text, trading payload for certainty —
-    same contract as exact_dedup_tokens)."""
+    list, which AQE broadcasts when it fits.
+
+    verify=True (default — ADVICE r3): the full text is re-compared
+    inside each hash bucket, so a 64-bit collision can never drop a
+    distinct document. Per-pair odds are 2^-64, but by the birthday
+    bound a collision is EXPECTED (~50%) around 5e9 distinct texts —
+    inside this engine's 10^12-sequence design point — and a function
+    named 'exact' must not silently lose a document there. The verify
+    window shuffles the text once; the decision key is still the hash,
+    so bucket skew stays bounded. verify=False restores the slim 16 B/row
+    decision shuffle for corpora safely below ~1e9 distinct documents."""
     h = F.xxhash64(F.col(text_col))
     if verify:
         keyed = df.select(F.col(id_col), h.alias("_h"), F.col(text_col))
@@ -127,12 +134,13 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 
 def exact_dedup_tokens(df: DataFrame, tokens_col: str = "tokens",
                        id_col: str = "doc_id",
-                       verify: bool = False) -> DataFrame:
+                       verify: bool = True) -> DataFrame:
     """Exact dedup of the token table itself: keep the smallest id per
     distinct token SEQUENCE. Shuffles 8-byte hashes, not the arrays —
-    xxhash64 over array<int32> is computed map-side. With verify=True the
-    full arrays are re-compared inside each hash bucket (collision odds
-    are 2^-64 per pair; verify trades a fat shuffle for certainty)."""
+    xxhash64 over array<int32> is computed map-side. verify=True
+    (default, same birthday-bound rationale as exact_dedup) re-compares
+    the full arrays inside each hash bucket; verify=False trusts the
+    64-bit hash — only safe below ~1e9 distinct sequences."""
     h = F.xxhash64(F.col(tokens_col))
     if verify:
         keep = (df.groupBy(h.alias("_h"), F.col(tokens_col))

@@ -43,6 +43,84 @@ MANIFEST_SCHEMA_DDL = (
     "part_id bigint, n_rows bigint, n_values bigint, raw_bytes bigint, "
     "enc_bytes bigint, encode_ms double, committed_at double, columns string")
 
+# Columnar zone/stats sidecar written per wave at compaction time
+# (VERDICT r3 #1): one row per (part_id, column), so pruning and stats
+# rollups run as Spark/Arrow scans over parquet instead of a driver-side
+# json.load of every manifest — the metadata-plane analog of what wave
+# files did for the data plane. Numeric/ts bounds are SOUND-WIDENED
+# doubles (lo rounded down, hi rounded up when the exact value is not
+# double-representable), so a filter over them can false-keep but never
+# false-prune; str/date bounds stay strings.
+STATS_SCHEMA = pa.schema([
+    ("part_id", pa.int64()), ("column", pa.string()),
+    ("codec", pa.string()), ("n_rows", pa.int64()),
+    ("n_values", pa.int64()), ("raw_bytes", pa.int64()),
+    ("enc_bytes", pa.int64()), ("encode_ms", pa.float64()),
+    ("committed_at", pa.float64()), ("kind", pa.string()),
+    ("nulls", pa.int64()), ("has_nan", pa.bool_()),
+    ("lo_num", pa.float64()), ("hi_num", pa.float64()),
+    ("lo_str", pa.string()), ("hi_str", pa.string()),
+])
+
+_STATS_SPARK_TYPE = {"int64": "bigint", "string": "string",
+                     "double": "double", "bool": "boolean"}
+STATS_DDL = ", ".join(f"{f.name} {_STATS_SPARK_TYPE[str(f.type)]}"
+                      for f in STATS_SCHEMA)
+
+
+def _widen_num(v, up: bool) -> float | None:
+    """Nearest double NOT tighter than v (down for lo, up for hi) — keeps
+    double-typed zone bounds sound for int values beyond 2^53."""
+    if v is None or isinstance(v, bool):
+        return None
+    d = float(v)
+    if d == v:
+        return d
+    import math
+    return math.nextafter(d, math.inf if up else -math.inf) \
+        if (d < v) == up else d
+
+
+def _manifest_stats_rows(manifest: dict) -> list[dict]:
+    """Flatten one part manifest into STATS_SCHEMA rows."""
+    cols = manifest["columns"]
+    if isinstance(cols, str):
+        cols = json.loads(cols)
+    rows = []
+    for name, c in cols.items():
+        st = c.get("stats") or {}
+        kind = st.get("kind")
+        lo, hi = st.get("min"), st.get("max")
+        lo_num = hi_num = lo_str = hi_str = None
+        has_nan = st.get("nan")
+        if kind in ("num", "ts") and lo is not None:
+            if kind == "ts":
+                lo, hi = _ts_micros(lo), _ts_micros(hi)
+            lo_num, hi_num = _widen_num(lo, up=False), _widen_num(hi, up=True)
+            if has_nan is None and kind == "num" \
+                    and isinstance(lo, int) and isinstance(hi, int):
+                # integer bounds ⇒ integer/decimal column ⇒ NaN-free;
+                # float bounds without a flag (pre-r4 manifests) stay
+                # None = unknown, which the readers treat as "keep"
+                has_nan = False
+        elif kind in ("str", "date") and lo is not None:
+            lo_str, hi_str = str(lo), str(hi)
+        if kind == "ts":
+            has_nan = False
+        rows.append({
+            "part_id": manifest["part_id"], "column": name,
+            "codec": c.get("codec"), "n_rows": manifest["n_rows"],
+            "n_values": c.get("n_values"),
+            "raw_bytes": c.get("raw_bytes"), "enc_bytes": c.get("enc_bytes"),
+            "encode_ms": manifest.get("encode_ms"),
+            "committed_at": manifest.get("committed_at"),
+            "kind": kind, "nulls": st.get("nulls"),
+            "has_nan": has_nan,
+            "lo_num": lo_num, "hi_num": hi_num,
+            "lo_str": lo_str, "hi_str": hi_str,
+        })
+    return rows
+
 
 class ChunkStore:
     def __init__(self, root: str):
@@ -50,6 +128,7 @@ class ChunkStore:
         self.chunks_dir = os.path.join(root, "chunks")
         self.manifest_dir = os.path.join(root, "manifest")
         self.snapshots_dir = os.path.join(root, "snapshots")
+        self.stats_dir = os.path.join(root, "stats")
         self.staging_dir = os.path.join(root, "_staging")
 
     def init_dirs(self) -> None:
@@ -278,8 +357,27 @@ class ChunkStore:
         return spark.read.schema(CHUNK_SCHEMA_DDL).parquet(*files)
 
     def read_manifest(self, spark: SparkSession) -> DataFrame:
-        return spark.createDataFrame(self.manifest_rows(),
-                                     MANIFEST_SCHEMA_DDL)
+        """Per-part manifest rows as a DataFrame. When per-wave stats
+        parquets exist, the frame is rebuilt from them with a distributed
+        groupBy (no driver json.load per manifest — VERDICT r3 #1);
+        stats-less stores fall back to the JSON walk."""
+        if not self.stats_files():
+            return spark.createDataFrame(self.manifest_rows(),
+                                         MANIFEST_SCHEMA_DDL)
+        import pyspark.sql.functions as F
+        return (self.read_stats(spark).groupBy("part_id").agg(
+            F.max("n_rows").alias("n_rows"),
+            F.max("n_values").alias("n_values"),
+            F.sum("raw_bytes").alias("raw_bytes"),
+            F.sum("enc_bytes").alias("enc_bytes"),
+            F.max("encode_ms").alias("encode_ms"),
+            F.max("committed_at").alias("committed_at"),
+            F.to_json(F.map_from_arrays(
+                F.collect_list("column"),
+                F.collect_list(F.struct("codec", "raw_bytes", "enc_bytes",
+                                        "n_values")))).alias("columns"))
+            .select("part_id", "n_rows", "n_values", "raw_bytes",
+                    "enc_bytes", "encode_ms", "committed_at", "columns"))
 
     def metrics_df(self, spark: SparkSession) -> DataFrame:
         """Per-partition metrics table (north rule): part_id, rows, tokens,
@@ -306,14 +404,100 @@ class ChunkStore:
             out.extend(w["manifests"])
         return sorted(out, key=lambda m: m["part_id"])
 
+    # -- columnar zone/stats metadata (VERDICT r3 #1) -------------------------
+    # Per-wave stats parquets replace the driver-side json.load of every
+    # manifest on the prune/stats/metrics paths. Loose (not-yet-compacted)
+    # parts — a bounded set once compaction runs — still come from their
+    # JSON manifests; waves written before this layer existed fall back
+    # to the manifests embedded in their wave JSON.
+
+    def loose_manifest_rows(self) -> list[dict]:
+        """Manifests of loose (un-waved) parts only — bounded after
+        compaction; never opens wave manifests."""
+        out = []
+        if os.path.isdir(self.manifest_dir):
+            for f in sorted(os.listdir(self.manifest_dir)):
+                if f.startswith("part-") and f.endswith(".json"):
+                    with open(os.path.join(self.manifest_dir, f)) as fh:
+                        out.append(json.load(fh))
+        return out
+
+    def stats_files(self) -> dict[int, str]:
+        """{wave_seq: stats parquet path} for waves that have one."""
+        if not os.path.isdir(self.stats_dir):
+            return {}
+        out = {}
+        for name in sorted(os.listdir(self.stats_dir)):
+            if name.startswith("wave-") and name.endswith(".parquet"):
+                out[int(name[5:-8])] = os.path.join(self.stats_dir, name)
+        return out
+
+    def stats_table(self) -> pa.Table:
+        """All STATS_SCHEMA rows — wave parquets scanned columnar, loose
+        (+legacy-wave) manifests flattened from JSON. The driver-side cost
+        is O(waves) file opens + O(loose) JSON parses, never O(parts)."""
+        have = self.stats_files()
+        tables = [pq.read_table(p) for p in have.values()]
+        rows: list[dict] = []
+        for w in self.waves():   # legacy waves without a stats parquet
+            if w["wave"] not in have:
+                for m in w["manifests"]:
+                    rows.extend(_manifest_stats_rows(m))
+        for m in self.loose_manifest_rows():
+            rows.extend(_manifest_stats_rows(m))
+        if rows:
+            cols = {f.name: [r[f.name] for r in rows] for f in STATS_SCHEMA}
+            tables.append(pa.Table.from_pydict(cols, schema=STATS_SCHEMA))
+        if not tables:
+            return STATS_SCHEMA.empty_table()
+        return pa.concat_tables(tables)
+
+    def read_stats_parquet(self, spark: SparkSession) -> DataFrame:
+        """The per-wave stats parquets as ONE distributed Spark scan
+        (waved parts only — loose/legacy parts are not in these files)."""
+        return spark.read.schema(STATS_DDL).parquet(
+            *self.stats_files().values())
+
+    def read_stats(self, spark: SparkSession) -> DataFrame:
+        """All STATS_SCHEMA rows as a Spark DataFrame: wave parquets read
+        as a distributed scan; loose/legacy rows unioned in from the
+        driver (bounded)."""
+        have = self.stats_files()
+        parts = []
+        if have:
+            parts.append(self.read_stats_parquet(spark))
+        rows: list[dict] = []
+        for w in self.waves():
+            if w["wave"] not in have:
+                for m in w["manifests"]:
+                    rows.extend(_manifest_stats_rows(m))
+        for m in self.loose_manifest_rows():
+            rows.extend(_manifest_stats_rows(m))
+        if rows or not parts:
+            data = [tuple(r[f.name] for f in STATS_SCHEMA) for r in rows]
+            parts.append(spark.createDataFrame(data, STATS_DDL))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
+
+_TS_UNIT_TO_US = {"s": 1_000_000, "ms": 1_000, "us": 1, "ns": None}
+
 
 def _column_stats(tbl: pa.Table) -> dict[str, dict]:
     """Per-column zone-map stats (min/max/null_count) for one chunk's
     Arrow table — the manifest-level analog of parquet row-group
     statistics and Iceberg partition/file stats. Scalar types only
     (numeric, string, date, timestamp, bool); list/binary columns carry
-    no zone. Values are JSON-native (non-numeric → ISO/str, which
-    compares lexicographically for dates/strings)."""
+    no zone. Values are JSON-native: numbers for num, epoch MICROSECONDS
+    (int) for ts — str(datetime) stats of tz-aware arrays carried a
+    '+00:00' suffix that lexicographically false-pruned naive predicate
+    values equal to a chunk min (ADVICE r3) — ISO str for dates/strings.
+    Float columns additionally record 'nan' (chunk contains a NaN):
+    pyarrow min_max SKIPS NaN while Spark orders NaN above every value
+    and NaN = NaN is true, so a finite hi would otherwise falsely prune
+    '>', '>=', '=' predicates whose rows are NaN (ADVICE r3)."""
     import decimal as _dec
 
     import pyarrow.compute as pc
@@ -324,8 +508,8 @@ def _column_stats(tbl: pa.Table) -> dict[str, dict]:
             continue
         arr = tbl.column(name)
         t = arr.type
-        if pa.types.is_integer(t) or pa.types.is_floating(t) \
-                or pa.types.is_decimal(t):
+        is_float = pa.types.is_floating(t)
+        if pa.types.is_integer(t) or is_float or pa.types.is_decimal(t):
             kind = "num"
         elif pa.types.is_string(t) or pa.types.is_large_string(t):
             kind = "str"
@@ -338,20 +522,47 @@ def _column_stats(tbl: pa.Table) -> dict[str, dict]:
         else:
             continue
         nulls = arr.null_count
+        has_nan = False
+        if is_float:
+            has_nan = bool(pc.any(pc.is_nan(arr), min_count=0).as_py())
         if nulls == len(arr):
             out[name] = {"kind": kind, "min": None, "max": None,
                          "nulls": nulls}
             continue
         mm = pc.min_max(arr)
         lo, hi = mm["min"].as_py(), mm["max"].as_py()
-        if isinstance(lo, _dec.Decimal):
+        if lo is None or hi is None \
+                or (is_float and lo > hi):
+            # min_max skips NaN: an all-NaN chunk has no real bounds —
+            # null scalars or the inverted (+inf, -inf) fold identities,
+            # depending on the pyarrow version. Record no bounds (the
+            # 'nan' flag below still keeps the chunk for >/>=/=/!=).
+            out[name] = {"kind": kind, "min": None, "max": None,
+                         "nulls": nulls, **({"nan": True} if is_float
+                                            else {})}
+            continue
+        if kind == "ts":
+            # epoch micros as plain ints: tz-independent, exactly
+            # comparable, JSON-native. scalar .value is in the array's
+            # unit; ns floors to us (a 1-us widening cannot false-prune:
+            # floor can only widen [lo, hi] downward at lo).
+            mult = _TS_UNIT_TO_US[t.unit]
+            lo_t, hi_t = mm["min"].value, mm["max"].value
+            if mult is None:  # ns
+                lo, hi = lo_t // 1000, -(-hi_t // 1000)
+            else:
+                lo, hi = lo_t * mult, hi_t * mult
+        elif isinstance(lo, _dec.Decimal):
             # JSON-native AND numerically comparable (str() would make
             # '30'>='5' lexicographically False — silent false pruning)
             lo = int(lo) if lo == int(lo) else float(lo)
             hi = int(hi) if hi == int(hi) else float(hi)
         elif not isinstance(lo, (int, float, bool)):
-            lo, hi = str(lo), str(hi)   # date/timestamp → ISO-ish str
-        out[name] = {"kind": kind, "min": lo, "max": hi, "nulls": nulls}
+            lo, hi = str(lo), str(hi)   # date → ISO str
+        st = {"kind": kind, "min": lo, "max": hi, "nulls": nulls}
+        if is_float:
+            st["nan"] = has_nan
+        out[name] = st
     return out
 
 
@@ -368,6 +579,31 @@ def parse_zone_predicate(predicate: str) -> tuple[str, str, str]:
     return m.group(1).strip(), m.group(2), m.group(3).strip()
 
 
+def _ts_micros(value) -> int | None:
+    """Epoch microseconds of a timestamp stat or predicate value.
+
+    int → already micros (current manifests). str → ISO parse; tz-aware
+    values convert to UTC, NAIVE values are interpreted as UTC — exactly
+    what Spark's exact post-decode filter does in a UTC session (which
+    tbl_spark.session pins); decode_from_store skips ts pruning entirely
+    for non-UTC sessions so the two sides can never disagree."""
+    if isinstance(value, bool):
+        return None
+    if isinstance(value, int):
+        return value
+    if not isinstance(value, str):
+        return None
+    import datetime as _dt
+    try:
+        d = _dt.datetime.fromisoformat(value.strip())
+    except ValueError:
+        return None
+    if d.tzinfo is None:
+        d = d.replace(tzinfo=_dt.timezone.utc)
+    epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+    return (d - epoch) // _dt.timedelta(microseconds=1)
+
+
 def _zone_may_match(stats: dict | None, op: str, raw: str) -> bool:
     """Could ANY row in a chunk with these column stats satisfy the
     predicate? Sound-by-construction: pruning fires only when the stat
@@ -379,8 +615,12 @@ def _zone_may_match(stats: dict | None, op: str, raw: str) -> bool:
     if not stats:
         return True
     lo, hi = stats.get("min"), stats.get("max")
-    if lo is None or hi is None:        # all-null chunk: no comparison hits
-        return False
+    has_nan = stats.get("nan")
+    if lo is None or hi is None:
+        # no finite bounds: all-null chunk (no comparison hits) unless
+        # NaN rows exist — Spark orders NaN above everything and
+        # NaN = NaN is true, so >, >=, =, != can still match
+        return bool(has_nan) and op in (">", ">=", "=", "!=")
     kind = stats.get("kind")
     if kind is None:                     # legacy manifest without kinds
         kind = "num" if isinstance(lo, (int, float)) \
@@ -396,14 +636,24 @@ def _zone_may_match(stats: dict | None, op: str, raw: str) -> bool:
                 v = float(raw)
             except ValueError:
                 return True              # not numeric — keep, filter later
+        if has_nan and op in (">", ">=", "=", "!="):
+            return True                  # NaN rows satisfy these in Spark
+        if isinstance(v, float) and v != v:
+            # NaN literal: Spark orders NaN greatest, so <, <=, != match
+            # every finite row (bounds are finite here → such rows
+            # exist); =, >, >= match only NaN rows (legacy stats carry
+            # no 'nan' flag (None) — keep)
+            if op in ("<", "<=", "!="):
+                return True
+            return has_nan is not False
     elif kind == "str":
         v = raw
         lo, hi = str(lo), str(hi)
     elif kind == "ts":
-        # stats are str(datetime) ('2024-01-02 23:59:59'); normalize the
-        # common ISO 'T' form so lexicographic comparison is meaningful
-        v = raw.strip().replace("T", " ")
-        lo, hi = str(lo), str(hi)
+        v = _ts_micros(raw)
+        lo, hi = _ts_micros(lo), _ts_micros(hi)  # int (new) or str (legacy)
+        if v is None or lo is None or hi is None:
+            return True                  # unparseable / mixed — keep
     elif kind == "date":
         v = raw.strip()
         if len(v) != 10:                 # only plain YYYY-MM-DD is safe
@@ -417,19 +667,144 @@ def _zone_may_match(stats: dict | None, op: str, raw: str) -> bool:
             "!=": lambda: not (lo == hi == v)}[op]()
 
 
-def zone_prune_parts(store: ChunkStore, predicate: str) -> set[int]:
-    """Part ids whose manifest zone maps might satisfy `predicate` —
-    a driver-side metadata scan (no data read), the chunk-store analog
-    of parquet row-group pruning / Iceberg file skipping."""
+def _zone_cannot_match_col(op: str, raw: str, utc_session: bool):
+    """Spark Column over STATS_SCHEMA rows that is true only when the
+    chunk PROVABLY cannot match — the vectorized twin of
+    ``not _zone_may_match`` (same keep-on-doubt contract: bounds are
+    sound-widened doubles, unknown NaN state keeps, non-UTC sessions
+    never prune on timestamps)."""
+    import pyspark.sql.functions as F
+    lo_n, hi_n = F.col("lo_num"), F.col("hi_num")
+    lo_s, hi_s = F.col("lo_str"), F.col("hi_str")
+    kind = F.col("kind")
+    nan_free = F.col("has_nan").eqNullSafe(F.lit(False))
+    no_bounds = lo_n.isNull() & lo_s.isNull()
+    nan_ops = op in (">", ">=", "=", "!=")
+    # all-null chunk: nothing matches — unless NaN rows might exist and
+    # the op is one NaN satisfies
+    cannot = no_bounds & (F.lit(not nan_ops) | nan_free)
+
+    def rng(lo_c, hi_c, v_lo, v_hi):
+        return {
+            ">": hi_c <= F.lit(v_lo), ">=": hi_c < F.lit(v_lo),
+            "<": lo_c >= F.lit(v_hi), "<=": lo_c > F.lit(v_hi),
+            "=": (hi_c < F.lit(v_lo)) | (lo_c > F.lit(v_hi)),
+            "!=": (lo_c == hi_c) & (lo_c == F.lit(v_lo))
+                  & F.lit(v_lo == v_hi),
+        }[op]
+
+    v_num: int | float | None
+    try:
+        v_num = int(raw)
+    except ValueError:
+        try:
+            v_num = float(raw)
+        except ValueError:
+            v_num = None
+    if v_num is not None:
+        if isinstance(v_num, float) and v_num != v_num:   # NaN literal
+            if op in ("=", ">", ">="):     # only NaN rows satisfy these
+                num_cannot = nan_free
+            else:                          # <, <=, != match finite rows
+                num_cannot = F.lit(False)
+        else:
+            num_cannot = rng(lo_n, hi_n, _widen_num(v_num, up=False),
+                             _widen_num(v_num, up=True))
+            if nan_ops:                    # NaN rows satisfy these ops
+                num_cannot = num_cannot & nan_free
+        cannot = cannot | ((kind == "num") & lo_n.isNotNull() & num_cannot)
+    v_ts = _ts_micros(raw)
+    if v_ts is not None and utc_session:
+        cannot = cannot | ((kind == "ts") & lo_n.isNotNull()
+                           & rng(lo_n, hi_n, float(v_ts), float(v_ts)))
+    cannot = cannot | ((kind == "str") & lo_s.isNotNull()
+                       & rng(lo_s, hi_s, raw, raw))
+    d = raw.strip()
+    if len(d) == 10:
+        cannot = cannot | ((kind == "date") & lo_s.isNotNull()
+                           & rng(lo_s, hi_s, d, d))
+    return cannot
+
+
+def _stats_row_to_zone(r: dict) -> dict:
+    """STATS_SCHEMA row → the stats dict _zone_may_match consumes."""
+    if r["kind"] == "ts":
+        lo = None if r["lo_num"] is None else int(r["lo_num"])
+        hi = None if r["hi_num"] is None else int(r["hi_num"])
+    elif r["kind"] in ("str", "date"):
+        lo, hi = r["lo_str"], r["hi_str"]
+    else:
+        lo, hi = r["lo_num"], r["hi_num"]
+    st = {"kind": r["kind"], "min": lo, "max": hi, "nulls": r["nulls"]}
+    if r["has_nan"] is not None:
+        st["nan"] = r["has_nan"]
+    return st
+
+
+def zone_prune_parts(store: ChunkStore,
+                     predicates: str | list[str],
+                     spark: SparkSession | None = None,
+                     utc_session: bool = True) -> set[int]:
+    """Part ids whose zone maps might satisfy EVERY predicate (AND chain,
+    mirroring the reference's conjunctive --filter, transform.rs:146-155)
+    — a metadata-only scan, the chunk-store analog of parquet row-group
+    pruning / Iceberg file skipping.
+
+    Scale shape (VERDICT r3 #1): waved parts are pruned by a filter over
+    the per-wave columnar stats parquets — distributed via Spark when a
+    session is passed, columnar pyarrow on the driver otherwise — never a
+    per-manifest json.load. Only loose (un-compacted, bounded) parts and
+    pre-r4 legacy waves still parse JSON. `utc_session=False` disables
+    timestamp pruning: naive predicate values are interpreted as UTC, so
+    a non-UTC session's exact filter could disagree with the zone
+    decision."""
     import json as _json
-    col, op, raw = parse_zone_predicate(predicate)
+    preds = [predicates] if isinstance(predicates, str) else list(predicates)
+    parsed = [parse_zone_predicate(p) for p in preds]
+
+    def may_match_all(get_stats) -> bool:
+        for col, op, raw in parsed:
+            st = get_stats(col)
+            if st is not None and st.get("kind") == "ts" and not utc_session:
+                continue
+            if not _zone_may_match(st, op, raw):
+                return False
+        return True
+
+    have = store.stats_files()
     keep: set[int] = set()
-    for m in store.manifest_rows():
+    legacy = [m for w in store.waves() if w["wave"] not in have
+              for m in w["manifests"]]
+    for m in legacy + store.loose_manifest_rows():
         cols = _json.loads(m["columns"]) if isinstance(m["columns"], str) \
             else m["columns"]
-        stats = (cols.get(col) or {}).get("stats")
-        if _zone_may_match(stats, op, raw):
+        if may_match_all(lambda c: (cols.get(c) or {}).get("stats")):
             keep.add(m["part_id"])
+    if not have:
+        return keep
+    if spark is not None:
+        import pyspark.sql.functions as F
+        df = store.read_stats_parquet(spark)
+        drop = df.filter(F.lit(False)).select("part_id")
+        for col, op, raw in parsed:
+            d = (df.filter((F.col("column") == col)
+                           & _zone_cannot_match_col(op, raw, utc_session))
+                 .select("part_id"))
+            drop = drop.unionByName(d)
+        survivors = (df.select("part_id").distinct()
+                     .join(drop.distinct(), "part_id", "left_anti"))
+        keep.update(r[0] for r in survivors.collect())
+        return keep
+    # no session: columnar pyarrow scan of the stats parquets (driver-side
+    # but zero JSON; one batch pass per wave file)
+    by_part: dict[int, dict[str, dict]] = {}
+    for path in have.values():
+        for r in pq.read_table(path).to_pylist():
+            by_part.setdefault(r["part_id"], {})[r["column"]] = \
+                _stats_row_to_zone(r)
+    for pid, cols_st in by_part.items():
+        if may_match_all(cols_st.get):
+            keep.add(pid)
     return keep
 
 
@@ -467,6 +842,19 @@ def _write_wave(store_root: str, seq: int, parts: list[int]) -> dict:
                 writer.close()
         os.makedirs(os.path.join(store_root, "waves"), exist_ok=True)
         os.replace(tmp, os.path.join(store_root, "waves", wave_name))
+        # columnar zone/stats sidecar BEFORE the commit point, so a
+        # committed wave always has one (a crash in between leaves an
+        # orphan stats file the rebuilt wave simply overwrites)
+        os.makedirs(store.stats_dir, exist_ok=True)
+        stats_rows = [r for m in manifests for r in _manifest_stats_rows(m)]
+        stats_tbl = pa.Table.from_pydict(
+            {f.name: [r[f.name] for r in stats_rows] for f in STATS_SCHEMA},
+            schema=STATS_SCHEMA)
+        tmp_stats = os.path.join(store.staging_dir,
+                                 f"wave-{seq:06d}.{token}.stats.parquet")
+        pq.write_table(stats_tbl, tmp_stats, compression="zstd")
+        os.replace(tmp_stats, os.path.join(store.stats_dir,
+                                           f"wave-{seq:06d}.parquet"))
         # store only the basename: a store moved/renamed (or opened from
         # a different cwd with a relative root) must still resolve its
         # wave files — data_files() re-joins with self.root (ADVICE r1).
@@ -703,10 +1091,24 @@ def encode_to_store_colocated(df: DataFrame, store: ChunkStore,
     return summary
 
 
+def _id_ranges(ids: list[int]) -> list[tuple[int, int]]:
+    """Sorted ids → maximal contiguous [a, b] ranges."""
+    ranges: list[tuple[int, int]] = []
+    for p in ids:
+        if ranges and p == ranges[-1][1] + 1:
+            ranges[-1] = (ranges[-1][0], p)
+        else:
+            ranges.append((p, p))
+    return ranges
+
+
+_UTC_NAMES = frozenset(["UTC", "Etc/UTC", "GMT", "Z", "+00:00", "UTC+00:00"])
+
+
 def decode_from_store(store: ChunkStore, spark: SparkSession,
                       output_ddl: str | None = None,
                       columns: list[str] | None = None,
-                      predicate: str | None = None) -> DataFrame:
+                      predicate: str | list[str] | None = None) -> DataFrame:
     if output_ddl is None:  # schema was pinned at first encode
         meta = store.read_meta()
         if meta is None or "schema_ddl" not in meta:
@@ -717,30 +1119,55 @@ def decode_from_store(store: ChunkStore, spark: SparkSession,
     # contiguous within a scan partition → zero-shuffle streaming decode.
     # `columns` prunes at the chunk scan, so unrequested columns' blobs are
     # never read or decoded (projection pushdown for the chunk store).
-    # `predicate` ('col>=value', CLI filter mini-language) prunes whole
-    # CHUNKS via the manifest zone maps before any file is opened —
-    # predicate pushdown to the store's metadata layer (parquet
-    # row-group-stats / Iceberg file-skipping analog; effective when the
-    # data is value-clustered across chunks, e.g. the colocated path on
-    # sorted inputs) — then re-applies the exact filter after decode.
+    # `predicate` — one or more 'col>=value' comparisons, AND'd like the
+    # reference's chained --filter (transform.rs:146-155) — prunes whole
+    # CHUNKS via the zone-map stats before any file is opened (predicate
+    # pushdown to the store's metadata layer; effective when the data is
+    # value-clustered across chunks), then re-applies the exact filters
+    # after decode.
     from .decode import decode_chunks_colocated
+    predicates = [predicate] if isinstance(predicate, str) \
+        else list(predicate or [])
     keep_parts = None
-    pred_col = None
-    if predicate is not None:
-        pred_col, _op, _raw = parse_zone_predicate(predicate)
-        keep_parts = zone_prune_parts(store, predicate)
+    pred_cols = []
+    if predicates:
+        pred_cols = [parse_zone_predicate(p)[0] for p in predicates]
+        utc = spark.conf.get("spark.sql.session.timeZone") in _UTC_NAMES
+        keep_parts = zone_prune_parts(store, predicates, spark=spark,
+                                      utc_session=utc)
     chunks = store.read_chunks(spark, keep_parts)
-    if keep_parts is not None and len(keep_parts) <= 10_000:
-        # fine-grained half: parquet row-group stats on part_id (one part
-        # = one row group in wave files) skip surviving waves' other parts
-        from pyspark.sql.functions import col
-        chunks = chunks.filter(
-            col("part_id").isin([int(p) for p in keep_parts]))
+    if keep_parts is not None:
+        # fine-grained half: skip surviving waves' OTHER parts. Contiguous
+        # survivor ids collapse to a handful of BETWEEN ranges — a tiny
+        # expression that pushes to parquet row-group stats (one part =
+        # one row group in wave files). Scattered ids (e.g. hashed
+        # colocated chunk ids) instead broadcast-semi-join a one-column
+        # survivor frame — no 10k-literal IN list, no plan-size cap, no
+        # silent skip above it (VERDICT r3 #2) — plus a min/max range
+        # filter that still reaches the row-group stats.
+        from pyspark.sql.functions import broadcast, col
+        ids = sorted(int(p) for p in keep_parts)
+        ranges = _id_ranges(ids)
+        if len(ranges) <= 128:
+            cond = None
+            for a, b in ranges:
+                c = col("part_id").between(a, b)
+                cond = c if cond is None else cond | c
+            if cond is not None:
+                chunks = chunks.filter(cond)
+        elif ids:
+            ids_df = spark.createDataFrame([(p,) for p in ids],
+                                           "part_id bigint")
+            chunks = (chunks
+                      .filter(col("part_id").between(ids[0], ids[-1]))
+                      .join(broadcast(ids_df), "part_id", "left_semi"))
     drop_after = []
     if columns is not None:
-        if pred_col is not None and pred_col not in columns:
-            columns = list(columns) + [pred_col]  # needed for the filter
-            drop_after.append(pred_col)
+        columns = list(columns)
+        for pc_name in pred_cols:
+            if pc_name not in columns:
+                columns.append(pc_name)  # needed for the exact filter
+                drop_after.append(pc_name)
         from pyspark.sql.functions import col
         chunks = chunks.filter(col("column").isin(list(columns)))
         from pyspark.sql.types import StructType
@@ -758,12 +1185,13 @@ def decode_from_store(store: ChunkStore, spark: SparkSession,
     target = cores if n_parts > 2 * cores else None
     decoded = decode_chunks_colocated(chunks, output_ddl,
                                       target_partitions=target)
-    if predicate is not None:
-        # exact filter on the decoded rows: zone pruning only skipped
+    if predicates:
+        # exact filters on the decoded rows: zone pruning only skipped
         # chunks that could not match; surviving chunks still carry
         # non-matching rows
         from .transforms import _parse_filter
-        decoded = decoded.filter(_parse_filter(decoded, predicate))
+        for p in predicates:
+            decoded = decoded.filter(_parse_filter(decoded, p))
         if drop_after:
             decoded = decoded.drop(*drop_after)
     return decoded

@@ -89,6 +89,10 @@ def _typed_lit(raw: str, ddl: str) -> Column:
 
 _FILTER_RE = re.compile(r"^(.*?)(!=|>=|<=|=|>|<)(.*)$")
 
+# tail ≤ this collects the last n rows in ONE job; bigger tails fall back
+# to the distributed count+offset plan (two jobs, zero driver memory)
+_TAIL_COLLECT_MAX = 100_000
+
 
 def _parse_filter(df: DataFrame, expr: str) -> Column:
     """Comparison + null-predicate filters (transform.rs:158-325)."""
@@ -140,10 +144,17 @@ def apply_transforms(df: DataFrame, spec: TransformSpec) -> DataFrame:
             t, idx_raw = t.split("@", 1)
             idx = int(idx_raw)
         existing = list(df.columns)
+        if idx is not None and name in existing:
+            # an @IDX on an existing column would otherwise overwrite the
+            # value but silently keep the old position (ADVICE r3) —
+            # refuse loudly rather than surprise
+            raise ValueError(
+                f"@{idx}: column {name!r} already exists; insert-at-index "
+                f"only applies to NEW columns (use set/rename to modify)")
         df = df.withColumn(
             name, _typed_lit(raw, spark_type(t)) if raw is not None
             else F.lit(None).cast(spark_type(t)))
-        if idx is not None and name not in existing:
+        if idx is not None:
             if not 0 <= idx <= len(existing):
                 raise ValueError(
                     f"insert index {idx} out of range for "
@@ -201,8 +212,18 @@ def apply_transforms(df: DataFrame, spec: TransformSpec) -> DataFrame:
     if spec.head is not None:
         df = df.limit(spec.head)
     if spec.tail is not None:
-        total = df.count()
-        df = df.offset(max(0, total - spec.tail))
+        if spec.tail <= _TAIL_COLLECT_MAX:
+            # ONE job: DataFrame.tail collects the last n rows in plan
+            # order (the count()+offset form ran the upstream plan twice
+            # — VERDICT r3). n is user-typed and small, so the local
+            # relation is bounded.
+            rows = df.tail(spec.tail)
+            df = df.sparkSession.createDataFrame(rows, df.schema)
+        else:
+            # huge tails stay distributed: a count job + offset job
+            # instead of collecting gigabytes to the driver
+            total = df.count()
+            df = df.offset(max(0, total - spec.tail))
     # 12. value_counts REPLACES the relation (transform.rs:609-623)
     if spec.value_counts is not None:
         df = (df.groupBy(spec.value_counts).agg(F.count("*").alias("count"))

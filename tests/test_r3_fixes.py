@@ -86,15 +86,23 @@ def test_exact_dedup_hash_key_parity_and_plan(spark):
         assert len(got) == 40
         assert ("d000", "text number 0") in got
         assert ("d039", "text number 39") in got
-    # the dedup-decision exchange hashes the 8-byte xxhash64 key, never
-    # the text column (VERDICT r2 #1)
-    plan = (dedup.exact_dedup(df)._jdf.queryExecution()
+    # with verify=False the dedup-decision exchange hashes the 8-byte
+    # xxhash64 key, never the text column (VERDICT r2 #1)
+    plan = (dedup.exact_dedup(df, verify=False)._jdf.queryExecution()
             .executedPlan().toString())
     keys = [seg.split(")")[0]                # partitioning key expressions
             for seg in plan.split("hashpartitioning")[1:]]
     assert keys
     assert any("_h" in k for k in keys)      # dedup decision: 8-byte hash
     assert not any("text" in k for k in keys)  # corpus never a shuffle key
+    # the DEFAULT is verify=True (ADVICE r3: birthday bound makes a
+    # 64-bit collision expected at ~5e9 distinct texts): the decision
+    # window re-compares the text inside each hash bucket
+    vplan = (dedup.exact_dedup(df)._jdf.queryExecution()
+             .executedPlan().toString())
+    vkeys = [seg.split(")")[0]
+             for seg in vplan.split("hashpartitioning")[1:]]
+    assert any("_h" in k and "text" in k for k in vkeys)
 
 
 # -- distributed compaction -------------------------------------------------

@@ -1,0 +1,302 @@
+"""Round-4 fixes: zone-map tz/NaN soundness (ADVICE r3), multi-predicate
+pruning, columnar stats-parquet metadata (no per-manifest json.load on the
+prune path), broadcast fine prune (no 10k IN-list), exact_dedup verify
+default, with_columns @IDX strictness."""
+
+from __future__ import annotations
+
+import datetime
+import json
+import math
+
+import pyarrow as pa
+import pyspark.sql.functions as F
+import pytest
+
+from tbl_spark.store import (ChunkStore, _column_stats, _id_ranges,
+                             _zone_may_match, decode_from_store,
+                             encode_to_store, encode_to_store_colocated,
+                             zone_prune_parts)
+
+
+# -- zone-map soundness: tz-aware timestamps (ADVICE r3 high) ----------------
+
+def test_zone_ts_tzaware_stats_do_not_false_prune():
+    utc = datetime.timezone.utc
+    tbl = pa.table({
+        "ts": pa.array([datetime.datetime(2024, 1, 2, 12, 0, 0, tzinfo=utc),
+                        datetime.datetime(2024, 1, 2, 23, 59, 59,
+                                          tzinfo=utc)],
+                       pa.timestamp("us", tz="UTC")),
+    })
+    st = _column_stats(tbl)["ts"]
+    # stats are epoch micros (ints), not str(datetime) with a '+00:00'
+    # suffix that lexicographically false-pruned naive predicate values
+    assert isinstance(st["min"], int) and isinstance(st["max"], int)
+    # the exact ADVICE failure: '=' and '<=' at the chunk min must keep
+    assert _zone_may_match(st, "=", "2024-01-02 12:00:00")
+    assert _zone_may_match(st, "<=", "2024-01-02 12:00:00")
+    assert _zone_may_match(st, ">=", "2024-01-02T13:00:00")
+    # tz-suffixed predicate values compare as instants too
+    assert _zone_may_match(st, "=", "2024-01-02 12:00:00+00:00")
+    assert _zone_may_match(st, "=", "2024-01-02 13:00:00+01:00")
+    # genuinely out-of-range still prunes
+    assert not _zone_may_match(st, ">", "2024-01-03 00:00:00")
+    assert not _zone_may_match(st, "<", "2024-01-02 12:00:00")
+    # unparseable keeps
+    assert _zone_may_match(st, "=", "not a time")
+
+
+def test_zone_ts_ns_unit_floors_soundly():
+    tbl = pa.table({"ts": pa.array([1_700_000_000_123_456_789],
+                                   pa.timestamp("ns"))})
+    st = _column_stats(tbl)["ts"]
+    # ns → us floors lo, ceils hi: the 1-ns-wide chunk still matches its
+    # own truncated-to-us value in both directions
+    assert st["min"] == 1_700_000_000_123_456 and \
+        st["max"] == 1_700_000_000_123_457
+    assert st["min"] <= st["max"]
+
+
+# -- zone-map soundness: NaN (ADVICE r3 medium) ------------------------------
+
+def test_zone_nan_keeps_chunks():
+    nan = float("nan")
+    tbl = pa.table({
+        "x": pa.array([1.0, nan, 5.0], pa.float64()),
+        "y": pa.array([nan, nan, nan], pa.float64()),
+        "z": pa.array([1.0, 5.0, 3.0], pa.float64()),
+    })
+    st = _column_stats(tbl)
+    sx, sy, sz = st["x"], st["y"], st["z"]
+    assert sx["nan"] is True and sz["nan"] is False
+    # Spark orders NaN above every value: >, >=, =, != must keep a
+    # NaN-carrying chunk regardless of its finite hi
+    assert _zone_may_match(sx, ">", "1e300")
+    assert _zone_may_match(sx, ">=", "1e300")
+    assert _zone_may_match(sx, "=", "1e300")
+    assert not _zone_may_match(sz, ">", "1e300")     # NaN-free still prunes
+    # all-NaN chunk: min_max found no finite bounds, but rows exist
+    assert sy["min"] is None and sy["nan"] is True
+    assert _zone_may_match(sy, ">", "0")
+    assert _zone_may_match(sy, "=", "0")
+    assert not _zone_may_match(sy, "<", "0")         # NaN < v is never true
+    # NaN literal predicates: = / >= match only NaN rows; <, <=, != match
+    # every finite row (NaN is greatest)
+    assert _zone_may_match(sx, "=", "NaN")
+    assert not _zone_may_match(sz, "=", "NaN")
+    assert _zone_may_match(sz, "<=", "NaN")
+    assert _zone_may_match(sz, "!=", "NaN")
+    # stats stay strict-JSON serializable (no NaN tokens)
+    for s in (sx, sy, sz):
+        parsed = json.loads(json.dumps(s, allow_nan=False))
+        assert parsed["kind"] == "num"
+
+
+def test_zone_nan_decode_roundtrip(spark, tmp_path):
+    rows = [(f"d{i:03d}", float(i)) for i in range(64)]
+    rows += [(f"n{i:03d}", float("nan")) for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id string, val double")
+    store = ChunkStore(str(tmp_path / "store"))
+    encode_to_store(df, store, 8, salt_cols=("doc_id",))
+    # Spark semantics: NaN > 50 is TRUE — the NaN rows must survive the
+    # zone-pruned decode
+    got = decode_from_store(store, spark, predicate="val>50")
+    expected = df.filter(F.col("val") > 50)
+    assert got.count() == expected.count()
+    assert {r["doc_id"] for r in got.collect()} == \
+        {r["doc_id"] for r in expected.collect()}
+
+
+# -- multi-predicate zone pruning (VERDICT r3 #3) ----------------------------
+
+def _sorted_store(spark, tmp_path, n_docs=4000, n_files=16):
+    from tbl_spark.datagen import write_token_table
+    path = str(tmp_path / "tt")
+    write_token_table(path, n_docs, n_parts=n_files)
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "262144")
+    try:
+        df = spark.read.parquet(path)
+        store = ChunkStore(str(tmp_path / "store"))
+        encode_to_store_colocated(df, store, tokens_per_chunk=100_000)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+    return store, df
+
+
+def _range_clustered_store(spark, tmp_path, n_docs=4000, n_files=16):
+    """Store whose chunks partition a GLOBALLY sorted key range: file j
+    holds vals [j*250, (j+1)*250) → one chunk per file → zone maps on
+    'val' are disjoint intervals and both range ends prune."""
+    import os
+
+    import pyarrow.parquet as pq
+    src = str(tmp_path / "sorted_src")
+    os.makedirs(src)
+    per = n_docs // n_files
+    for j in range(n_files):
+        lo = j * per
+        tbl = pa.table({
+            "doc_id": pa.array([f"d{i:06d}" for i in range(lo, lo + per)]),
+            "val": pa.array(list(range(lo, lo + per)), pa.int64()),
+        })
+        pq.write_table(tbl, os.path.join(src, f"part-{j:05d}.parquet"))
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "262144")
+    try:  # one file per scan partition → chunk boundaries align to files
+        df = spark.read.parquet(src)
+        store = ChunkStore(str(tmp_path / "sorted_store"))
+        encode_to_store_colocated(df, store, tokens_per_chunk=per)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+    df = spark.read.parquet(src)
+    return store, df
+
+
+def test_multi_predicate_prune_intersects(spark, tmp_path):
+    store, df = _range_clustered_store(spark, tmp_path)
+    p1, p2 = "val>=1500", "val<2500"
+    k1 = zone_prune_parts(store, p1)
+    k2 = zone_prune_parts(store, p2)
+    both = zone_prune_parts(store, [p1, p2])
+    # two predicates together prune chunks neither prunes alone
+    assert both == (k1 & k2)
+    assert len(both) < len(k1) and len(both) < len(k2)
+    assert len(both) == 4                   # vals 1500..2499 = 4 chunks
+    got = decode_from_store(store, spark, "doc_id string, val bigint",
+                            predicate=[p1, p2])
+    expected = df.filter((F.col("val") >= 1500) & (F.col("val") < 2500))
+    assert got.count() == expected.count() == 1000
+    assert {r["doc_id"] for r in got.select("doc_id").collect()} == \
+        {r["doc_id"] for r in expected.select("doc_id").collect()}
+
+
+def test_cli_decode_where_repeatable(spark, tmp_path, capsys):
+    from tbl_spark.cli import main
+    from tbl_spark.datagen import write_token_table
+    src = str(tmp_path / "src")
+    write_token_table(src, 400, n_parts=2)
+    store = str(tmp_path / "store")
+    assert main(["encode", src, "--store", store, "--num-parts", "4"]) == 0
+    capsys.readouterr()
+    out = str(tmp_path / "out")
+    assert main(["decode", "--store", store, "--where", "n_tok>=100",
+                 "--where", "n_tok<1000", "--output", out]) == 0
+    got = spark.read.parquet(out)
+    expected = (spark.read.parquet(src)
+                .filter((F.col("n_tok") >= 100) & (F.col("n_tok") < 1000)))
+    assert got.count() == expected.count() > 0
+
+
+# -- columnar stats metadata (VERDICT r3 #1) ---------------------------------
+
+class _CountingJson:
+    """json proxy that counts load() calls (delegates everything)."""
+
+    def __init__(self, real):
+        self._real = real
+        self.loads_seen = 0
+
+    def load(self, *a, **kw):
+        self.loads_seen += 1
+        return self._real.load(*a, **kw)
+
+    def __getattr__(self, name):
+        return getattr(self._real, name)
+
+
+def test_prune_path_reads_no_per_manifest_json(spark, tmp_path, monkeypatch):
+    import tbl_spark.store as store_mod
+    store, df = _range_clustered_store(spark, tmp_path, n_docs=6000,
+                                       n_files=24)
+    n_parts = len(store.committed_parts())
+    assert n_parts >= 20
+    store.compact(wave_size=4, spark=spark)   # all parts waved
+    n_waves = len(store.waves())
+    assert store.stats_files() and len(store.stats_files()) == n_waves
+    assert not store.loose_manifest_rows()
+    pred = "val>=5000"
+    counter = _CountingJson(json)
+    monkeypatch.setattr(store_mod, "json", counter)
+    kept_spark = zone_prune_parts(store, pred, spark=spark)
+    spark_loads = counter.loads_seen
+    kept_arrow = zone_prune_parts(store, pred)
+    # the prune path opens wave manifests (one per WAVE) but never
+    # json.loads a per-part manifest
+    assert spark_loads <= n_waves
+    assert counter.loads_seen <= 2 * n_waves
+    monkeypatch.undo()
+    # parity: Spark filter path == pyarrow path == legacy JSON walk
+    stats_bak = str(tmp_path / "stats_bak")
+    import os
+    os.rename(store.stats_dir, stats_bak)
+    kept_json = zone_prune_parts(store, pred)
+    os.rename(stats_bak, store.stats_dir)
+    assert kept_spark == kept_arrow == kept_json
+    assert 0 < len(kept_spark) < n_parts
+
+
+def test_store_stats_and_manifest_parity_after_compaction(spark, tmp_path):
+    from tbl_spark.inspect import store_stats
+    store, _ = _sorted_store(spark, tmp_path)
+    before = store_stats(store)
+    m_before = {r["part_id"]: r for r in store.read_manifest(spark).collect()}
+    store.compact(wave_size=4, spark=spark)
+    after = store_stats(store)
+    assert before == after           # rollup identical from stats parquet
+    m_after = {r["part_id"]: r for r in store.read_manifest(spark).collect()}
+    assert set(m_before) == set(m_after)
+    for pid, r in m_before.items():
+        a = m_after[pid]
+        for f in ("n_rows", "n_values", "raw_bytes", "enc_bytes"):
+            assert r[f] == a[f]
+        assert json.loads(r["columns"]).keys() == \
+            json.loads(a["columns"]).keys()
+
+
+# -- fine prune: ranges / broadcast, no IN-list (VERDICT r3 #2) --------------
+
+def test_id_ranges():
+    assert _id_ranges([]) == []
+    assert _id_ranges([5]) == [(5, 5)]
+    assert _id_ranges([1, 2, 3, 7, 9, 10]) == [(1, 3), (7, 7), (9, 10)]
+
+
+def test_fine_prune_plan_has_no_giant_inlist(spark, tmp_path):
+    from tbl_spark.datagen import SPARK_SCHEMA_DDL
+    # 140 colocated chunks → 140 scattered 63-bit hashed ids → >128
+    # ranges → broadcast-semi-join path
+    store, df = _sorted_store(spark, tmp_path, n_docs=2800, n_files=140)
+    assert len(store.committed_parts()) >= 130
+    got = decode_from_store(store, spark, SPARK_SCHEMA_DDL,
+                            predicate="n_tok>=1")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    assert "LeftSemi" in plan
+    # no 10k-literal IN expression tree: the plan never enumerates ids
+    assert plan.count("part_id#") < 1000
+    assert got.count() == df.filter(F.col("n_tok") >= 1).count()
+
+
+def test_fine_prune_contiguous_ids_use_between(spark, tmp_path):
+    from tbl_spark.datagen import generate_df
+    df = generate_df(spark, 3000, 4)
+    store = ChunkStore(str(tmp_path / "store"))
+    encode_to_store(df, store, 24)          # salted: part ids 0..23
+    got = decode_from_store(store, spark, predicate="n_tok>=1")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" not in plan           # contiguous → BETWEEN, no join
+    assert got.count() == df.filter(F.col("n_tok") >= 1).count()
+
+
+# -- with_columns @IDX on an existing column raises (ADVICE r3 low) ----------
+
+def test_with_columns_at_idx_existing_raises(spark):
+    from tbl_spark.transforms import TransformSpec, apply_transforms
+    df = spark.createDataFrame([(1, "a")], "x int, s string")
+    with pytest.raises(ValueError, match="already exists"):
+        apply_transforms(df, TransformSpec(with_columns=["x:i32@0=1"]))
+    # plain overwrite without @IDX still works
+    out = apply_transforms(df, TransformSpec(with_columns=["x:i32=9"]))
+    assert out.collect()[0]["x"] == 9
