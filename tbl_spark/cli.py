@@ -191,9 +191,10 @@ def confirm_io(pairs: list[tuple[str, str]], yes: bool,
         total += size
         mark = " (inplace)" if src == dst else ""
         print(f"  {src} ({size:,} B) -> {dst}{mark}")
-    print(f"{len(pairs)} file(s), {total:,} input bytes")
+    from . import styles
+    print(styles.constant(f"{len(pairs)} file(s), {total:,} input bytes"))
     if dry_run:
-        print("dry run: no files written")
+        print(styles.comment("dry run: no files written"))
         return False
     if yes:
         return True
@@ -236,17 +237,22 @@ def _tabulate(rows, columns: list[str]) -> str:
     """Driver-side pretty grid of collected Rows (show(truncate=False)
     layout) — formatting never re-enters the JVM (VERDICT r3 #3: the old
     path re-shipped every collected row through createDataFrame().show(),
-    a full serialize/deserialize round trip purely for printing)."""
+    a full serialize/deserialize round trip purely for printing). Widths
+    are computed on the plain text; tty styling (styles.py) is applied
+    after padding so alignment never shifts."""
+    from . import styles
     cells = [[_fmt_cell(v) for v in row] for row in rows]
     widths = [max(len(name), *(len(r[i]) for r in cells)) if cells
               else len(name) for i, name in enumerate(columns)]
-    sep = "+" + "+".join("-" * w for w in widths) + "+"
+    sep = styles.comment("+" + "+".join("-" * w for w in widths) + "+")
 
-    def line(vals):
-        return "|" + "|".join(v.ljust(w)
-                              for v, w in zip(vals, widths)) + "|"
+    def line(vals, style=None):
+        padded = [v.ljust(w) for v, w in zip(vals, widths)]
+        if style is not None:
+            padded = [style(c) for c in padded]
+        return "|" + "|".join(padded) + "|"
 
-    return "\n".join([sep, line(columns), sep]
+    return "\n".join([sep, line(columns, styles.title), sep]
                      + [line(r) for r in cells] + [sep])
 
 
@@ -278,7 +284,9 @@ def _print_stdout(out, args) -> None:
     rows = out.limit(n + 1).collect()
     print(_tabulate(rows[:n], out.columns))
     if len(rows) > n:
-        print("more rows omitted, use -n all to show all rows")
+        from . import styles
+        print(styles.comment("more rows omitted, use -n all to show "
+                             "all rows"))
 
 
 _SUBCOMMANDS = {"data", "merge", "python", "ls", "schema", "schemas",
@@ -301,15 +309,18 @@ def main(argv: list[str] | None = None) -> int:
         if not info["paths"]:
             print("[no tabular paths]")
             return 0
+        from . import styles
         shown = display_paths(info["paths"], args.absolute)
         n_print = args.n if args.n is not None else 100
         for p in shown[:n_print]:
             print(p)
         if n_print < len(shown):
-            print(f"... {len(shown) - n_print:,} files not shown")
-        print(f"{info['rows']:,} rows stored in "
-              f"{format_bytes(info['bytes'])} across "
-              f"{info['files']:,} tabular files")
+            print(styles.comment(
+                f"... {len(shown) - n_print:,} files not shown"))
+        print(styles.constant(
+            f"{info['rows']:,} rows stored in "
+            f"{format_bytes(info['bytes'])} across "
+            f"{info['files']:,} tabular files"))
         return 0
 
     if args.cmd == "schema":
@@ -317,11 +328,13 @@ def main(argv: list[str] | None = None) -> int:
         groups = schema_summary(args.paths or None, args.tree, args.top,
                                 sort_by=args.sort, examples=args.examples,
                                 absolute=args.absolute)
+        from . import styles
         for g in groups:
-            print(f"# {g['files']} files, {g['rows']:,} rows")
+            print(styles.title(f"# {g['files']} files, "
+                               f"{g['rows']:,} rows"))
             if args.examples and g["example_paths"]:
                 for p in g["example_paths"]:
-                    print(f"  example: {p}")
+                    print(styles.comment(f"  example: {p}"))
             for name, c in g["columns"].items():
                 if args.columns and name not in args.columns:
                     continue

@@ -391,3 +391,27 @@ def test_rans_lane_count_scales_with_n():
         L, _k, _sb = struct.unpack_from("<IIQ", core, 0)
         assert L <= expect_max, (n, L)
         assert (rans.decode(core, n, freqs) == codes).all()
+
+
+# -- tty styling (reference styles.rs parity; plain when piped) --------------
+
+def test_cli_styling_tty_only(monkeypatch):
+    from tbl_spark import styles
+    from tbl_spark.cli import _tabulate
+
+    monkeypatch.setenv("TBL_SPARK_COLOR", "1")
+    colored = _tabulate([(1, "a")], ["x", "s"])
+    assert "\x1b[" in colored and "\x1b[0m" in colored
+    assert styles.enabled()
+
+    monkeypatch.setenv("TBL_SPARK_COLOR", "0")
+    plain = _tabulate([(1, "a")], ["x", "s"])
+    assert "\x1b[" not in plain
+    # alignment identical with and without styling
+    import re
+    assert re.sub(r"\x1b\[[0-9;]*m", "", colored) == plain
+
+    # NO_COLOR respected when not forced
+    monkeypatch.delenv("TBL_SPARK_COLOR", raising=False)
+    monkeypatch.setenv("NO_COLOR", "1")
+    assert not styles.enabled()
