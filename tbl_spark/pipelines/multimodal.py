@@ -111,8 +111,11 @@ def decode_image(payload: bytes, width: int, height: int,
     px = _decode_ppm(payload)
     if px is not None:
         if width and height and px.shape[:2] != (height, width):
-            px = _resize_nearest(px, width, height)
-        return px
+            return _resize_nearest(px, width, height)
+        # copy: frombuffer views over bytes are read-only, but the PIL
+        # and fake paths return writable arrays — keep the contract
+        # uniform so in-place pixel ops don't fail format-dependently
+        return px.copy()
     if not HAVE_PIL:
         raise NotImplementedError(
             "real decode of non-PPM images requires PIL, which is not "

@@ -423,13 +423,27 @@ class ChunkStore:
         return out
 
     def stats_files(self) -> dict[int, str]:
-        """{wave_seq: stats parquet path} for waves that have one."""
+        """{wave_seq: stats parquet path} for COMMITTED waves that have
+        one. The stats sidecar is renamed into place before the wave
+        manifest (the commit point), so a crash in between leaves an
+        orphan stats parquet while the wave's parts are still loose —
+        reading it would double-count those parts (and make
+        read_manifest hit duplicate map keys). Filtering on the
+        manifest's existence (a name check, no json.load) makes the
+        orphan invisible until the rebuilt wave commits over it."""
         if not os.path.isdir(self.stats_dir):
             return {}
+        committed = set()
+        if os.path.isdir(self.manifest_dir):
+            for name in os.listdir(self.manifest_dir):
+                if name.startswith("wave-") and name.endswith(".json"):
+                    committed.add(int(name[5:-5]))
         out = {}
         for name in sorted(os.listdir(self.stats_dir)):
             if name.startswith("wave-") and name.endswith(".parquet"):
-                out[int(name[5:-8])] = os.path.join(self.stats_dir, name)
+                seq = int(name[5:-8])
+                if seq in committed:
+                    out[seq] = os.path.join(self.stats_dir, name)
         return out
 
     def stats_table(self) -> pa.Table:
@@ -526,8 +540,13 @@ def _column_stats(tbl: pa.Table) -> dict[str, dict]:
         if is_float:
             has_nan = bool(pc.any(pc.is_nan(arr), min_count=0).as_py())
         if nulls == len(arr):
+            # all-null num chunks record nan=False explicitly: readers
+            # treat an ABSENT flag on a boundless chunk as "may be
+            # all-NaN" (legacy float stats) and keep — the flag lets
+            # fresh stores still prune genuinely all-null chunks
             out[name] = {"kind": kind, "min": None, "max": None,
-                         "nulls": nulls}
+                         "nulls": nulls,
+                         **({"nan": False} if kind == "num" else {})}
             continue
         mm = pc.min_max(arr)
         lo, hi = mm["min"].as_py(), mm["max"].as_py()
@@ -617,10 +636,15 @@ def _zone_may_match(stats: dict | None, op: str, raw: str) -> bool:
     lo, hi = stats.get("min"), stats.get("max")
     has_nan = stats.get("nan")
     if lo is None or hi is None:
-        # no finite bounds: all-null chunk (no comparison hits) unless
-        # NaN rows exist — Spark orders NaN above everything and
-        # NaN = NaN is true, so >, >=, =, != can still match
-        return bool(has_nan) and op in (">", ">=", "=", "!=")
+        # no finite bounds: an all-null chunk matches nothing, but an
+        # all-NaN float chunk looks identical (pyarrow min_max skips
+        # NaN) and its rows DO satisfy >, >=, =, != in Spark (NaN sorts
+        # greatest, NaN = NaN is true). Keep for those ops unless the
+        # nan flag says False; < and <= can match neither null nor NaN
+        # rows, so pruning them is sound either way.
+        if op in (">", ">=", "=", "!="):
+            return has_nan is not False
+        return False
     kind = stats.get("kind")
     if kind is None:                     # legacy manifest without kinds
         kind = "num" if isinstance(lo, (int, float)) \
@@ -678,10 +702,15 @@ def _zone_cannot_match_col(op: str, raw: str, utc_session: bool):
     lo_s, hi_s = F.col("lo_str"), F.col("hi_str")
     kind = F.col("kind")
     nan_free = F.col("has_nan").eqNullSafe(F.lit(False))
-    no_bounds = lo_n.isNull() & lo_s.isNull()
+    # bounds-bearing kinds only: bool (and binary/list → kind null)
+    # never record bounds, so their null bounds must read as "no zone",
+    # not "all-null chunk" — without this a data-bearing bool column
+    # would be falsely pruned
+    known_kind = kind.isin("num", "ts", "str", "date")
+    no_bounds = lo_n.isNull() & lo_s.isNull() & known_kind
     nan_ops = op in (">", ">=", "=", "!=")
-    # all-null chunk: nothing matches — unless NaN rows might exist and
-    # the op is one NaN satisfies
+    # all-null chunk: nothing matches — unless NaN rows might exist
+    # (all-NaN float chunks are also boundless; NaN satisfies these ops)
     cannot = no_bounds & (F.lit(not nan_ops) | nan_free)
 
     def rng(lo_c, hi_c, v_lo, v_hi):
@@ -715,8 +744,12 @@ def _zone_cannot_match_col(op: str, raw: str, utc_session: bool):
         cannot = cannot | ((kind == "num") & lo_n.isNotNull() & num_cannot)
     v_ts = _ts_micros(raw)
     if v_ts is not None and utc_session:
+        # _widen_num, not float(): epoch micros beyond 2^53 (~year 2255)
+        # round under plain float() and could falsely prune a chunk
+        # whose true min sits between the rounded and exact values
         cannot = cannot | ((kind == "ts") & lo_n.isNotNull()
-                           & rng(lo_n, hi_n, float(v_ts), float(v_ts)))
+                           & rng(lo_n, hi_n, _widen_num(v_ts, up=False),
+                                 _widen_num(v_ts, up=True)))
     cannot = cannot | ((kind == "str") & lo_s.isNotNull()
                        & rng(lo_s, hi_s, raw, raw))
     d = raw.strip()
@@ -726,8 +759,84 @@ def _zone_cannot_match_col(op: str, raw: str, utc_session: bool):
     return cannot
 
 
-def _stats_row_to_zone(r: dict) -> dict:
-    """STATS_SCHEMA row → the stats dict _zone_may_match consumes."""
+def _zone_cannot_match_mask(t: pa.Table, op: str, raw: str,
+                            utc_session: bool):
+    """pyarrow-compute twin of ``_zone_cannot_match_col``: a boolean
+    mask over STATS_SCHEMA rows, true only where the chunk PROVABLY
+    cannot match (same keep-on-doubt contract; nulls fold to keep).
+    Lets the no-session prune path run as a handful of vectorized
+    kernel calls instead of a per-row Python loop."""
+    import pyarrow.compute as pc
+    lo_n, hi_n = t["lo_num"], t["hi_num"]
+    lo_s, hi_s = t["lo_str"], t["hi_str"]
+    kind = t["kind"]
+
+    def B(x):                              # null (unknown) → False (keep)
+        return pc.fill_null(x, False)
+
+    false = pa.array([False] * len(t))
+    nan_free = B(pc.equal(t["has_nan"], pa.scalar(False)))
+    known = B(pc.is_in(kind, value_set=pa.array(
+        ["num", "ts", "str", "date"])))
+    no_bounds = pc.and_(pc.and_(pc.is_null(lo_n), pc.is_null(lo_s)), known)
+    nan_ops = op in (">", ">=", "=", "!=")
+    cannot = pc.and_(no_bounds, nan_free) if nan_ops else no_bounds
+
+    def rng(lo_c, hi_c, v_lo, v_hi):
+        if op == ">":
+            return B(pc.less_equal(hi_c, v_lo))
+        if op == ">=":
+            return B(pc.less(hi_c, v_lo))
+        if op == "<":
+            return B(pc.greater_equal(lo_c, v_hi))
+        if op == "<=":
+            return B(pc.greater(lo_c, v_hi))
+        if op == "=":
+            return B(pc.or_(pc.less(hi_c, v_lo), pc.greater(lo_c, v_hi)))
+        if v_lo != v_hi:                   # != with widened (inexact) value
+            return false
+        return B(pc.and_(pc.equal(lo_c, hi_c), pc.equal(lo_c, v_lo)))
+
+    v_num: int | float | None
+    try:
+        v_num = int(raw)
+    except ValueError:
+        try:
+            v_num = float(raw)
+        except ValueError:
+            v_num = None
+    if v_num is not None:
+        if isinstance(v_num, float) and v_num != v_num:    # NaN literal
+            num_cannot = nan_free if op in ("=", ">", ">=") else false
+        else:
+            num_cannot = rng(lo_n, hi_n, _widen_num(v_num, up=False),
+                             _widen_num(v_num, up=True))
+            if nan_ops:
+                num_cannot = pc.and_(num_cannot, nan_free)
+        cannot = pc.or_(cannot,
+                        pc.and_(B(pc.equal(kind, "num")), num_cannot))
+    v_ts = _ts_micros(raw)
+    if v_ts is not None and utc_session:
+        cannot = pc.or_(cannot, pc.and_(
+            B(pc.equal(kind, "ts")),
+            rng(lo_n, hi_n, _widen_num(v_ts, up=False),
+                _widen_num(v_ts, up=True))))
+    cannot = pc.or_(cannot, pc.and_(B(pc.equal(kind, "str")),
+                                    rng(lo_s, hi_s, raw, raw)))
+    d = raw.strip()
+    if len(d) == 10:
+        cannot = pc.or_(cannot, pc.and_(B(pc.equal(kind, "date")),
+                                        rng(lo_s, hi_s, d, d)))
+    return cannot
+
+
+def _stats_row_to_zone(r: dict) -> dict | None:
+    """STATS_SCHEMA row → the stats dict _zone_may_match consumes.
+    Kinds that never record bounds (bool, binary/list → kind None) map
+    to None = "no zone": their all-null bounds would otherwise read as
+    an all-null chunk and false-prune a data-bearing column."""
+    if r["kind"] not in ("num", "ts", "str", "date"):
+        return None
     if r["kind"] == "ts":
         lo = None if r["lo_num"] is None else int(r["lo_num"])
         hi = None if r["hi_num"] is None else int(r["hi_num"])
@@ -795,16 +904,18 @@ def zone_prune_parts(store: ChunkStore,
                      .join(drop.distinct(), "part_id", "left_anti"))
         keep.update(r[0] for r in survivors.collect())
         return keep
-    # no session: columnar pyarrow scan of the stats parquets (driver-side
-    # but zero JSON; one batch pass per wave file)
-    by_part: dict[int, dict[str, dict]] = {}
-    for path in have.values():
-        for r in pq.read_table(path).to_pylist():
-            by_part.setdefault(r["part_id"], {})[r["column"]] = \
-                _stats_row_to_zone(r)
-    for pid, cols_st in by_part.items():
-        if may_match_all(cols_st.get):
-            keep.add(pid)
+    # no session: vectorized pyarrow pass over the stats parquets — a
+    # handful of compute-kernel calls per predicate, never a per-row
+    # Python loop (the only per-part Python is the final id set)
+    import pyarrow.compute as pc
+    t = pa.concat_tables(pq.read_table(p) for p in have.values())
+    dropped: set[int] = set()
+    for col, op, raw in parsed:
+        sub = t.filter(pc.equal(t["column"], col))
+        mask = _zone_cannot_match_mask(sub, op, raw, utc_session)
+        dropped.update(
+            pc.unique(sub.filter(mask)["part_id"]).to_pylist())
+    keep.update(set(pc.unique(t["part_id"]).to_pylist()) - dropped)
     return keep
 
 

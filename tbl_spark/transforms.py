@@ -91,7 +91,22 @@ _FILTER_RE = re.compile(r"^(.*?)(!=|>=|<=|=|>|<)(.*)$")
 
 # tail ≤ this collects the last n rows in ONE job; bigger tails fall back
 # to the distributed count+offset plan (two jobs, zero driver memory)
-_TAIL_COLLECT_MAX = 100_000
+_TAIL_COLLECT_MAX = 100_000       # fixed-width rows: bounded bytes
+_TAIL_COLLECT_MAX_VAR = 1_000     # rows carrying unbounded-size columns
+
+
+def _tail_collect_cap(schema) -> int:
+    """Row cap for the single-job collected tail. Fixed-width schemas
+    have arithmetic byte bounds; any string/binary/array/map/struct
+    column makes a row unboundedly large (a documents row can carry
+    megabytes of text), so the cap drops to keep the driver safe and
+    bigger tails stay distributed (count + offset, two jobs)."""
+    from pyspark.sql.types import (ArrayType, BinaryType, MapType,
+                                   StringType, StructType)
+    var = (StringType, BinaryType, ArrayType, MapType, StructType)
+    if any(isinstance(f.dataType, var) for f in schema.fields):
+        return _TAIL_COLLECT_MAX_VAR
+    return _TAIL_COLLECT_MAX
 
 
 def _parse_filter(df: DataFrame, expr: str) -> Column:
@@ -212,11 +227,11 @@ def apply_transforms(df: DataFrame, spec: TransformSpec) -> DataFrame:
     if spec.head is not None:
         df = df.limit(spec.head)
     if spec.tail is not None:
-        if spec.tail <= _TAIL_COLLECT_MAX:
+        if spec.tail <= _tail_collect_cap(df.schema):
             # ONE job: DataFrame.tail collects the last n rows in plan
             # order (the count()+offset form ran the upstream plan twice
-            # — VERDICT r3). n is user-typed and small, so the local
-            # relation is bounded.
+            # — VERDICT r3). The cap is schema-aware so the local
+            # relation is byte-bounded, not just row-bounded.
             rows = df.tail(spec.tail)
             df = df.sparkSession.createDataFrame(rows, df.schema)
         else:

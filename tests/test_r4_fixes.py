@@ -415,3 +415,137 @@ def test_cli_styling_tty_only(monkeypatch):
     monkeypatch.delenv("TBL_SPARK_COLOR", raising=False)
     monkeypatch.setenv("NO_COLOR", "1")
     assert not styles.enabled()
+
+
+# -- review fixes: bool/binary zone soundness, orphan stats, ts widening ----
+
+def _zone_paths_agree_keep(spark, chunk_tbl, col, op, raw,
+                           expect_any_match):
+    """Run all three prune paths over ONE chunk's stats and assert the
+    soundness contract: a chunk with >=1 matching row is NEVER pruned."""
+    import pyarrow as pa
+    from tbl_spark.store import (STATS_SCHEMA, _column_stats,
+                                 _manifest_stats_rows, _stats_row_to_zone,
+                                 _zone_cannot_match_col,
+                                 _zone_cannot_match_mask, _zone_may_match)
+    stats = _column_stats(chunk_tbl)
+    manifest = {"part_id": 7, "n_rows": len(chunk_tbl), "encode_ms": 0.0,
+                "committed_at": 0.0,
+                "columns": {n: {"codec": "raw", "n_values": len(chunk_tbl),
+                                "raw_bytes": 1, "enc_bytes": 1,
+                                "stats": stats.get(n)}
+                            for n in chunk_tbl.column_names}}
+    # path 1: JSON manifest
+    keep_json = _zone_may_match(stats.get(col), op, raw)
+    # stats rows feed paths 2 and 3
+    rows = [r for r in _manifest_stats_rows(manifest) if r["column"] == col]
+    t = pa.Table.from_pydict(
+        {f.name: [r[f.name] for r in rows] for f in STATS_SCHEMA},
+        schema=STATS_SCHEMA)
+    # path 2: pyarrow mask
+    mask = _zone_cannot_match_mask(t, op, raw, utc_session=True)
+    keep_arrow = not mask.to_pylist()[0]
+    # path 3: Spark column
+    from tbl_spark.store import STATS_DDL
+    sdf = spark.createDataFrame(
+        [tuple(r[f.name] for f in STATS_SCHEMA) for r in rows], STATS_DDL)
+    n_cannot = sdf.filter(
+        _zone_cannot_match_col(op, raw, utc_session=True)).count()
+    keep_spark = n_cannot == 0
+    # zone dict round trip used by may_match_all over stats rows
+    keep_roundtrip = _zone_may_match(_stats_row_to_zone(rows[0]), op, raw)
+    if expect_any_match:   # matching rows exist -> nobody may prune
+        assert keep_json and keep_arrow and keep_spark and keep_roundtrip, \
+            (col, op, raw, keep_json, keep_arrow, keep_spark, keep_roundtrip)
+    return keep_json, keep_arrow, keep_spark, keep_roundtrip
+
+
+def test_zone_bool_and_binary_columns_never_false_prune(spark):
+    import pyarrow as pa
+    tbl = pa.table({
+        "flag": pa.array([True, False, True]),
+        "blob": pa.array([b"a", b"bb", None], type=pa.binary()),
+    })
+    for op in ("=", "!=", "<", "<=", ">", ">="):
+        # bool column with data: rows matching flag=true exist etc.
+        _zone_paths_agree_keep(spark, tbl, "flag", op, "true",
+                               expect_any_match=op not in ())
+        # binary column: zone layer must keep (exact filter decides)
+        _zone_paths_agree_keep(spark, tbl, "blob", op, "0x61",
+                               expect_any_match=True)
+
+
+def test_zone_all_null_and_all_nan_chunks(spark):
+    import numpy as np
+    import pyarrow as pa
+    all_null_int = pa.table({"x": pa.array([None, None], type=pa.int64())})
+    all_nan = pa.table({"x": pa.array([float("nan"), float("nan")])})
+    for op, raw in (("=", "5"), (">", "1"), ("<", "9"), ("!=", "3")):
+        # all-null: no rows match anything -> pruning allowed everywhere,
+        # but never REQUIRED; just assert no path crashes and paths that
+        # prune are sound (no matching rows exist)
+        _zone_paths_agree_keep(spark, all_null_int, "x", op, raw,
+                               expect_any_match=False)
+        # all-NaN: rows DO match >, >=, =NaN-ish ops?  In Spark NaN > 1
+        # is true and NaN != 3 is true -> those must keep
+        keep = _zone_paths_agree_keep(
+            spark, all_nan, "x", op, raw,
+            expect_any_match=op in (">", "!="))
+
+
+def test_zone_ts_beyond_2p53_micros_not_false_pruned(spark):
+    import datetime
+    import pyarrow as pa
+    # epoch micros ~ year 2400 >> 2^53; float() rounding must not prune
+    t = datetime.datetime(2400, 1, 1, 0, 0, 0, 1)
+    tbl = pa.table({"ts": pa.array([t], type=pa.timestamp("us"))})
+    _zone_paths_agree_keep(spark, tbl, "ts", "=",
+                           "2400-01-01 00:00:00.000001",
+                           expect_any_match=True)
+    _zone_paths_agree_keep(spark, tbl, "ts", "<=",
+                           "2400-01-01 00:00:00.000001",
+                           expect_any_match=True)
+
+
+def test_orphan_stats_parquet_invisible_until_wave_commits(tmp_path):
+    import shutil
+
+    from tbl_spark.store import ChunkStore
+    store = ChunkStore(str(tmp_path / "s"))
+    store.init_dirs()
+    import os
+    os.makedirs(store.stats_dir, exist_ok=True)
+    # orphan: stats parquet exists, wave manifest does not (crash window)
+    import pyarrow.parquet as pq
+    from tbl_spark.store import STATS_SCHEMA
+    pq.write_table(STATS_SCHEMA.empty_table(),
+                   os.path.join(store.stats_dir, "wave-000042.parquet"))
+    assert store.stats_files() == {}
+    # once the wave manifest commits, the stats file becomes visible
+    with open(os.path.join(store.manifest_dir, "wave-000042.json"),
+              "w") as f:
+        f.write('{"wave": 42, "parts": [], "file": "x", "manifests": []}')
+    assert list(store.stats_files()) == [42]
+
+
+def test_tail_cap_is_schema_aware(spark):
+    from tbl_spark.transforms import (TransformSpec, _tail_collect_cap,
+                                      apply_transforms)
+    fixed = spark.createDataFrame([(1, 2.0)], "a bigint, b double")
+    wide = spark.createDataFrame([(1, "x")], "a bigint, s string")
+    assert _tail_collect_cap(fixed.schema) == 100_000
+    assert _tail_collect_cap(wide.schema) == 1_000
+    # a huge tail over a variable-width schema stays distributed (the
+    # plan keeps the source scan; no LocalTableScan of collected rows)
+    df = spark.range(10).selectExpr("id", "repeat('x', 10) AS s")
+    out = apply_transforms(df, TransformSpec(tail=5_000))
+    assert "LocalTableScan" not in out._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert out.count() == 10
+
+
+def test_decode_ppm_returns_writable_array():
+    from tbl_spark.pipelines.multimodal import decode_image
+    payload, _px = _make_ppm(6, 4, seed=1)
+    got = decode_image(payload, 6, 4, fake_decode=False)
+    got[0, 0, 0] = 99   # must not raise read-only
