@@ -290,6 +290,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         counted = textstats.with_token_count(unique)
         return counted.select("doc_id", "n_ws_tokens", "n_bpe_tokens")
 
+    # -- substring (k-token window) dedup ------------------------------------
+
+    def dedup_substring_stats(spark, sf):
+        # per-doc duplicated-window stats over the cross-engine token
+        # arrays; gram_repr='string' so the DuckDB twin re-derives the
+        # exact same gram identities
+        docs = _read(spark, sf, "documents")
+        toks = docs.withColumn("tokens", F.expr(_TOKENS))
+        out = dedup.substring_dup_stats(toks, k=8, gram_repr="string")
+        return (out.select("doc_id", "n_windows", "dup_windows",
+                           "dup_frac").orderBy("doc_id"))
+
+    def dedup_substring_excise(spark, sf):
+        # Lee et al. span excision: remove every token covered by a
+        # corpus-repeated 8-token window except its canonical occurrence;
+        # verified by doc-level removed-count plus a full value checksum
+        # of the surviving tokens
+        docs = _read(spark, sf, "documents")
+        toks = docs.withColumn("tokens", F.expr(_TOKENS))
+        out = dedup.substring_excise(toks, k=8, gram_repr="string")
+        return (out.select(
+            "doc_id", "n_removed",
+            F.expr("aggregate(tokens, 0L, (acc, x) -> acc + x)")
+            .alias("clean_sum")).orderBy("doc_id"))
+
+    # -- training-data curation ops ------------------------------------------
+
+    def text_gopher_quality(spark, sf):
+        # multi-line text synthesized deterministically (the corpus text
+        # is single-line) so the duplicate-line metrics are exercised:
+        # source appears twice -> every doc has duplicated lines
+        docs = _read(spark, sf, "documents").withColumn(
+            "text", F.expr("concat(text, '\\n', source, '\\n', source, "
+                           "'\\n- bullet item', '\\n', 'tail...')"))
+        out = textstats.with_gopher_quality(docs)
+        return (out.select("doc_id", "n_lines", "frac_dup_lines",
+                           "frac_chars_dup_lines", "mean_word_len",
+                           "frac_bullet_lines", "frac_ellipsis_lines")
+                .orderBy("doc_id"))
+
+    def pack_training_sequences(spark, sf):
+        from tbl_spark.pipelines.packing import pack_sequences
+        docs = _read(spark, sf, "documents").withColumn(
+            "n_tok", F.size(F.expr(_TOKENS)))
+        out = pack_sequences(docs, n_tok_col="n_tok",
+                             order_col="doc_id", seq_len=512)
+        return (out.select("doc_id", "n_tok", "start_offset", "seq_id")
+                .orderBy("doc_id"))
+
+    def sample_stratified(spark, sf):
+        from tbl_spark.pipelines.sampling import stratified_sample
+        docs = _read(spark, sf, "documents")
+        kept = stratified_sample(
+            docs, "source", {"wiki": 1.0, "web": 0.5, "books": 0.25},
+            key_col="doc_id", default_rate=0.1)
+        return kept.select("doc_id", "source").orderBy("doc_id")
+
+    def text_pii_redact(spark, sf):
+        # deterministic PII injection (the synthetic corpus carries
+        # none), then the two-pattern scrub — the oracle re-runs both
+        # regexes in DuckDB and must get byte-identical text back
+        docs = _read(spark, sf, "documents").withColumn(
+            "text", F.expr("concat('reach ', doc_id, '@example.com or "
+                           "+1 555 867 5309 says ', text)"))
+        out = textstats.with_pii_redacted(docs)
+        return (out.select("doc_id", F.substring("text", 1, 120)
+                           .alias("red")).orderBy("doc_id"))
+
     # -- multimodal plumbing -------------------------------------------------
 
     def media_features(spark, sf):
@@ -337,6 +405,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": ann_ivf_topk,
         "media_features": media_features,
         "pipeline_curate": pipeline_curate,
+        "dedup_substring_stats": dedup_substring_stats,
+        "dedup_substring_excise": dedup_substring_excise,
+        "text_gopher_quality": text_gopher_quality,
+        "pack_training_sequences": pack_training_sequences,
+        "sample_stratified": sample_stratified,
+        "text_pii_redact": text_pii_redact,
     }
 
 
@@ -689,4 +763,122 @@ def oracle_sql() -> dict[str, str]:
                        AS cos
             FROM embeddings
             ORDER BY cos DESC, vec_id LIMIT 20""",
+        "dedup_substring_stats": f"""
+            WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS toks
+                       FROM documents),
+            g AS (SELECT doc_id,
+                         array_to_string(toks[i:i+7], ',') AS gram
+                  FROM t, LATERAL (SELECT unnest(generate_series(
+                      1, greatest(1, len(toks) - 7))) AS i) s),
+            shared AS (SELECT gram FROM g GROUP BY gram
+                       HAVING count(DISTINCT doc_id) > 1),
+            dup AS (SELECT doc_id, count(*) AS dup_windows
+                    FROM g WHERE gram IN (SELECT gram FROM shared)
+                    GROUP BY doc_id)
+            SELECT t.doc_id,
+                   CAST(greatest(1, len(toks) - 7) AS INTEGER)
+                       AS n_windows,
+                   CAST(coalesce(dup.dup_windows, 0) AS BIGINT)
+                       AS dup_windows,
+                   round(coalesce(dup.dup_windows, 0)
+                         / CAST(greatest(1, len(toks) - 7) AS DOUBLE), 6)
+                       AS dup_frac
+            FROM t LEFT JOIN dup ON t.doc_id = dup.doc_id
+            ORDER BY t.doc_id""",
+        "dedup_substring_excise": f"""
+            WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS toks
+                       FROM documents),
+            occ AS (SELECT doc_id, i,
+                           array_to_string(toks[i:i+7], ',') AS gram,
+                           concat(doc_id, '#', lpad(CAST(i AS VARCHAR),
+                                                    10, '0')) AS okey
+                    FROM t, LATERAL (SELECT unnest(generate_series(
+                        1, greatest(1, len(toks) - 7))) AS i) s),
+            ga AS (SELECT gram, count(*) AS cnt, min(okey) AS canon
+                   FROM occ GROUP BY gram),
+            bad AS (SELECT occ.doc_id, occ.i
+                    FROM occ JOIN ga ON occ.gram = ga.gram
+                    WHERE ga.cnt > 1 AND occ.okey <> ga.canon),
+            lens AS (SELECT doc_id, len(toks) AS n FROM t),
+            badn AS (SELECT bad.doc_id, bad.i, lens.n
+                     FROM bad JOIN lens ON bad.doc_id = lens.doc_id),
+            cov AS (SELECT DISTINCT doc_id, j
+                    FROM badn, LATERAL (SELECT unnest(generate_series(
+                        i, least(i + 7, n))) AS j) s),
+            rem AS (SELECT cov.doc_id, count(*) AS n_removed,
+                           sum(t.toks[j]) AS rem_sum
+                    FROM cov JOIN t ON cov.doc_id = t.doc_id
+                    GROUP BY cov.doc_id)
+            SELECT t.doc_id,
+                   CAST(coalesce(rem.n_removed, 0) AS INTEGER)
+                       AS n_removed,
+                   CAST(list_sum(toks) - coalesce(rem.rem_sum, 0)
+                        AS BIGINT) AS clean_sum
+            FROM t LEFT JOIN rem ON t.doc_id = rem.doc_id
+            ORDER BY t.doc_id""",
+        "text_gopher_quality": """
+            WITH d AS (SELECT doc_id,
+                              concat(text, chr(10), source, chr(10),
+                                     source, chr(10), '- bullet item',
+                                     chr(10), 'tail...') AS txt
+                       FROM documents),
+            m AS (SELECT doc_id, txt,
+                         string_split(txt, chr(10)) AS lines,
+                         regexp_extract_all(txt, '\\S+') AS words
+                  FROM d)
+            SELECT doc_id,
+                   CAST(len(lines) AS INTEGER) AS n_lines,
+                   round(len(list_filter(lines, l -> len(list_filter(
+                       lines, x -> x = l)) > 1))
+                       / CAST(greatest(len(lines), 1) AS DOUBLE), 6)
+                       AS frac_dup_lines,
+                   round(list_sum(list_transform(list_filter(lines,
+                       l -> len(list_filter(lines, x -> x = l)) > 1),
+                       l -> length(l)))
+                       / CAST(greatest(length(txt), 1) AS DOUBLE), 6)
+                       AS frac_chars_dup_lines,
+                   round(list_sum(list_transform(words,
+                       w -> length(w)))
+                       / CAST(greatest(len(words), 1) AS DOUBLE), 6)
+                       AS mean_word_len,
+                   round(len(list_filter(lines, l -> l LIKE '- %'
+                       OR l LIKE '* %' OR l LIKE '• %'))
+                       / CAST(greatest(len(lines), 1) AS DOUBLE), 6)
+                       AS frac_bullet_lines,
+                   round(len(list_filter(lines, l -> l LIKE '%...'))
+                       / CAST(greatest(len(lines), 1) AS DOUBLE), 6)
+                       AS frac_ellipsis_lines
+            FROM m ORDER BY doc_id""",
+        "pack_training_sequences": f"""
+            WITH t AS (SELECT doc_id,
+                              CAST(len({_DUCK_TOKENS}) AS INTEGER)
+                                  AS n_tok
+                       FROM documents)
+            SELECT doc_id, n_tok,
+                   CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS start_offset,
+                   CAST(floor(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) / 512.0) AS BIGINT) AS seq_id
+            FROM t ORDER BY doc_id""",
+        "sample_stratified": """
+            SELECT doc_id, source FROM documents
+            WHERE CAST(CAST(concat('0x', substring(
+                       md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                       AS UBIGINT) AS DOUBLE) / 1152921504606846976.0
+                  < CASE source WHEN 'wiki' THEN 1.0 WHEN 'web' THEN 0.5
+                                WHEN 'books' THEN 0.25 ELSE 0.1 END
+            ORDER BY doc_id""",
+        "text_pii_redact": """
+            SELECT doc_id,
+                   substring(regexp_replace(regexp_replace(
+                       concat('reach ', doc_id, '@example.com or '
+                              || '+1 555 867 5309 says ', text),
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ]'
+                       || '[0-9]{3,4}',
+                       '<PHONE>', 'g'), 1, 120) AS red
+            FROM documents ORDER BY doc_id""",
     }

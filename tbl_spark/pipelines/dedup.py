@@ -478,3 +478,101 @@ def embedding_cosine_dedup(df: DataFrame, vec_col: str = "embedding",
                 .filter(F.col("_cos") >= threshold)
                 .select(F.col("b_id").alias(id_col)).distinct())
     return df.join(drop_ids, id_col, "left_anti")
+
+
+# -- exact substring (k-token window) dedup ----------------------------------
+# Lee et al., "Deduplicating Training Data Makes Language Models Better"
+# (arXiv:2107.06499, public): substrings of >= k tokens appearing more than
+# once in the corpus are excised, keeping one canonical occurrence. The
+# suffix-array construction of the paper is replaced by the Spark-native
+# equivalent for fixed k: hash every k-token window, group by window, and
+# mark every non-canonical occurrence of a repeated window.
+
+
+def _window_grams(tokens_col: str, k: int, gram_repr: str):
+    """(pos, gram) pairs for every k-token window. gram_repr='hash' is the
+    fast path (xxhash64 chain, no string materialization); 'string' joins
+    the ids with ',' — slower but exactly re-derivable in ANSI SQL, which
+    is what the driver's DuckDB oracle runs."""
+    if gram_repr == "hash":
+        gram = (f"aggregate(slice({tokens_col}, i, {k}), 0L, "
+                f"(acc, x) -> xxhash64(acc, x))")
+    elif gram_repr == "string":
+        gram = f"concat_ws(',', slice({tokens_col}, i, {k}))"
+    else:
+        raise ValueError(f"unknown gram_repr {gram_repr!r}")
+    return F.expr(
+        f"transform(sequence(1, greatest(1, size({tokens_col}) - {k - 1})),"
+        f" i -> struct(i AS pos, {gram} AS gram))")
+
+
+def substring_dup_stats(df: DataFrame, tokens_col: str = "tokens",
+                        id_col: str = "doc_id", k: int = 8,
+                        gram_repr: str = "hash") -> DataFrame:
+    """Per-document duplicated-window statistics: of the doc's k-token
+    windows, how many occur in more than one DISTINCT document. Columns:
+    n_windows, dup_windows, dup_frac.
+
+    Scale shape: the explode carries (id, 8-byte gram) pairs — one row
+    per token, the same order of shuffle volume as the encode itself;
+    the gram aggregation is partially aggregated map-side, and the
+    shared-gram join reuses the aggregation's hash partitioning (AQE)."""
+    grams = _window_grams(tokens_col, k, gram_repr)
+    ex = df.select(F.col(id_col),
+                   F.explode(grams).alias("_w")).select(
+        id_col, F.col("_w.gram").alias("_g"))
+    shared = (ex.groupBy("_g")
+              .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+              .filter(F.col("_nd") > 1).select("_g"))
+    dup = (ex.join(shared, "_g")
+           .groupBy(id_col).agg(F.count("*").alias("dup_windows")))
+    n_windows = F.greatest(
+        F.lit(1), F.size(tokens_col) - F.lit(k - 1)).alias("n_windows")
+    return (df.select(F.col(id_col), n_windows)
+            .join(dup, id_col, "left")
+            .withColumn("dup_windows",
+                        F.coalesce("dup_windows", F.lit(0)))
+            .withColumn("dup_frac",
+                        F.round(F.col("dup_windows")
+                                / F.col("n_windows"), 6)))
+
+
+def substring_excise(df: DataFrame, tokens_col: str = "tokens",
+                     id_col: str = "doc_id", k: int = 8,
+                     gram_repr: str = "hash") -> DataFrame:
+    """Remove every token covered by a k-token window that occurs more
+    than once in the corpus (counting within-document repeats), KEEPING
+    the canonical (lowest (doc_id, pos)) occurrence of each repeated
+    window — the fixed-k Spark re-expression of Lee et al.'s
+    deduplicate-substrings pass. Returns the input rows with
+    `tokens` replaced by the excised array plus an `n_removed` count.
+
+    Plan: one explode to (gram, doc, pos); a grouped (count, min-key)
+    over grams (partial agg); a join back on the gram partitioning; and
+    a per-doc collect of bad window starts (bounded by the doc's own
+    window count) — the token surgery itself is a JVM higher-order
+    filter, no Python."""
+    grams = _window_grams(tokens_col, k, gram_repr)
+    key = F.concat_ws("#", F.col(id_col).cast("string"),
+                      F.lpad(F.col("_pos").cast("string"), 10, "0"))
+    ex = (df.select(F.col(id_col), F.explode(grams).alias("_w"))
+          .select(id_col, F.col("_w.pos").alias("_pos"),
+                  F.col("_w.gram").alias("_g"))
+          .withColumn("_key", key))
+    agg = (ex.groupBy("_g").agg(F.count("*").alias("_cnt"),
+                                F.min("_key").alias("_canon")))
+    bad = (ex.join(agg, "_g")
+           .filter((F.col("_cnt") > 1) & (F.col("_key") != F.col("_canon")))
+           .groupBy(id_col)
+           .agg(F.sort_array(F.collect_list("_pos")).alias("_bad")))
+    out = df.join(bad, id_col, "left")
+    # token j (1-based) survives unless some bad window start s covers it:
+    # s <= j <= s + k - 1
+    clean = F.expr(
+        f"filter({tokens_col}, (x, j) -> _bad IS NULL OR NOT exists(_bad,"
+        f" s -> j + 1 >= s AND j + 1 <= s + {k - 1} + 0))")
+    return (out.withColumn("_clean", clean)
+            .withColumn("n_removed",
+                        F.size(tokens_col) - F.size("_clean"))
+            .drop(tokens_col, "_bad")
+            .withColumnRenamed("_clean", tokens_col))

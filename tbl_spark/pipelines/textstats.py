@@ -88,3 +88,75 @@ def with_fingerprint(df: DataFrame, text_col: str = "text",
     return (df.withColumn("_fp_w", F.split(F.col(text_col), r"\s+"))
             .withColumn("fingerprint", F.array_min(grams))
             .drop("_fp_w"))
+
+
+def with_gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition and quality signals (Rae et al. 2021,
+    arXiv:2112.11446 Table A1, public): fraction of duplicate lines,
+    fraction of characters in duplicate lines, mean word length, the
+    symbol-to-word ratio, and the fractions of lines that are bullets or
+    end in an ellipsis. All JVM higher-order array expressions — the
+    duplicate-line scan is O(lines²) WITHIN a document (lines are short
+    arrays), never a shuffle.
+
+    Adds: n_lines, frac_dup_lines, frac_chars_dup_lines, mean_word_len,
+    symbol_word_ratio, frac_bullet_lines, frac_ellipsis_lines."""
+    lines = f"split({text_col}, '\\n')"
+    words = f"regexp_extract_all({text_col}, '\\\\S+', 0)"
+    n_lines = F.expr(f"size({lines})")
+    n_words = F.expr(f"size({words})")
+    n_chars = F.length(text_col)
+    # a line is a "duplicate line" when it occurs more than once in the
+    # doc; the fraction counts every occurrence of such lines
+    dup_lines = F.expr(
+        f"size(filter({lines}, l -> size(filter({lines}, x -> x = l)) > 1))")
+    dup_line_chars = F.expr(
+        f"aggregate(filter({lines}, l -> size(filter({lines}, "
+        f"x -> x = l)) > 1), 0L, (acc, l) -> acc + length(l))")
+    n_symbols = F.expr(
+        f"size(regexp_extract_all({text_col}, '[#]|\\\\.\\\\.\\\\.', 0))")
+    bullet = F.expr(
+        f"size(filter({lines}, l -> l LIKE '- %' OR l LIKE '* %' "
+        f"OR l LIKE '• %'))")
+    ellipsis = F.expr(
+        f"size(filter({lines}, l -> l LIKE '%...'))")
+    word_chars = F.expr(
+        f"aggregate({words}, 0L, (acc, w) -> acc + length(w))")
+    safe_lines = F.greatest(n_lines, F.lit(1))
+    safe_words = F.greatest(n_words, F.lit(1))
+    return (df
+            .withColumn("n_lines", n_lines)
+            .withColumn("frac_dup_lines",
+                        F.round(dup_lines / safe_lines, 6))
+            .withColumn("frac_chars_dup_lines",
+                        F.round(dup_line_chars
+                                / F.greatest(n_chars, F.lit(1)), 6))
+            .withColumn("mean_word_len",
+                        F.round(word_chars / safe_words, 6))
+            .withColumn("symbol_word_ratio",
+                        F.round(n_symbols / safe_words, 6))
+            .withColumn("frac_bullet_lines",
+                        F.round(bullet / safe_lines, 6))
+            .withColumn("frac_ellipsis_lines",
+                        F.round(ellipsis / safe_lines, 6)))
+
+
+# -- PII redaction -----------------------------------------------------------
+# Patterns stay inside the regex subset that Java (Spark) and RE2 (DuckDB,
+# ANSI engines) match identically: character classes + greedy counted
+# quantifiers, no backrefs, no alternation inside quantified groups.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ][0-9]{3,4}"
+
+
+def with_pii_redacted(df: DataFrame, text_col: str = "text",
+                      out_col: str | None = None) -> DataFrame:
+    """Replace email addresses and international-format phone numbers
+    with typed placeholder tags — the minimum-viable PII scrub every
+    web-scale training pipeline runs before tokenization. Pure JVM
+    regexp_replace (one pass per pattern, streaming through the scan)."""
+    out = out_col or text_col
+    red = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), PII_EMAIL, "<EMAIL>"),
+        PII_PHONE, "<PHONE>")
+    return df.withColumn(out, red)
