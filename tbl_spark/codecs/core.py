@@ -588,8 +588,10 @@ def encode_array(values, valid: np.ndarray | None = None,
     return min(picked, raw_guard, key=len)
 
 
-def _encode_auto_large(work: np.ndarray, dtype_code: DType,
-                       valid: np.ndarray | None) -> bytes:
+def _audition_large(work: np.ndarray,
+                    dtype_code: DType) -> list[Codec]:
+    """Window audition: candidate codecs for a large integer array,
+    cheapest estimated full size first."""
     n = len(work)
     window = work[(n - _WINDOW_N) // 2:][:_WINDOW_N] if n > _WINDOW_N \
         else work
@@ -617,7 +619,13 @@ def _encode_auto_large(work: np.ndarray, dtype_code: DType,
                                 try_zstd=True)) * scale
         auditions.append((size, codec))
     auditions.sort(key=lambda t: t[0])
-    for _, codec in auditions:
+    return [codec for _, codec in auditions]
+
+
+def _encode_auto_large(work: np.ndarray, dtype_code: DType,
+                       valid: np.ndarray | None) -> bytes:
+    n = len(work)
+    for codec in _audition_large(work, dtype_code):
         payload = _encode_int_payload(work, codec)
         if payload is not None:
             self_compressed = codec in (Codec.BYTE_PLANES, Codec.RANS)
@@ -625,6 +633,34 @@ def _encode_auto_large(work: np.ndarray, dtype_code: DType,
                             try_zstd=not self_compressed)
     return assemble(Codec.RAW, dtype_code, n, numeric.raw_encode(work),
                     valid=valid, try_zstd=True)
+
+
+def pick_int_codec(values: np.ndarray) -> int | None:
+    """Driver-side audition over a SAMPLE of a column's values: the
+    winning codec's enum value, or None when the sample is too small to
+    audition (the per-chunk analytic path handles those). Feed the
+    result to ``seed_choice_cache`` inside the encode UDF so a fleet of
+    fresh executors skips the expensive first-chunk audition — on a
+    1000-executor cluster the audition otherwise runs 1000×, once per
+    worker-local cache."""
+    values = np.asarray(values)
+    if values.dtype == np.dtype(object) or len(values) < (1 << 16):
+        return None
+    work_dtype = _WORK_VIEW.get(values.dtype)
+    work = values.view(work_dtype) if work_dtype is not None else values
+    order = _audition_large(work, DTYPE_OF_NUMPY[values.dtype])
+    return int(order[0]) if order else None
+
+
+def seed_choice_cache(hints: dict[str, int]) -> None:
+    """Pre-populate the worker-local codec-choice cache from driver-side
+    audition hints ({cache_key: codec enum}). setdefault only: a worker
+    that already auditioned keeps its own (fresher) choice, and the
+    normal re-audit cadence (_REAUDIT_EVERY) still tracks drift — a
+    stale or wrong hint costs compression ratio, never correctness
+    (payload fallback + the RAW(+zstd) guard are unchanged)."""
+    for key, codec in hints.items():
+        _choice_cache.setdefault(key, [Codec(codec), 0])
 
 
 def _reheader(blob: bytes, dtype_code: DType, valid: np.ndarray | None,

@@ -97,6 +97,48 @@ def encode_table(part_id: int, tbl: pa.Table,
     return pa.Table.from_pydict(rows, schema=CHUNK_ARROW_SCHEMA)
 
 
+def audition_codec_hints(df: DataFrame,
+                         sample_rows: int = 1024) -> dict[str, int]:
+    """ONE driver-side codec audition per column over a bounded sample,
+    returned as {choice-cache key: codec enum} for seed_choice_cache.
+
+    Why: the codec choice cache is worker-local, so on a fresh fleet
+    EVERY python worker pays the first-chunk window audition (a full
+    rANS + byte-planes encode of a 256k-value window, ~0.3 s for token
+    columns). With N executors that cost is paid N times per job; the
+    driver pays it once here and ships the winner. The hint is only a
+    starting choice — workers keep the payload fallback, the RAW(+zstd)
+    guard and the periodic re-audit, so a hint can never produce a
+    wrong or oversized-beyond-guard blob."""
+    from .codecs.core import pick_int_codec
+    sample = df.limit(sample_rows).toArrow()
+    hints: dict[str, int] = {}
+    for name in sample.column_names:
+        if name == PART_COL:
+            continue
+        arr = sample.column(name).combine_chunks()
+        arr = to_codec_input(arr)
+        t = arr.type
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            values = arr.flatten()
+            if values.null_count:
+                continue
+            key = f"{name}.values"
+            values = to_codec_input(values)
+            t = values.type
+        else:
+            values = arr
+            key = name
+        if not (pa.types.is_integer(t) or pa.types.is_floating(t)):
+            continue
+        if values.null_count:
+            values = values.drop_null()
+        codec = pick_int_codec(values.to_numpy(zero_copy_only=False))
+        if codec is not None:
+            hints[key] = codec
+    return hints
+
+
 # helper columns for the zero-shuffle path (projected, never encoded)
 FILE_HELPER = "__ts_file__"
 BLOCK_HELPER = "__ts_block__"
@@ -105,7 +147,8 @@ BLOCK_HELPER = "__ts_block__"
 def encode_chunks_colocated(
         df: DataFrame,
         tokens_per_chunk: int | None = None,
-        token_col: str = "tokens") -> DataFrame:
+        token_col: str = "tokens",
+        driver_audition: bool = True) -> DataFrame:
     """ZERO-shuffle encode: each scan task streams its Arrow batches and
     cuts a chunk whenever the token budget fills — the Spark analog of the
     reference's per-file streaming surgery (parquet_insert.rs bounded
@@ -136,8 +179,12 @@ def encode_chunks_colocated(
                   for f in df.schema.fields)
     src = df.select("*", F.input_file_name().alias(FILE_HELPER),
                     F.input_file_block_start().alias(BLOCK_HELPER))
+    hints = audition_codec_hints(df) if driver_audition else {}
 
     def run(batches):
+        if hints:
+            from .codecs.core import seed_choice_cache
+            seed_choice_cache(hints)
         for pid, tbl in cut_colocated_chunks(batches, tokens_per_chunk,
                                              has_tok, token_col):
             yield from encode_table(pid, tbl, spark_types).to_batches()
@@ -195,20 +242,30 @@ def cut_colocated_chunks(batches, tokens_per_chunk: int, has_tok: bool,
 
 def encode_chunks(df: DataFrame, num_parts: int,
                   columns: list[str] | None = None,
-                  salt_cols: tuple[str, ...] | None = None) -> DataFrame:
+                  salt_cols: tuple[str, ...] | None = None,
+                  driver_audition: bool = True,
+                  codec_hints: dict[str, int] | None = None) -> DataFrame:
     """df (token table or any supported schema) → chunk DataFrame.
 
     `salt_cols` picks the chunk-assignment hash key (defaults to
     (source, doc_id) when present, else the full row — partitioning.py).
     Every SOURCE column, including any user column named `part_id`, is
-    encoded; the internal key uses the reserved `__ts_part__` name."""
+    encoded; the internal key uses the reserved `__ts_part__` name.
+    `codec_hints` (from `audition_codec_hints`) skips the per-call
+    driver audition — pass it when encoding the same dataset repeatedly
+    so the per-dataset audition cost is paid once."""
     if columns is not None:
         df = df.select(*columns)
+    hints = codec_hints if codec_hints is not None \
+        else (audition_codec_hints(df) if driver_audition else {})
     df = with_part_id(df, num_parts, salt_cols)
     spark_types = {f.name: f.dataType.simpleString()
                    for f in df.schema.fields if f.name != PART_COL}
 
     def encode_group(key: tuple, tbl: pa.Table) -> pa.Table:
+        if hints:
+            from .codecs.core import seed_choice_cache
+            seed_choice_cache(hints)
         return encode_table(key[0].as_py(), tbl, spark_types)
 
     return df.groupBy(PART_COL).applyInArrow(encode_group, CHUNK_SCHEMA_DDL)

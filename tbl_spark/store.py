@@ -1019,7 +1019,13 @@ def encode_to_store(df: DataFrame, store: ChunkStore, num_parts: int,
                    for f in df.schema.fields if f.name != PART_COL}
     store_root = store.root
 
+    from .encode import audition_codec_hints
+    hints = audition_codec_hints(df.drop(PART_COL))
+
     def encode_commit(key: tuple, tbl: pa.Table) -> pa.Table:
+        if hints:
+            from .codecs.core import seed_choice_cache
+            seed_choice_cache(hints)
         part_id = key[0].as_py()
         t0 = time.perf_counter()
         chunk_tbl = encode_table(part_id, tbl, spark_types)
@@ -1134,8 +1140,13 @@ def encode_to_store_colocated(df: DataFrame, store: ChunkStore,
     # the committed set INCLUDES wave-compacted parts (whose loose
     # markers were deleted by compact()) — resume must not re-encode them
     committed = frozenset(store.committed_parts()) if resume else frozenset()
+    from .encode import audition_codec_hints
+    hints = audition_codec_hints(df)
 
     def run(batches):
+        if hints:
+            from .codecs.core import seed_choice_cache
+            seed_choice_cache(hints)
         local_store = ChunkStore(store_root)
         local_store.init_dirs()
         for pid, tbl in cut_colocated_chunks(batches, tokens_per_chunk,

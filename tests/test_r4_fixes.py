@@ -549,3 +549,47 @@ def test_decode_ppm_returns_writable_array():
     payload, _px = _make_ppm(6, 4, seed=1)
     got = decode_image(payload, 6, 4, fake_decode=False)
     got[0, 0, 0] = 99   # must not raise read-only
+
+
+# -- driver-side codec audition hints (fleet-wide audition once) -------------
+
+def test_pick_int_codec_and_seed_cache():
+    import numpy as np
+    from tbl_spark.codecs import core
+    from tbl_spark.codecs.format import Codec
+
+    rng = np.random.default_rng(5)
+    v = rng.integers(0, 50_000, 400_000, dtype=np.int32)
+    codec = core.pick_int_codec(v)
+    assert codec is not None and Codec(codec) in (Codec.RANS,
+                                                  Codec.BYTE_PLANES)
+    # too-small arrays decline (the analytic per-chunk path covers them)
+    assert core.pick_int_codec(v[:1000]) is None
+
+    core._choice_cache.pop("hinted_col", None)
+    core.seed_choice_cache({"hinted_col": codec})
+    assert core._choice_cache["hinted_col"][0] == Codec(codec)
+    # setdefault semantics: an existing (worker-own) choice is kept
+    core._choice_cache["hinted_col"] = [Codec.RAW, 3]
+    core.seed_choice_cache({"hinted_col": codec})
+    assert core._choice_cache["hinted_col"] == [Codec.RAW, 3]
+    core._choice_cache.pop("hinted_col", None)
+
+
+def test_audition_hints_end_to_end(spark):
+    import pyspark.sql.functions as F
+    from tbl_spark.datagen import generate_df
+    from tbl_spark.decode import decode_chunks_colocated
+    from tbl_spark.encode import audition_codec_hints, encode_chunks
+
+    df = generate_df(spark, 30_000, 4)
+    hints = audition_codec_hints(df)
+    assert "tokens.values" in hints        # the big int column is hinted
+    chunks = encode_chunks(df, 8, driver_audition=True)
+    from tbl_spark.datagen import SPARK_SCHEMA_DDL
+    back = decode_chunks_colocated(chunks, SPARK_SCHEMA_DDL)
+    a = df.agg(F.sum(F.expr("aggregate(tokens, 0L, (a, x) -> a + x)")),
+               F.count("*")).collect()[0]
+    b = back.agg(F.sum(F.expr("aggregate(tokens, 0L, (a, x) -> a + x)")),
+                 F.count("*")).collect()[0]
+    assert tuple(a) == tuple(b)
