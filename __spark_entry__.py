@@ -769,14 +769,14 @@ def oracle_sql() -> dict[str, str]:
             g AS (SELECT doc_id,
                          array_to_string(toks[i:i+7], ',') AS gram
                   FROM t, LATERAL (SELECT unnest(generate_series(
-                      1, greatest(1, len(toks) - 7))) AS i) s),
+                      1, len(toks) - 7)) AS i) s),
             shared AS (SELECT gram FROM g GROUP BY gram
                        HAVING count(DISTINCT doc_id) > 1),
             dup AS (SELECT doc_id, count(*) AS dup_windows
                     FROM g WHERE gram IN (SELECT gram FROM shared)
                     GROUP BY doc_id)
             SELECT t.doc_id,
-                   CAST(greatest(1, len(toks) - 7) AS INTEGER)
+                   CAST(greatest(0, len(toks) - 7) AS INTEGER)
                        AS n_windows,
                    CAST(coalesce(dup.dup_windows, 0) AS BIGINT)
                        AS dup_windows,
@@ -793,7 +793,7 @@ def oracle_sql() -> dict[str, str]:
                            concat(doc_id, '#', lpad(CAST(i AS VARCHAR),
                                                     10, '0')) AS okey
                     FROM t, LATERAL (SELECT unnest(generate_series(
-                        1, greatest(1, len(toks) - 7))) AS i) s),
+                        1, len(toks) - 7)) AS i) s),
             ga AS (SELECT gram, count(*) AS cnt, min(okey) AS canon
                    FROM occ GROUP BY gram),
             bad AS (SELECT occ.doc_id, occ.i

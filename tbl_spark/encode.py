@@ -109,10 +109,16 @@ def audition_codec_hints(df: DataFrame,
     driver pays it once here and ships the winner. The hint is only a
     starting choice — workers keep the payload fallback, the RAW(+zstd)
     guard and the periodic re-audit, so a hint can never produce a
-    wrong or oversized-beyond-guard blob."""
+    wrong or oversized-beyond-guard blob.
+
+    Two-phase sampling: `sample_rows` rows cover list columns (each row
+    carries hundreds of values), then SCALAR numeric columns — which
+    need >= 2^16 values before the audition fires — get their own wider
+    sample of just those columns (a few MB, column-pruned scan)."""
     from .codecs.core import pick_int_codec
     sample = df.limit(sample_rows).toArrow()
     hints: dict[str, int] = {}
+    scalar_num: list[str] = []
     for name in sample.column_names:
         if name == PART_COL:
             continue
@@ -127,15 +133,23 @@ def audition_codec_hints(df: DataFrame,
             values = to_codec_input(values)
             t = values.type
         else:
-            values = arr
-            key = name
+            if pa.types.is_integer(t) or pa.types.is_floating(t):
+                scalar_num.append(name)
+            continue
         if not (pa.types.is_integer(t) or pa.types.is_floating(t)):
             continue
-        if values.null_count:
-            values = values.drop_null()
         codec = pick_int_codec(values.to_numpy(zero_copy_only=False))
         if codec is not None:
             hints[key] = codec
+    if scalar_num:
+        wide = df.select(*scalar_num).limit(1 << 17).toArrow()
+        for name in scalar_num:
+            arr = to_codec_input(wide.column(name).combine_chunks())
+            if arr.null_count:
+                arr = arr.drop_null()
+            codec = pick_int_codec(arr.to_numpy(zero_copy_only=False))
+            if codec is not None:
+                hints[name] = codec
     return hints
 
 
@@ -148,7 +162,8 @@ def encode_chunks_colocated(
         df: DataFrame,
         tokens_per_chunk: int | None = None,
         token_col: str = "tokens",
-        driver_audition: bool = True) -> DataFrame:
+        driver_audition: bool = True,
+        codec_hints: dict[str, int] | None = None) -> DataFrame:
     """ZERO-shuffle encode: each scan task streams its Arrow batches and
     cuts a chunk whenever the token budget fills — the Spark analog of the
     reference's per-file streaming surgery (parquet_insert.rs bounded
@@ -179,7 +194,8 @@ def encode_chunks_colocated(
                   for f in df.schema.fields)
     src = df.select("*", F.input_file_name().alias(FILE_HELPER),
                     F.input_file_block_start().alias(BLOCK_HELPER))
-    hints = audition_codec_hints(df) if driver_audition else {}
+    hints = codec_hints if codec_hints is not None \
+        else (audition_codec_hints(df) if driver_audition else {})
 
     def run(batches):
         if hints:

@@ -493,17 +493,27 @@ def _window_grams(tokens_col: str, k: int, gram_repr: str):
     """(pos, gram) pairs for every k-token window. gram_repr='hash' is the
     fast path (xxhash64 chain, no string materialization); 'string' joins
     the ids with ',' — slower but exactly re-derivable in ANSI SQL, which
-    is what the driver's DuckDB oracle runs."""
+    is what the driver's DuckDB oracle runs.
+
+    Documents SHORTER than k emit NO windows: the operator's contract is
+    about repeated >= k-token substrings, and a truncated partial window
+    would otherwise classify every sub-k exact-duplicate doc ('404 not
+    found' boilerplate) as 100% duplicated and excise it wholesale —
+    short-doc dedup is exact_dedup's job, not this operator's."""
     if gram_repr == "hash":
         gram = (f"aggregate(slice({tokens_col}, i, {k}), 0L, "
                 f"(acc, x) -> xxhash64(acc, x))")
+        gram_t = "bigint"
     elif gram_repr == "string":
         gram = f"concat_ws(',', slice({tokens_col}, i, {k}))"
+        gram_t = "string"
     else:
         raise ValueError(f"unknown gram_repr {gram_repr!r}")
     return F.expr(
-        f"transform(sequence(1, greatest(1, size({tokens_col}) - {k - 1})),"
-        f" i -> struct(i AS pos, {gram} AS gram))")
+        f"CASE WHEN size({tokens_col}) < {k} "
+        f"THEN cast(array() AS array<struct<pos:int,gram:{gram_t}>>) "
+        f"ELSE transform(sequence(1, size({tokens_col}) - {k - 1}),"
+        f" i -> struct(i AS pos, {gram} AS gram)) END")
 
 
 def substring_dup_stats(df: DataFrame, tokens_col: str = "tokens",
@@ -527,14 +537,14 @@ def substring_dup_stats(df: DataFrame, tokens_col: str = "tokens",
     dup = (ex.join(shared, "_g")
            .groupBy(id_col).agg(F.count("*").alias("dup_windows")))
     n_windows = F.greatest(
-        F.lit(1), F.size(tokens_col) - F.lit(k - 1)).alias("n_windows")
+        F.lit(0), F.size(tokens_col) - F.lit(k - 1)).alias("n_windows")
     return (df.select(F.col(id_col), n_windows)
             .join(dup, id_col, "left")
             .withColumn("dup_windows",
                         F.coalesce("dup_windows", F.lit(0)))
             .withColumn("dup_frac",
                         F.round(F.col("dup_windows")
-                                / F.col("n_windows"), 6)))
+                                / F.greatest("n_windows", F.lit(1)), 6)))
 
 
 def substring_excise(df: DataFrame, tokens_col: str = "tokens",
@@ -548,10 +558,12 @@ def substring_excise(df: DataFrame, tokens_col: str = "tokens",
     `tokens` replaced by the excised array plus an `n_removed` count.
 
     Plan: one explode to (gram, doc, pos); a grouped (count, min-key)
-    over grams (partial agg); a join back on the gram partitioning; and
-    a per-doc collect of bad window starts (bounded by the doc's own
-    window count) — the token surgery itself is a JVM higher-order
-    filter, no Python."""
+    over grams (partial agg); a join back on the gram partitioning; a
+    per-doc collect of bad window starts (bounded by the doc's own
+    window count); and an Arrow-batched numpy surgery kernel that marks
+    covered positions with a difference array — O(tokens + bad_windows)
+    per row (a per-token higher-order `exists` over the starts would go
+    quadratic on exactly the long-duplicated docs this op targets)."""
     grams = _window_grams(tokens_col, k, gram_repr)
     key = F.concat_ws("#", F.col(id_col).cast("string"),
                       F.lpad(F.col("_pos").cast("string"), 10, "0"))
@@ -565,14 +577,55 @@ def substring_excise(df: DataFrame, tokens_col: str = "tokens",
            .filter((F.col("_cnt") > 1) & (F.col("_key") != F.col("_canon")))
            .groupBy(id_col)
            .agg(F.sort_array(F.collect_list("_pos")).alias("_bad")))
-    out = df.join(bad, id_col, "left")
-    # token j (1-based) survives unless some bad window start s covers it:
-    # s <= j <= s + k - 1
-    clean = F.expr(
-        f"filter({tokens_col}, (x, j) -> _bad IS NULL OR NOT exists(_bad,"
-        f" s -> j + 1 >= s AND j + 1 <= s + {k - 1} + 0))")
-    return (out.withColumn("_clean", clean)
-            .withColumn("n_removed",
-                        F.size(tokens_col) - F.size("_clean"))
-            .drop(tokens_col, "_bad")
-            .withColumnRenamed("_clean", tokens_col))
+    joined = df.join(bad, id_col, "left")
+    out_ddl = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+        + ["n_removed int"])
+    out_names = [f.name for f in df.schema.fields]
+
+    def surgery(batches):
+        import pyarrow as pa
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            toks = tbl.column(tokens_col).combine_chunks()
+            bads = tbl.column("_bad").combine_chunks()
+            n = len(tbl)
+            offs = np.asarray(toks.offsets)
+            values = toks.values.to_numpy(zero_copy_only=False)
+            # normalize away any child-array slicing so values[mask]
+            # cannot leak bytes outside this batch's rows
+            values = values[offs[0]:offs[-1]]
+            offs = offs - offs[0]
+            valid = np.asarray(bads.is_valid())
+            keep_mask = np.ones(len(values), dtype=bool)
+            removed = np.zeros(n, dtype=np.int32)
+            for i in range(n):
+                if not valid[i]:
+                    continue
+                starts = np.asarray(bads[i].as_py(), dtype=np.int64)
+                if len(starts) == 0:
+                    continue
+                doc_n = offs[i + 1] - offs[i]
+                # difference array over 1-based window starts: +1 at
+                # s-1, -1 at min(s+k-1, doc_n); covered where cumsum>0
+                delta = np.zeros(doc_n + 1, dtype=np.int32)
+                np.add.at(delta, starts - 1, 1)
+                np.add.at(delta, np.minimum(starts - 1 + k, doc_n), -1)
+                covered = np.cumsum(delta[:doc_n]) > 0
+                keep_mask[offs[i]:offs[i + 1]] = ~covered
+                removed[i] = int(covered.sum())
+            new_lengths = np.diff(offs) - removed
+            new_offsets = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(new_lengths, out=new_offsets[1:])
+            child = pa.array(values[keep_mask], type=toks.type.value_type)
+            new_toks = pa.LargeListArray.from_arrays(new_offsets, child) \
+                .cast(toks.type)
+            cols = []
+            for name in out_names:
+                cols.append(new_toks if name == tokens_col
+                            else tbl.column(name).combine_chunks())
+            cols.append(pa.array(removed))
+            yield pa.RecordBatch.from_arrays(
+                cols, names=out_names + ["n_removed"])
+
+    return joined.mapInArrow(surgery, out_ddl)

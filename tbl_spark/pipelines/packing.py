@@ -2,13 +2,14 @@
 deterministic order and cut the token stream into fixed-length training
 sequences (GPT-style packing — documents may span sequence boundaries).
 
-The core is a DISTRIBUTED prefix sum: a global window would funnel the
-whole table through one task, so the offsets are computed in two levels —
-range-partition by the order key, cumsum within each partition (window
-partitioned by the partition id), then add per-partition totals prefixed
-on the driver (P values, bounded by the partition count). The output is
-invariant to where the sampled range boundaries land because range
-partitioning preserves the global order.
+The core is a DISTRIBUTED prefix sum. A global window would funnel the
+whole table through one task, so offsets are computed in two levels:
+rows are bucketed by VALUE against sampled boundary literals (bucket
+membership is a pure function of the row, so the per-bucket-totals job
+and the output job can never disagree — no reliance on shuffle
+partitioner seeds, no persisted intermediate), cumsum runs inside each
+bucket (window partitioned by bucket), and the bucket totals — one row
+per bucket — are prefixed on the driver.
 """
 
 from __future__ import annotations
@@ -25,32 +26,47 @@ def pack_sequences(df: DataFrame, n_tok_col: str = "n_tok",
     seq_len, the training sequence the doc starts in).
 
     Docs are ordered by `order_col` (must be unique for a deterministic
-    pack). Scale shape: one range-partition shuffle + a per-partition
-    window; the only driver materialization is the per-partition token
-    totals (one row per partition). The ranged relation is persisted so
-    the totals job and the output plan see the SAME partition-id
-    assignment (AQE may otherwise re-coalesce the shuffle differently
-    between the two jobs); the cache is dropped when the returned
-    DataFrame is garbage-collected or the caller unpersists."""
-    sc_parts = num_parts or df.sparkSession.sparkContext.defaultParallelism
-    ranged = (df.repartitionByRange(sc_parts, F.col(order_col))
-              .withColumn("_pid", F.spark_partition_id())
-              .persist())
-    totals = (ranged.groupBy("_pid")
-              .agg(F.sum(n_tok_col).alias("_t"))
-              .collect())
+    pack). Scale shape: one shuffle (the per-bucket window); driver
+    materialization is bounded — a P·64-value boundary sample and the P
+    bucket totals. Poorly balanced boundaries cost wall-clock on the
+    bucket windows, never correctness."""
+    P = num_parts or df.sparkSession.sparkContext.defaultParallelism
+    n = df.count()
+    if n == 0:
+        return (df.withColumn("start_offset", F.lit(0).cast("bigint"))
+                .withColumn("seq_id", F.lit(0).cast("bigint")))
+    boundaries: list = []
+    if P > 1 and n > 1:
+        frac = min(1.0, (P * 64) / n)
+        sample = sorted(
+            r[0] for r in df.select(order_col)
+            .sample(fraction=frac, seed=42).collect())
+        if sample:
+            step = max(1, len(sample) // P)
+            boundaries = sorted({sample[i] for i in
+                                 range(step - 1, len(sample) - 1, step)})
+    if boundaries:
+        barr = F.array(*[F.lit(b) for b in boundaries])
+        bucket = F.aggregate(
+            barr, F.lit(0),
+            lambda acc, b: acc + F.when(F.col(order_col) > b,
+                                        F.lit(1)).otherwise(F.lit(0)))
+    else:
+        bucket = F.lit(0)
+    bdf = df.withColumn("_bk", bucket)
+    totals = bdf.groupBy("_bk").agg(F.sum(n_tok_col).alias("_t")).collect()
     base, prefix = 0, {}
-    for r in sorted(totals, key=lambda r: r["_pid"]):
-        prefix[r["_pid"]] = base
+    for r in sorted(totals, key=lambda r: r["_bk"]):
+        prefix[r["_bk"]] = base
         base += r["_t"] or 0
-    pref = F.coalesce(*[F.when(F.col("_pid") == pid, F.lit(off))
-                        for pid, off in prefix.items()],
+    pref = F.coalesce(*[F.when(F.col("_bk") == bk, F.lit(off))
+                        for bk, off in prefix.items()],
                       F.lit(0)) if prefix else F.lit(0)
-    w = (Window.partitionBy("_pid").orderBy(order_col)
+    w = (Window.partitionBy("_bk").orderBy(order_col)
          .rowsBetween(Window.unboundedPreceding, -1))
     local = F.coalesce(F.sum(n_tok_col).over(w), F.lit(0))
-    return (ranged
+    return (bdf
             .withColumn("start_offset", (pref + local).cast("bigint"))
             .withColumn("seq_id",
                         F.floor(F.col("start_offset") / seq_len))
-            .drop("_pid"))
+            .drop("_bk"))

@@ -21,10 +21,12 @@ _MD5_60_MAX = float(1 << 60)   # 15 hex chars
 def uniform_hash(key_col: str):
     """[0, 1) double from the top 60 bits of md5(key) — identical in
     Spark and DuckDB (CAST('0x' || substring(md5(k), 1, 15) AS UBIGINT)
-    / 2^60), unlike xxhash64/rand which are engine-specific."""
-    return (F.expr(
-        f"CAST(conv(substring(md5(CAST({key_col} AS STRING)), 1, 15), "
-        f"16, 10) AS BIGINT)") / F.lit(_MD5_60_MAX))
+    / 2^60), unlike xxhash64/rand which are engine-specific. Built on
+    the same md5_60 expression the dedup oracles use, so the
+    cross-engine contract lives in exactly one place."""
+    from .dedup import _word_hash_expr
+    h = _word_hash_expr(f"CAST({key_col} AS STRING)", "md5_60")
+    return F.expr(h) / F.lit(_MD5_60_MAX)
 
 
 def stratified_sample(df: DataFrame, strata_col: str,

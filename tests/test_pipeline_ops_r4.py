@@ -21,6 +21,8 @@ def tok_df(spark):
         ("b", [1, 2, 3, 4, 5, 6, 7, 8, 20, 21]),  # shares window [1..8]
         ("c", [50, 51, 52]),                      # shorter than k
         ("d", [1, 2, 3, 4, 5, 6, 7, 8, 9, 10]),  # exact twin of a
+        ("e", [70, 71]),                          # sub-k twin pair: the
+        ("f", [70, 71]),                          # operator must NOT touch
     ]
     return spark.createDataFrame(rows, "doc_id string, tokens array<int>")
 
@@ -30,7 +32,10 @@ def test_substring_dup_stats(tok_df):
            dedup.substring_dup_stats(tok_df, k=8).collect()}
     assert got["a"]["n_windows"] == 3 and got["a"]["dup_windows"] == 3
     assert got["b"]["dup_windows"] == 1          # only [1..8]
-    assert got["c"]["n_windows"] == 1 and got["c"]["dup_windows"] == 0
+    # shorter than k -> NO windows (partial windows would misclassify
+    # every sub-k duplicate doc as 100% duplicated)
+    assert got["c"]["n_windows"] == 0 and got["c"]["dup_windows"] == 0
+    assert got["e"]["n_windows"] == 0 and got["f"]["dup_windows"] == 0
     assert got["d"]["dup_frac"] == 1.0
 
 
@@ -53,6 +58,10 @@ def test_substring_excise_keeps_canonical(tok_df):
     # the exact twin is fully excised (its every window is non-canonical)
     assert got["d"]["tokens"] == [] and got["d"]["n_removed"] == 10
     assert got["c"]["n_removed"] == 0
+    # sub-k exact twins are NOT excised (no k-token window repeats);
+    # short-doc dedup is exact_dedup's job
+    assert got["e"]["tokens"] == [70, 71] and got["e"]["n_removed"] == 0
+    assert got["f"]["tokens"] == [70, 71] and got["f"]["n_removed"] == 0
 
 
 def test_substring_excise_within_doc_repeat(spark):
