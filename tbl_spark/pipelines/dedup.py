@@ -563,7 +563,10 @@ def substring_excise(df: DataFrame, tokens_col: str = "tokens",
     window count); and an Arrow-batched numpy surgery kernel that marks
     covered positions with a difference array — O(tokens + bad_windows)
     per row (a per-token higher-order `exists` over the starts would go
-    quadratic on exactly the long-duplicated docs this op targets)."""
+    quadratic on exactly the long-duplicated docs this op targets).
+    ONLY affected rows (those with any bad window) pay the Arrow round
+    trip through the kernel; clean rows — the vast majority of a real
+    corpus — pass through JVM-side untouched."""
     grams = _window_grams(tokens_col, k, gram_repr)
     key = F.concat_ws("#", F.col(id_col).cast("string"),
                       F.lpad(F.col("_pos").cast("string"), 10, "0"))
@@ -578,6 +581,9 @@ def substring_excise(df: DataFrame, tokens_col: str = "tokens",
            .groupBy(id_col)
            .agg(F.sort_array(F.collect_list("_pos")).alias("_bad")))
     joined = df.join(bad, id_col, "left")
+    clean = (joined.filter(F.col("_bad").isNull()).drop("_bad")
+             .withColumn("n_removed", F.lit(0)))
+    affected = joined.filter(F.col("_bad").isNotNull())
     out_ddl = ", ".join(
         [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
         + ["n_removed int"])
@@ -596,12 +602,11 @@ def substring_excise(df: DataFrame, tokens_col: str = "tokens",
             # cannot leak bytes outside this batch's rows
             values = values[offs[0]:offs[-1]]
             offs = offs - offs[0]
-            valid = np.asarray(bads.is_valid())
             keep_mask = np.ones(len(values), dtype=bool)
             removed = np.zeros(n, dtype=np.int32)
             for i in range(n):
-                if not valid[i]:
-                    continue
+                if not bads[i].is_valid:   # belt-and-braces: the
+                    continue               # affected filter strips nulls
                 starts = np.asarray(bads[i].as_py(), dtype=np.int64)
                 if len(starts) == 0:
                     continue
@@ -628,4 +633,4 @@ def substring_excise(df: DataFrame, tokens_col: str = "tokens",
             yield pa.RecordBatch.from_arrays(
                 cols, names=out_names + ["n_removed"])
 
-    return joined.mapInArrow(surgery, out_ddl)
+    return clean.unionByName(affected.mapInArrow(surgery, out_ddl))

@@ -90,3 +90,72 @@ def stream_store_stats(store_root: str) -> dict:
         "enc_bytes": sum(b["enc_bytes"] for b in batches),
         "raw_bytes": sum(b["raw_bytes"] for b in batches),
     }
+
+
+def windowed_token_stats(stream_df: DataFrame,
+                         time_col: str = "event_time",
+                         watermark: str = "10 minutes",
+                         window_len: str = "1 hour",
+                         group_col: str = "source",
+                         n_tok_col: str = "n_tok") -> DataFrame:
+    """Watermarked tumbling-window ingestion stats: tokens and docs per
+    (event-time window, source). The watermark bounds how late a row may
+    arrive and still count — Spark drops later rows and FINALIZES each
+    window once the watermark passes its end, so append-mode sinks emit
+    every window exactly once and the state store stays bounded (the
+    late-data contract of the north-rule streaming surface)."""
+    import pyspark.sql.functions as F
+    return (stream_df
+            .withWatermark(time_col, watermark)
+            .groupBy(F.window(time_col, window_len).alias("win"),
+                     F.col(group_col))
+            .agg(F.sum(n_tok_col).alias("tokens"),
+                 F.count("*").alias("docs"))
+            .select(F.col("win.start").alias("win_start"),
+                    F.col("win.end").alias("win_end"),
+                    group_col, "tokens", "docs"))
+
+
+def stream_dedup_exact(stream_df: DataFrame, text_col: str = "text",
+                       timeout_minutes: int | None = None) -> DataFrame:
+    """Cross-batch streaming exact dedup: emit only the FIRST row ever
+    seen for each text hash, remembering seen hashes in the streaming
+    state store (applyInPandasWithState — the custom stateful operator
+    surface). State per group is a single counter, so memory is
+    O(distinct hashes), and an optional processing-time timeout expires
+    idle hashes to bound state on endless streams (expired hashes may
+    re-admit a duplicate — the standard bounded-state trade)."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+
+    out_ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                        for f in stream_df.schema.fields)
+    keyed = stream_df.withColumn("_h", F.xxhash64(F.col(text_col)))
+    cols = [f.name for f in stream_df.schema.fields]
+
+    def first_only(key, pdfs, state: GroupState):
+        if state.exists:
+            if timeout_minutes is not None and state.hasTimedOut:
+                state.remove()     # idle hash expired — next seen re-admits
+            elif timeout_minutes is not None:
+                state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+            for _ in pdfs:         # drain: every later occurrence is a dup
+                pass
+            return
+        first: pd.DataFrame | None = None
+        for pdf in pdfs:
+            if first is None and len(pdf):
+                first = pdf.iloc[:1][cols]
+        state.update((1,))
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        if first is not None:
+            yield first
+
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if timeout_minutes is not None
+               else GroupStateTimeout.NoTimeout)
+    return keyed.groupBy("_h").applyInPandasWithState(
+        first_only, out_ddl, "seen int", "append", timeout)

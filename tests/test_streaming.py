@@ -71,3 +71,99 @@ def test_stream_encode_colocated_zero_shuffle(spark, tmp_path):
     assert replayed["encoded_parts"] == 0
     assert decode_stream_store(spark, store, SPARK_SCHEMA_DDL).count() \
         == 1000
+
+
+def test_windowed_token_stats_watermark(spark, tmp_path):
+    """Tumbling event-time windows with a watermark: finalized windows
+    emit exactly once in append mode, and a row arriving behind the
+    watermark never re-opens its (already-emitted) window."""
+    import datetime as dt
+    import os
+    import time
+
+    from tbl_spark.streaming import windowed_token_stats
+
+    inbox = str(tmp_path / "win_inbox")
+    os.makedirs(inbox)
+    ddl = "doc_id string, source string, n_tok int, event_time timestamp"
+
+    def write_wave(name, rows):
+        spark.createDataFrame(rows, ddl).coalesce(1) \
+            .write.mode("overwrite").parquet(f"{inbox}/{name}")
+
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)   # noqa: E731
+    write_wave("w1", [("a", "web", 10, t(10, 5)),
+                      ("b", "web", 20, t(10, 50)),
+                      ("c", "books", 5, t(11, 20)),
+                      ("d", "web", 7, t(12, 30))])
+    stream = (spark.readStream.schema(ddl)
+              .option("pathGlobFilter", "*.parquet")
+              .option("recursiveFileLookup", "true").parquet(inbox))
+    out = windowed_token_stats(stream, watermark="10 minutes",
+                               window_len="1 hour")
+    q = (out.writeStream.format("memory").queryName("win_stats")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_w")).start())
+    try:
+        q.processAllAvailable()
+        # watermark now 12:20 → the 10-11 and 11-12 windows are final
+        got = {(r["win_start"].hour, r["source"]): (r["tokens"], r["docs"])
+               for r in spark.sql("SELECT * FROM win_stats").collect()}
+        assert got[(10, "web")] == (30, 2)
+        assert got[(11, "books")] == (5, 1)
+        # wave 2: one row BEHIND the watermark (10:30 < 12:20) plus one
+        # that advances it past the 12-13 window
+        write_wave("w2", [("late", "web", 999, t(10, 30)),
+                          ("e", "web", 3, t(13, 40))])
+        q.processAllAvailable()
+        got = {(r["win_start"].hour, r["source"]): (r["tokens"], r["docs"])
+               for r in spark.sql("SELECT * FROM win_stats").collect()}
+        # the late row did NOT re-open or inflate the finalized window
+        assert got[(10, "web")] == (30, 2)
+        assert got[(12, "web")] == (7, 1)
+    finally:
+        q.stop()
+
+
+def test_stream_dedup_exact_across_batches(spark, tmp_path):
+    """applyInPandasWithState keeps one row per text hash ACROSS
+    micro-batches: later exact duplicates are suppressed by the state
+    store, not by any within-batch join."""
+    import os
+
+    from tbl_spark.streaming import stream_dedup_exact
+
+    inbox = str(tmp_path / "dd_inbox")
+    os.makedirs(inbox)
+    ddl = "doc_id string, text string"
+
+    def write_wave(name, rows):
+        spark.createDataFrame(rows, ddl).coalesce(1) \
+            .write.mode("overwrite").parquet(f"{inbox}/{name}")
+
+    write_wave("w1", [("a", "alpha text"), ("a2", "alpha text"),
+                      ("b", "beta text")])
+    stream = (spark.readStream.schema(ddl)
+              .option("pathGlobFilter", "*.parquet")
+              .option("recursiveFileLookup", "true").parquet(inbox))
+    out = stream_dedup_exact(stream)
+    q = (out.writeStream.format("memory").queryName("dd_stream")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_d")).start())
+    try:
+        q.processAllAvailable()
+        rows1 = spark.sql("SELECT * FROM dd_stream").collect()
+        assert sorted({r["text"] for r in rows1}) == ["alpha text",
+                                                      "beta text"]
+        assert len(rows1) == 2          # within-batch dup also suppressed
+        # batch 2: cross-batch duplicate + a new text
+        write_wave("w2", [("c", "alpha text"), ("d", "gamma text")])
+        q.processAllAvailable()
+        rows2 = spark.sql("SELECT * FROM dd_stream").collect()
+        assert sorted({r["text"] for r in rows2}) == [
+            "alpha text", "beta text", "gamma text"]
+        assert len(rows2) == 3          # 'c' was suppressed by state
+        emitted = {r["doc_id"] for r in rows2}
+        assert "c" not in emitted and "d" in emitted
+    finally:
+        q.stop()
