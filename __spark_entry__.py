@@ -358,6 +358,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (out.select("doc_id", F.substring("text", 1, 120)
                            .alias("red")).orderBy("doc_id"))
 
+    def pipeline_curate_v2(spark, sf):
+        """The round-4 curation chain end-to-end: quality gate (mean
+        word length) → PII redaction → tokenize → exact substring
+        excision → sequence packing — every stage one of the verified
+        operators, and the WHOLE chain re-derived in SQL by the oracle
+        (gate formula, both regexes, tokenizer, span excision and the
+        packing prefix sum included)."""
+        from tbl_spark.pipelines.packing import pack_sequences
+        docs = _read(spark, sf, "documents").withColumn(
+            "text", F.expr("concat('reach ', doc_id, '@example.com or "
+                           "+1 555 867 5309 says ', text)"))
+        red = textstats.with_pii_redacted(docs)
+        words = "regexp_extract_all(text, '\\\\S+', 0)"
+        mwl = (F.expr(f"aggregate({words}, 0L, (a, w) -> a + length(w))")
+               / F.greatest(F.expr(f"size({words})"), F.lit(1)))
+        gated = red.withColumn("_mwl", mwl).filter(
+            (F.col("_mwl") >= 4.5) & (F.col("_mwl") <= 12)).drop("_mwl")
+        toks = gated.withColumn("tokens", F.expr(_TOKENS))
+        exc = dedup.substring_excise(toks, k=8, gram_repr="string")
+        counted = exc.withColumn("n_tok_clean", F.size("tokens"))
+        packed = pack_sequences(counted, n_tok_col="n_tok_clean",
+                                order_col="doc_id", seq_len=512)
+        return (packed.select("doc_id", "n_removed", "n_tok_clean",
+                              "start_offset", "seq_id")
+                .orderBy("doc_id"))
+
     # -- multimodal plumbing -------------------------------------------------
 
     def media_features(spark, sf):
@@ -411,6 +437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_training_sequences": pack_training_sequences,
         "sample_stratified": sample_stratified,
         "text_pii_redact": text_pii_redact,
+        "pipeline_curate_v2": pipeline_curate_v2,
     }
 
 
@@ -881,4 +908,63 @@ def oracle_sql() -> dict[str, str]:
                        || '[0-9]{3,4}',
                        '<PHONE>', 'g'), 1, 120) AS red
             FROM documents ORDER BY doc_id""",
+        "pipeline_curate_v2": """
+            WITH red AS (SELECT doc_id,
+                   regexp_replace(regexp_replace(
+                       concat('reach ', doc_id, '@example.com or '
+                              || '+1 555 867 5309 says ', text),
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ]'
+                       || '[0-9]{3,4}',
+                       '<PHONE>', 'g') AS txt
+                   FROM documents),
+            gated AS (SELECT doc_id, txt FROM (
+                   SELECT doc_id, txt,
+                          list_sum(list_transform(
+                              regexp_extract_all(txt, '\\S+'),
+                              w -> length(w)))
+                          / CAST(greatest(len(regexp_extract_all(
+                              txt, '\\S+')), 1) AS DOUBLE) AS mwl
+                   FROM red) WHERE mwl >= 4.5 AND mwl <= 12),
+            t AS (SELECT doc_id,
+                         list_transform(regexp_split_to_array(
+                             txt, '\\s+'),
+                             w -> ascii(w) * 131 + len(w)) AS toks
+                  FROM gated),
+            occ AS (SELECT doc_id, i,
+                           array_to_string(toks[i:i+7], ',') AS gram,
+                           concat(doc_id, '#', lpad(CAST(i AS VARCHAR),
+                                                    10, '0')) AS okey
+                    FROM t, LATERAL (SELECT unnest(generate_series(
+                        1, len(toks) - 7)) AS i) s),
+            ga AS (SELECT gram, count(*) AS cnt, min(okey) AS canon
+                   FROM occ GROUP BY gram),
+            bad AS (SELECT occ.doc_id, occ.i
+                    FROM occ JOIN ga ON occ.gram = ga.gram
+                    WHERE ga.cnt > 1 AND occ.okey <> ga.canon),
+            lens AS (SELECT doc_id, len(toks) AS n FROM t),
+            badn AS (SELECT bad.doc_id, bad.i, lens.n
+                     FROM bad JOIN lens ON bad.doc_id = lens.doc_id),
+            cov AS (SELECT DISTINCT doc_id, j
+                    FROM badn, LATERAL (SELECT unnest(generate_series(
+                        i, least(i + 7, n))) AS j) s),
+            rem AS (SELECT doc_id, count(*) AS n_removed FROM cov
+                    GROUP BY doc_id),
+            counted AS (SELECT t.doc_id,
+                               CAST(coalesce(rem.n_removed, 0)
+                                    AS INTEGER) AS n_removed,
+                               CAST(len(toks)
+                                    - coalesce(rem.n_removed, 0)
+                                    AS INTEGER) AS n_tok_clean
+                        FROM t LEFT JOIN rem
+                             ON t.doc_id = rem.doc_id)
+            SELECT doc_id, n_removed, n_tok_clean,
+                   CAST(coalesce(sum(n_tok_clean) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS start_offset,
+                   CAST(floor(coalesce(sum(n_tok_clean) OVER (
+                       ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) / 512.0) AS BIGINT) AS seq_id
+            FROM counted ORDER BY doc_id""",
     }
