@@ -339,6 +339,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (out.select("doc_id", "n_tok", "start_offset", "seq_id")
                 .orderBy("doc_id"))
 
+    def pack_materialize(spark, sf):
+        # the training-shard half of packing: the packed stream cut into
+        # 512-token sequences (docs split across boundaries); verified
+        # per sequence by exact length + token checksum
+        from tbl_spark.pipelines.packing import materialize_sequences
+        docs = _read(spark, sf, "documents").withColumn(
+            "tokens", F.expr(_TOKENS))
+        seqs = materialize_sequences(docs, seq_len=512)
+        return (seqs.select(
+            "seq_id", F.size("tokens").alias("seq_n_tok"),
+            F.expr("aggregate(tokens, 0L, (a, x) -> a + x)")
+            .alias("tok_sum")).orderBy("seq_id"))
+
     def sample_stratified(spark, sf):
         from tbl_spark.pipelines.sampling import stratified_sample
         docs = _read(spark, sf, "documents")
@@ -435,6 +448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring_excise": dedup_substring_excise,
         "text_gopher_quality": text_gopher_quality,
         "pack_training_sequences": pack_training_sequences,
+        "pack_materialize": pack_materialize,
         "sample_stratified": sample_stratified,
         "text_pii_redact": text_pii_redact,
         "pipeline_curate_v2": pipeline_curate_v2,
@@ -889,6 +903,32 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                        0) / 512.0) AS BIGINT) AS seq_id
             FROM t ORDER BY doc_id""",
+        "pack_materialize": f"""
+            WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS toks
+                       FROM documents),
+            off AS (SELECT doc_id, toks, len(toks) AS n,
+                           coalesce(sum(len(toks)) OVER (ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS strt
+                    FROM t WHERE len(toks) > 0),
+            pieces AS (SELECT seq, toks,
+                              greatest(strt, seq * 512) - strt + 1
+                                  AS from_i,
+                              least(strt + n, (seq + 1) * 512)
+                                  - greatest(strt, seq * 512) AS plen,
+                              greatest(strt, seq * 512) AS gpos
+                       FROM off, LATERAL (SELECT unnest(generate_series(
+                           CAST(strt // 512 AS BIGINT),
+                           CAST((strt + n - 1) // 512 AS BIGINT)))
+                           AS seq) s),
+            agg AS (SELECT seq AS seq_id,
+                           flatten(list(toks[from_i:from_i+plen-1]
+                                        ORDER BY gpos)) AS seqtoks
+                    FROM pieces GROUP BY seq)
+            SELECT seq_id,
+                   CAST(len(seqtoks) AS INTEGER) AS seq_n_tok,
+                   CAST(list_sum(seqtoks) AS BIGINT) AS tok_sum
+            FROM agg ORDER BY seq_id""",
         "sample_stratified": """
             SELECT doc_id, source FROM documents
             WHERE CAST(CAST(concat('0x', substring(

@@ -70,3 +70,48 @@ def pack_sequences(df: DataFrame, n_tok_col: str = "n_tok",
             .withColumn("seq_id",
                         F.floor(F.col("start_offset") / seq_len))
             .drop("_bk"))
+
+
+def materialize_sequences(df: DataFrame, tokens_col: str = "tokens",
+                          order_col: str = "doc_id",
+                          seq_len: int = 2048,
+                          num_parts: int | None = None) -> DataFrame:
+    """Build the actual training sequences: the packed global token
+    stream cut into `seq_len`-token arrays (docs crossing a boundary are
+    SPLIT across sequences, GPT-style; the final partial sequence is
+    kept). Returns (seq_id, tokens).
+
+    Scale shape: every doc is exploded into one row per sequence it
+    touches (≤ ceil(n_tok/seq_len) + 1 pieces), the piece slice is a JVM
+    array expression, and one groupBy(seq_id) assembles each sequence
+    from its sorted pieces — the shuffle carries each token exactly
+    once, and no sequence exceeds seq_len tokens in one group."""
+    n_tok = F.size(tokens_col)
+    packed = (pack_sequences(
+        df.withColumn("_n", n_tok).filter(F.col("_n") > 0),
+        n_tok_col="_n", order_col=order_col, seq_len=seq_len,
+        num_parts=num_parts)
+        .select(order_col, tokens_col, "_n", "start_offset"))
+    L = seq_len
+    pieces = packed.select(
+        tokens_col, "start_offset", "_n",
+        F.explode(F.expr(
+            f"sequence(start_offset div {L}, "
+            f"(start_offset + _n - 1) div {L})"))
+        .alias("seq_id"))
+    gstart = F.greatest(F.col("start_offset"), F.col("seq_id") * L)
+    gend = F.least(F.col("start_offset") + F.col("_n"),
+                   (F.col("seq_id") + 1) * L)
+    piece = F.expr(f"slice({tokens_col}, CAST(_from AS INT), "
+                   f"CAST(_plen AS INT))")
+    cut = (pieces
+           .withColumn("_from", gstart - F.col("start_offset") + 1)
+           .withColumn("_plen", gend - gstart)
+           .withColumn("_pos", gstart - F.col("seq_id") * L)
+           .withColumn("_piece", piece))
+    return (cut.groupBy("seq_id")
+            .agg(F.flatten(F.expr(
+                "transform(sort_array(collect_list("
+                "struct(_pos, _piece))), s -> s._piece)"))
+                .alias(tokens_col))
+            .orderBy("seq_id"))

@@ -135,3 +135,22 @@ def test_pii_redaction(spark):
     got = {r["doc_id"]: r["text"] for r in with_pii_redacted(df).collect()}
     assert got["a"] == "mail <EMAIL> and <PHONE> ok"
     assert got["b"] == "no pii here, just text with numbers 12345"
+
+
+def test_materialize_sequences_matches_serial_stream(spark):
+    from tbl_spark.pipelines.packing import materialize_sequences
+    rows = [(f"d{i:02d}", list(range(i * 100, i * 100 + 7 + i)))
+            for i in range(12)]
+    rows.append(("empty", []))          # zero-token doc contributes nothing
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    out = materialize_sequences(df, seq_len=16, num_parts=3).collect()
+    stream = []
+    for _did, toks in sorted(rows):
+        stream.extend(toks)
+    assert sum(len(r["tokens"]) for r in out) == len(stream)
+    for r in out:
+        lo = r["seq_id"] * 16
+        assert r["tokens"] == stream[lo:lo + 16], r["seq_id"]
+    # every sequence except possibly the last is exactly seq_len
+    sizes = [len(r["tokens"]) for r in sorted(out, key=lambda r: r["seq_id"])]
+    assert all(s == 16 for s in sizes[:-1]) and 0 < sizes[-1] <= 16
