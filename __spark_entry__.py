@@ -339,6 +339,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (out.select("doc_id", "n_tok", "start_offset", "seq_id")
                 .orderBy("doc_id"))
 
+    def dedup_decontaminate(spark, sf):
+        # benchmark decontamination: every 20th doc stands in for the
+        # eval suite (a modulo split so the corpus's planted duplicate
+        # pairs straddle the boundary); every train doc sharing ANY
+        # 8-token window with the eval set is dropped (GPT-3 appendix C
+        # / The Pile n-gram rule)
+        docs = _read(spark, sf, "documents").withColumn(
+            "tokens", F.expr(_TOKENS))
+        ev = docs.filter(F.col("doc_id") % 20 == 0)
+        tr = docs.filter(F.col("doc_id") % 20 != 0)
+        out = dedup.decontaminate(tr, ev, k=8, gram_repr="string")
+        return out.select("doc_id").orderBy("doc_id")
+
+    def text_token_frequencies(spark, sf):
+        docs = _read(spark, sf, "documents").withColumn(
+            "tokens", F.expr(_TOKENS))
+        return textstats.token_frequencies(docs, top_n=100)
+
     def pack_materialize(spark, sf):
         # the training-shard half of packing: the packed stream cut into
         # 512-token sequences (docs split across boundaries); verified
@@ -448,6 +466,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring_excise": dedup_substring_excise,
         "text_gopher_quality": text_gopher_quality,
         "pack_training_sequences": pack_training_sequences,
+        "dedup_decontaminate": dedup_decontaminate,
+        "text_token_frequencies": text_token_frequencies,
         "pack_materialize": pack_materialize,
         "sample_stratified": sample_stratified,
         "text_pii_redact": text_pii_redact,
@@ -903,6 +923,34 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                        0) / 512.0) AS BIGINT) AS seq_id
             FROM t ORDER BY doc_id""",
+        "dedup_decontaminate": f"""
+            WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS toks
+                       FROM documents),
+            eg AS (SELECT DISTINCT array_to_string(toks[i:i+7], ',')
+                       AS gram
+                   FROM t, LATERAL (SELECT unnest(generate_series(
+                       1, len(toks) - 7)) AS i) s
+                   WHERE doc_id % 20 = 0),
+            tg AS (SELECT doc_id, array_to_string(toks[i:i+7], ',')
+                       AS gram
+                   FROM t, LATERAL (SELECT unnest(generate_series(
+                       1, len(toks) - 7)) AS i) s
+                   WHERE doc_id % 20 <> 0),
+            bad AS (SELECT DISTINCT doc_id FROM tg
+                    WHERE gram IN (SELECT gram FROM eg))
+            SELECT doc_id FROM t
+            WHERE doc_id % 20 <> 0
+              AND doc_id NOT IN (SELECT doc_id FROM bad)
+            ORDER BY doc_id""",
+        "text_token_frequencies": f"""
+            WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS toks
+                       FROM documents),
+            e AS (SELECT doc_id, unnest(toks) AS token FROM t)
+            SELECT token,
+                   CAST(count(*) AS BIGINT) AS occurrences,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+            FROM e GROUP BY token
+            ORDER BY occurrences DESC, token LIMIT 100""",
         "pack_materialize": f"""
             WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS toks
                        FROM documents),

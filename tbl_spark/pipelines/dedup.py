@@ -634,3 +634,26 @@ def substring_excise(df: DataFrame, tokens_col: str = "tokens",
                 cols, names=out_names + ["n_removed"])
 
     return clean.unionByName(affected.mapInArrow(surgery, out_ddl))
+
+
+def decontaminate(train_df: DataFrame, eval_df: DataFrame,
+                  tokens_col: str = "tokens", id_col: str = "doc_id",
+                  k: int = 8, gram_repr: str = "hash") -> DataFrame:
+    """Benchmark decontamination: drop every training document that
+    shares ANY k-token window with the evaluation set (the n-gram
+    overlap rule used to scrub eval contamination from pretraining
+    corpora — e.g. GPT-3 appendix C / The Pile, public method).
+
+    Scale shape: the eval side reduces to its DISTINCT gram set (small —
+    eval suites are orders of magnitude smaller than the corpus), the
+    train side streams its grams through one semi-join on the 8-byte
+    gram key, and contaminated ids anti-join back. No token arrays
+    cross the wire."""
+    ev = (eval_df.select(F.explode(
+        _window_grams(tokens_col, k, gram_repr)).alias("_w"))
+        .select(F.col("_w.gram").alias("_g")).distinct())
+    tr = (train_df.select(F.col(id_col), F.explode(
+        _window_grams(tokens_col, k, gram_repr)).alias("_w"))
+        .select(id_col, F.col("_w.gram").alias("_g")))
+    contaminated = tr.join(ev, "_g", "left_semi").select(id_col).distinct()
+    return train_df.join(contaminated, id_col, "left_anti")

@@ -160,3 +160,21 @@ def with_pii_redacted(df: DataFrame, text_col: str = "text",
         F.regexp_replace(F.col(text_col), PII_EMAIL, "<EMAIL>"),
         PII_PHONE, "<PHONE>")
     return df.withColumn(out, red)
+
+
+def token_frequencies(df: DataFrame, tokens_col: str = "tokens",
+                      id_col: str = "doc_id",
+                      top_n: int | None = None) -> DataFrame:
+    """Corpus token histogram — the vocabulary-statistics pass every
+    tokenizer/training pipeline runs (coverage, OOV rates, Zipf fit).
+    One explode + partially-aggregated groupBy on the token id; per
+    token: total occurrences and document frequency, most frequent
+    first (ties by token id for a deterministic order)."""
+    freq = (df.select(F.col(id_col), F.explode(tokens_col).alias("token"))
+            .groupBy("token")
+            .agg(F.count("*").alias("occurrences"),
+                 F.count_distinct(id_col).alias("doc_freq"))
+            .orderBy(F.desc("occurrences"), "token"))
+    if top_n is not None:
+        freq = freq.limit(top_n)
+    return freq

@@ -154,3 +154,30 @@ def test_materialize_sequences_matches_serial_stream(spark):
     # every sequence except possibly the last is exactly seq_len
     sizes = [len(r["tokens"]) for r in sorted(out, key=lambda r: r["seq_id"])]
     assert all(s == 16 for s in sizes[:-1]) and 0 < sizes[-1] <= 16
+
+
+def test_decontaminate_drops_overlapping_train_docs(spark):
+    train = spark.createDataFrame(
+        [("t1", [1, 2, 3, 4, 5, 6, 7, 8, 9]),     # shares [1..8] w/ eval
+         ("t2", [20, 21, 22, 23, 24, 25, 26, 27]),  # clean
+         ("t3", [90, 91]),                          # sub-k, never flagged
+         ],
+        "doc_id string, tokens array<int>")
+    evals = spark.createDataFrame(
+        [("e1", [0, 1, 2, 3, 4, 5, 6, 7, 8])],
+        "doc_id string, tokens array<int>")
+    kept = {r["doc_id"] for r in
+            dedup.decontaminate(train, evals, k=8).collect()}
+    assert kept == {"t2", "t3"}
+
+
+def test_token_frequencies(spark):
+    from tbl_spark.pipelines.textstats import token_frequencies
+    df = spark.createDataFrame(
+        [("a", [1, 1, 2]), ("b", [1, 3])],
+        "doc_id string, tokens array<int>")
+    got = {r["token"]: (r["occurrences"], r["doc_freq"])
+           for r in token_frequencies(df).collect()}
+    assert got == {1: (3, 2), 2: (1, 1), 3: (1, 1)}
+    top1 = token_frequencies(df, top_n=1).collect()
+    assert len(top1) == 1 and top1[0]["token"] == 1
