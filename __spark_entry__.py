@@ -365,10 +365,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _read(spark, sf, "documents").withColumn(
             "tokens", F.expr(_TOKENS))
         seqs = materialize_sequences(docs, seq_len=512)
+        # pos_sum is POSITION-weighted (sum of i·token, 1-based), so a
+        # within-sequence permutation cannot slip past the oracle the
+        # way a plain sum could
+        pos_sum = F.expr(
+            "aggregate(tokens, struct(CAST(0 AS BIGINT) AS s, "
+            "CAST(0 AS BIGINT) AS i), (acc, x) -> "
+            "struct(acc.s + (acc.i + 1) * x, acc.i + 1), acc -> acc.s)")
         return (seqs.select(
             "seq_id", F.size("tokens").alias("seq_n_tok"),
             F.expr("aggregate(tokens, 0L, (a, x) -> a + x)")
-            .alias("tok_sum")).orderBy("seq_id"))
+            .alias("tok_sum"),
+            pos_sum.alias("pos_sum")).orderBy("seq_id"))
 
     def sample_stratified(spark, sf):
         from tbl_spark.pipelines.sampling import stratified_sample
@@ -975,7 +983,9 @@ def oracle_sql() -> dict[str, str]:
                     FROM pieces GROUP BY seq)
             SELECT seq_id,
                    CAST(len(seqtoks) AS INTEGER) AS seq_n_tok,
-                   CAST(list_sum(seqtoks) AS BIGINT) AS tok_sum
+                   CAST(list_sum(seqtoks) AS BIGINT) AS tok_sum,
+                   CAST(coalesce(list_sum(list_transform(seqtoks,
+                        (x, i) -> i * x)), 0) AS BIGINT) AS pos_sum
             FROM agg ORDER BY seq_id""",
         "sample_stratified": """
             SELECT doc_id, source FROM documents

@@ -31,30 +31,43 @@ def pack_sequences(df: DataFrame, n_tok_col: str = "n_tok",
     bucket totals. Poorly balanced boundaries cost wall-clock on the
     bucket windows, never correctness."""
     P = num_parts or df.sparkSession.sparkContext.defaultParallelism
-    n = df.count()
-    if n == 0:
-        return (df.withColumn("start_offset", F.lit(0).cast("bigint"))
-                .withColumn("seq_id", F.lit(0).cast("bigint")))
-    boundaries: list = []
-    if P > 1 and n > 1:
-        frac = min(1.0, (P * 64) / n)
-        sample = sorted(
-            r[0] for r in df.select(order_col)
-            .sample(fraction=frac, seed=42).collect())
-        if sample:
-            step = max(1, len(sample) // P)
-            boundaries = sorted({sample[i] for i in
-                                 range(step - 1, len(sample) - 1, step)})
-    if boundaries:
-        barr = F.array(*[F.lit(b) for b in boundaries])
-        bucket = F.aggregate(
-            barr, F.lit(0),
-            lambda acc, b: acc + F.when(F.col(order_col) > b,
-                                        F.lit(1)).otherwise(F.lit(0)))
-    else:
-        bucket = F.lit(0)
-    bdf = df.withColumn("_bk", bucket)
-    totals = bdf.groupBy("_bk").agg(F.sum(n_tok_col).alias("_t")).collect()
+    # the three bounded driver actions below (count, boundary sample,
+    # bucket totals) would otherwise each recompute the caller's full
+    # upstream lineage (in pipeline_curate_v2 that is the whole excision
+    # chain); a persist scoped to EXACTLY these actions caps upstream
+    # execution at 2× (one materialization + the caller's output job
+    # after the unpersist) with no cache left behind
+    cached = df.persist()
+    try:
+        n = cached.count()
+        if n == 0:
+            return (df.withColumn("start_offset",
+                                  F.lit(0).cast("bigint"))
+                    .withColumn("seq_id", F.lit(0).cast("bigint")))
+        boundaries: list = []
+        if P > 1 and n > 1:
+            frac = min(1.0, (P * 64) / n)
+            sample = sorted(
+                r[0] for r in cached.select(order_col)
+                .sample(fraction=frac, seed=42).collect())
+            if sample:
+                step = max(1, len(sample) // P)
+                boundaries = sorted({sample[i] for i in
+                                     range(step - 1, len(sample) - 1,
+                                           step)})
+        if boundaries:
+            barr = F.array(*[F.lit(b) for b in boundaries])
+            bucket = F.aggregate(
+                barr, F.lit(0),
+                lambda acc, b: acc + F.when(F.col(order_col) > b,
+                                            F.lit(1)).otherwise(F.lit(0)))
+        else:
+            bucket = F.lit(0)
+        bdf = df.withColumn("_bk", bucket)
+        totals = (cached.withColumn("_bk", bucket).groupBy("_bk")
+                  .agg(F.sum(n_tok_col).alias("_t")).collect())
+    finally:
+        cached.unpersist(blocking=False)
     base, prefix = 0, {}
     for r in sorted(totals, key=lambda r: r["_bk"]):
         prefix[r["_bk"]] = base

@@ -117,45 +117,59 @@ def windowed_token_stats(stream_df: DataFrame,
 
 
 def stream_dedup_exact(stream_df: DataFrame, text_col: str = "text",
-                       timeout_minutes: int | None = None) -> DataFrame:
+                       timeout_minutes: float | None = None) -> DataFrame:
     """Cross-batch streaming exact dedup: emit only the FIRST row ever
-    seen for each text hash, remembering seen hashes in the streaming
-    state store (applyInPandasWithState — the custom stateful operator
-    surface). State per group is a single counter, so memory is
-    O(distinct hashes), and an optional processing-time timeout expires
-    idle hashes to bound state on endless streams (expired hashes may
+    seen for each distinct text, remembering it in the streaming state
+    store (applyInPandasWithState — the custom stateful operator
+    surface).
+
+    Collision safety: rows are grouped by xxhash64(text), but the drop
+    decision also compares an INDEPENDENT md5-derived 60-bit digest kept
+    per group in state — a distinct document is dropped only if both
+    hashes collide simultaneously (~2^-124 per pair, negligible even at
+    the 10^12-sequence design point where a bare 64-bit key would be
+    expected to collide — same standard as batch exact_dedup's
+    verify=True). State per group is the digest list (one entry unless
+    a 64-bit collision actually lands in the group), so memory is
+    O(distinct texts); an optional processing-time timeout expires idle
+    entries to bound state on endless streams (expired entries may
     re-admit a duplicate — the standard bounded-state trade)."""
     import pandas as pd
     import pyspark.sql.functions as F
     from pyspark.sql.streaming.state import (GroupState,
                                              GroupStateTimeout)
+    from .pipelines.dedup import _word_hash_expr
 
     out_ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
                         for f in stream_df.schema.fields)
-    keyed = stream_df.withColumn("_h", F.xxhash64(F.col(text_col)))
+    keyed = (stream_df
+             .withColumn("_h", F.xxhash64(F.col(text_col)))
+             .withColumn("_d", F.expr(_word_hash_expr(text_col, "md5_60"))))
     cols = [f.name for f in stream_df.schema.fields]
 
     def first_only(key, pdfs, state: GroupState):
-        if state.exists:
-            if timeout_minutes is not None and state.hasTimedOut:
-                state.remove()     # idle hash expired — next seen re-admits
-            elif timeout_minutes is not None:
-                state.setTimeoutDuration(timeout_minutes * 60 * 1000)
-            for _ in pdfs:         # drain: every later occurrence is a dup
+        if state.exists and timeout_minutes is not None \
+                and state.hasTimedOut:
+            state.remove()         # idle entry expired — next seen re-admits
+            for _ in pdfs:
                 pass
             return
-        first: pd.DataFrame | None = None
+        seen = set(state.get[0]) if state.exists else set()
+        firsts: list[pd.DataFrame] = []
         for pdf in pdfs:
-            if first is None and len(pdf):
-                first = pdf.iloc[:1][cols]
-        state.update((1,))
+            for idx in range(len(pdf)):
+                d = int(pdf["_d"].iloc[idx])
+                if d not in seen:  # new text (or first ever in this group)
+                    seen.add(d)
+                    firsts.append(pdf.iloc[idx:idx + 1][cols])
+        state.update((sorted(seen),))
         if timeout_minutes is not None:
-            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
-        if first is not None:
-            yield first
+            state.setTimeoutDuration(int(timeout_minutes * 60 * 1000))
+        if firsts:
+            yield pd.concat(firsts, ignore_index=True)
 
     timeout = (GroupStateTimeout.ProcessingTimeTimeout
                if timeout_minutes is not None
                else GroupStateTimeout.NoTimeout)
     return keyed.groupBy("_h").applyInPandasWithState(
-        first_only, out_ddl, "seen int", "append", timeout)
+        first_only, out_ddl, "digests array<bigint>", "append", timeout)

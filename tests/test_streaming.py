@@ -167,3 +167,63 @@ def test_stream_dedup_exact_across_batches(spark, tmp_path):
         assert "c" not in emitted and "d" in emitted
     finally:
         q.stop()
+
+
+def test_stream_dedup_timeout_expires_and_readmits(spark, tmp_path):
+    """The ProcessingTimeTimeout arm: an idle hash's state expires after
+    the timeout, so a later duplicate is re-admitted (the documented
+    bounded-state trade); a fresh-in-window duplicate stays suppressed.
+
+    NOTE: with ProcessingTimeTimeout Spark keeps running no-data
+    state-cleanup batches, so processAllAvailable never goes idle —
+    the test polls the memory sink under a fixed trigger instead."""
+    import os
+    import time
+
+    from tbl_spark.streaming import stream_dedup_exact
+
+    inbox = str(tmp_path / "to_inbox")
+    os.makedirs(inbox)
+    ddl = "doc_id string, text string"
+
+    def write_wave(name, rows):
+        spark.createDataFrame(rows, ddl).coalesce(1) \
+            .write.mode("overwrite").parquet(f"{inbox}/{name}")
+
+    def wait_count(n, timeout_s=90):
+        for _ in range(timeout_s * 2):
+            if spark.sql("SELECT count(*) FROM to_stream") \
+                    .collect()[0][0] >= n:
+                return
+            time.sleep(0.5)
+        raise AssertionError(f"sink never reached {n} rows")
+
+    write_wave("w1", [("a", "alpha")])
+    stream = (spark.readStream.schema(ddl)
+              .option("pathGlobFilter", "*.parquet")
+              .option("recursiveFileLookup", "true").parquet(inbox))
+    out = stream_dedup_exact(stream, timeout_minutes=20 / 60)  # 20 s
+    q = (out.writeStream.format("memory").queryName("to_stream")
+         .outputMode("append")
+         .trigger(processingTime="500 milliseconds")
+         .option("checkpointLocation", str(tmp_path / "ckpt_t")).start())
+    try:
+        wait_count(1)
+        # in-window duplicate suppressed; the marker row proves the
+        # batch was processed
+        write_wave("w2", [("b", "alpha"), ("m1", "marker one")])
+        wait_count(2)
+        ids = {r["doc_id"] for r in
+               spark.sql("SELECT * FROM to_stream").collect()}
+        assert "b" not in ids and "m1" in ids
+        # let the alpha state expire (cleanup batches keep running
+        # under the fixed trigger), then re-admit
+        time.sleep(25)
+        write_wave("w3", [("e", "alpha"), ("m2", "marker two")])
+        wait_count(4)
+        rows = spark.sql("SELECT * FROM to_stream").collect()
+        ids = {r["doc_id"] for r in rows}
+        assert "e" in ids and "b" not in ids
+        assert len([r for r in rows if r["text"] == "alpha"]) == 2
+    finally:
+        q.stop()
