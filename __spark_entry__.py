@@ -16,6 +16,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 EN_STOP = ["the", "and", "of", "to", "a", "in", "is", "it", "for", "that"]
 
+_STREAM_SEQ = [0]
+
+
+def _stream_sink_name(prefix: str) -> str:
+    """Unique memory-sink name per streaming-query invocation (the same
+    session may run a query several times — bench reps, retries)."""
+    _STREAM_SEQ[0] += 1
+    return f"{prefix}_{_STREAM_SEQ[0]}"
+
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
@@ -423,6 +432,101 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                               "start_offset", "seq_id")
                 .orderBy("doc_id"))
 
+    # -- streaming ops (real Structured Streaming runs, batch-SQL twins) -----
+
+    def stream_windowed_stats(spark, sf):
+        """windowed_token_stats as an ACTUAL streaming query with a
+        finalization protocol that makes the append-mode output equal the
+        batch aggregation: wave 1 is the whole events table, wave 2 a
+        single far-future sentinel row whose only job is to advance the
+        watermark past every real window — so every real (hour, type)
+        window finalizes and emits exactly once, and the memory sink
+        holds precisely the batch-SQL time_bucket group-by (VERDICT r4
+        #5). The sentinel's own window never finalizes and is excluded
+        by its event_type."""
+        import os
+        import tempfile
+
+        from tbl_spark.streaming import windowed_token_stats
+        ev = (_read(spark, sf, "events")
+              .select("ts", "event_type",
+                      F.expr("CAST(floor(value) AS INT)").alias("n_tok")))
+        max_ts = ev.agg(F.max("ts")).collect()[0][0]
+        work = tempfile.mkdtemp(prefix="tbl_swin_")
+        inbox = os.path.join(work, "inbox")
+        os.makedirs(inbox)
+        ddl = "ts timestamp, event_type string, n_tok int"
+        ev.coalesce(1).write.parquet(os.path.join(inbox, "w1"))
+        stream = (spark.readStream.schema(ddl)
+                  .option("pathGlobFilter", "*.parquet")
+                  .option("recursiveFileLookup", "true").parquet(inbox))
+        out = windowed_token_stats(stream, time_col="ts",
+                                   watermark="10 minutes",
+                                   window_len="1 hour",
+                                   group_col="event_type",
+                                   n_tok_col="n_tok")
+        name = _stream_sink_name("swin")
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("append")
+             .option("checkpointLocation", os.path.join(work, "ckpt"))
+             .start())
+        try:
+            q.processAllAvailable()
+            sent = spark.createDataFrame(
+                [(max_ts, "_sentinel_", 0)], ddl).withColumn(
+                "ts", F.col("ts") + F.expr("INTERVAL 3 DAYS"))
+            sent.coalesce(1).write.parquet(os.path.join(inbox, "w2"))
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return (spark.table(name)
+                .filter(F.col("event_type") != "_sentinel_")
+                .select("win_start", "event_type",
+                        F.col("tokens").cast("bigint").alias("tokens"),
+                        "docs")
+                .orderBy("win_start", "event_type"))
+
+    def stream_dedup_replay(spark, sf):
+        """stream_dedup_exact as an ACTUAL streaming run whose emitted
+        set is batch-SQL-derivable: documents are replayed in three
+        epoch waves (epoch = doc_id % 3), each wave carrying ONE
+        representative row per (text, epoch) — the min doc_id — so
+        within any micro-batch every text is unique and the kept row
+        never depends on shuffle order. The stateful operator then
+        suppresses every cross-batch duplicate, leaving exactly the
+        argmin-(epoch, doc_id) doc per distinct text — which is the
+        oracle's window expression over the raw table."""
+        import os
+        import tempfile
+
+        from tbl_spark.streaming import stream_dedup_exact
+        docs = _read(spark, sf, "documents")
+        rep = (docs.withColumn("_ep", F.col("doc_id") % 3)
+               .groupBy("text", "_ep")
+               .agg(F.min("doc_id").alias("doc_id")))
+        work = tempfile.mkdtemp(prefix="tbl_sdd_")
+        inbox = os.path.join(work, "inbox")
+        os.makedirs(inbox)
+        ddl = "doc_id bigint, text string"
+        stream = (spark.readStream.schema(ddl)
+                  .option("pathGlobFilter", "*.parquet")
+                  .option("recursiveFileLookup", "true").parquet(inbox))
+        out = stream_dedup_exact(stream)
+        name = _stream_sink_name("sdd")
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("append")
+             .option("checkpointLocation", os.path.join(work, "ckpt"))
+             .start())
+        try:
+            for ep in range(3):
+                (rep.filter(F.col("_ep") == ep).select("doc_id", "text")
+                 .coalesce(1).write
+                 .parquet(os.path.join(inbox, f"w{ep}")))
+                q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.table(name).select("doc_id").orderBy("doc_id")
+
     # -- multimodal plumbing -------------------------------------------------
 
     def media_features(spark, sf):
@@ -480,6 +584,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": sample_stratified,
         "text_pii_redact": text_pii_redact,
         "pipeline_curate_v2": pipeline_curate_v2,
+        "stream_windowed_stats": stream_windowed_stats,
+        "stream_dedup_replay": stream_dedup_replay,
     }
 
 
@@ -1065,4 +1171,26 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
                        AND 1 PRECEDING), 0) / 512.0) AS BIGINT) AS seq_id
             FROM counted ORDER BY doc_id""",
+        # batch twin of the REAL streaming run: with the sentinel-row
+        # finalization protocol the append-mode sink holds exactly the
+        # tumbling-window aggregation, i.e. a plain time_bucket group-by
+        "stream_windowed_stats": """
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+                   event_type,
+                   CAST(sum(CAST(floor(value) AS INTEGER)) AS BIGINT)
+                       AS tokens,
+                   count(*) AS docs
+            FROM events
+            GROUP BY 1, 2 ORDER BY win_start, event_type""",
+        # replay twin: three epoch waves of per-(text, epoch) min-doc_id
+        # representatives through the stateful dedup keep exactly the
+        # argmin-(epoch, doc_id) row per distinct text
+        "stream_dedup_replay": """
+            WITH rep AS (SELECT text, doc_id % 3 AS ep,
+                                min(doc_id) AS doc_id
+                         FROM documents GROUP BY text, doc_id % 3)
+            SELECT doc_id FROM (
+                SELECT doc_id, row_number() OVER (
+                    PARTITION BY text ORDER BY ep, doc_id) AS rn
+                FROM rep) WHERE rn = 1 ORDER BY doc_id""",
     }

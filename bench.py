@@ -24,6 +24,51 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", 60_000))
 
+# -- host-load gate (VERDICT r4 #2) ------------------------------------------
+# The sandbox shares its host with co-tenants whose load spikes make wall
+# times 3-5x slower; the r4 official bench was captured under such a spike
+# and told the wrong story. Every timed rep now waits (bounded) for the
+# 1-min loadavg to drop below LOAD_MAX, runs extra reps when a rep executed
+# dirty, and records the observed loadavg + attempt count per query so the
+# artifact itself shows whether its numbers are trustworthy.
+LOAD_MAX = float(os.environ.get("SPARK_GRAFT_LOAD_MAX", "6.0"))
+LOAD_WAIT_S = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "60"))
+_LOAD_META: dict[str, dict] = {}
+
+
+def _wait_low_load() -> float:
+    """Block (bounded by LOAD_WAIT_S) until 1-min loadavg <= LOAD_MAX;
+    return the loadavg actually observed when proceeding."""
+    t0 = time.monotonic()
+    while True:
+        la = os.getloadavg()[0]
+        if la <= LOAD_MAX or time.monotonic() - t0 > LOAD_WAIT_S:
+            return la
+        time.sleep(2.0)
+
+
+def _timed_reps(name: str, fn, reps: int = 2, max_reps: int = 4):
+    """best-of timing with the load gate: aim for `reps` CLEAN reps
+    (started below LOAD_MAX), up to max_reps total. Returns
+    (best_seconds, last_result) and records per-rep loadavg + attempts
+    under _LOAD_META[name]."""
+    times: list[float] = []
+    loads: list[float] = []
+    result = None
+    clean = 0
+    for _ in range(max_reps):
+        la = _wait_low_load()
+        t0 = time.perf_counter()
+        result = fn()
+        times.append(time.perf_counter() - t0)
+        loads.append(round(la, 2))
+        if la <= LOAD_MAX:
+            clean += 1
+        if clean >= reps:
+            break
+    _LOAD_META[name] = {"loadavg": loads, "attempts": len(times)}
+    return min(times), result
+
 
 def _new_session(cores: int):
     from pyspark.sql import SparkSession
@@ -36,7 +81,9 @@ def _new_session(cores: int):
 
 
 def encode_tokens_per_sec(spark, n_docs: int, num_parts: int,
-                          warmup: bool = True) -> tuple[float, int, int]:
+                          warmup: bool = True,
+                          meta_name: str | None = None
+                          ) -> tuple[float, int, int]:
     """(tokens/sec, total_tokens, enc_bytes) for the distributed encode.
 
     The token table is staged to parquet first (untimed) so the timed
@@ -63,16 +110,17 @@ def encode_tokens_per_sec(spark, n_docs: int, num_parts: int,
     # a fresh fleet ships to executors instead of auditioning per worker
     from tbl_spark.encode import audition_codec_hints
     hints = audition_codec_hints(df)
-    best_dt = None
-    for _ in range(2):  # best-of-2 damps sandbox CPU-steal noise
-        t0 = time.perf_counter()
-        agg = (encode_chunks(df, num_parts, codec_hints=hints)
-               .agg(F.sum("enc_bytes").alias("enc"),
-                    F.sum(F.when(F.col("column") == "tokens",
-                                 F.col("n_values"))).alias("tokens"))
-               .collect()[0])
-        dt = time.perf_counter() - t0
-        best_dt = dt if best_dt is None else min(best_dt, dt)
+
+    def rep():
+        return (encode_chunks(df, num_parts, codec_hints=hints)
+                .agg(F.sum("enc_bytes").alias("enc"),
+                     F.sum(F.when(F.col("column") == "tokens",
+                                  F.col("n_values"))).alias("tokens"))
+                .collect()[0])
+
+    # load-gated best-of-2 damps sandbox CPU-steal noise
+    best_dt, agg = _timed_reps(
+        meta_name or f"encode_{n_docs}_{num_parts}", rep)
     return (agg["tokens"] / best_dt, int(agg["tokens"]), int(agg["enc"]),
             best_dt)
 
@@ -109,7 +157,7 @@ def main() -> None:
     # encode_tokens_incl_setup_sec, which keeps the old definition.
     t0 = time.perf_counter()
     thr, total_tokens, enc_bytes, best_dt = encode_tokens_per_sec(
-        spark, BENCH_DOCS, num_parts=2 * CPUS)
+        spark, BENCH_DOCS, num_parts=2 * CPUS, meta_name="encode_tokens")
     queries["encode_tokens"] = round(best_dt, 3)
     extras["encode_tokens_incl_setup_sec"] = round(time.perf_counter() - t0, 3)
     extras["encode_tokens_per_sec"] = round(thr)
@@ -134,16 +182,16 @@ def main() -> None:
         # keeps the timed region comparable across rounds
         from tbl_spark.encode import audition_codec_hints
         co_hints = audition_codec_hints(staged)
-        best = None
-        for _ in range(2):
-            t0 = time.perf_counter()
-            agg = (encode_chunks_colocated(staged, tokens_per_chunk=400_000,
-                                           codec_hints=co_hints)
-                   .agg(F.sum(F.when(F.col("column") == "tokens",
-                                     F.col("n_values"))).alias("tokens"))
-                   .collect()[0])
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+
+        def co_rep():
+            return (encode_chunks_colocated(staged,
+                                            tokens_per_chunk=400_000,
+                                            codec_hints=co_hints)
+                    .agg(F.sum(F.when(F.col("column") == "tokens",
+                                      F.col("n_values"))).alias("tokens"))
+                    .collect()[0])
+
+        best, agg = _timed_reps("encode_colocated", co_rep)
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
         spark.conf.set("spark.sql.files.openCostInBytes", prev_open)
@@ -159,9 +207,10 @@ def main() -> None:
         generate_df(spark, BENCH_DOCS // 2, CPUS), 4 * CPUS)
     chunks = chunks.cache()
     chunks.count()
-    t0 = time.perf_counter()
-    decode_chunks_colocated(chunks, SPARK_SCHEMA_DDL).count()
-    queries["decode_tokens"] = round(time.perf_counter() - t0, 3)
+    dec_dt, _ = _timed_reps(
+        "decode_tokens",
+        lambda: decode_chunks_colocated(chunks, SPARK_SCHEMA_DDL).count())
+    queries["decode_tokens"] = round(dec_dt, 3)
     chunks.unpersist()
 
     # operator queries on the testdata tables (best-of-2: first run pays
@@ -170,12 +219,9 @@ def main() -> None:
     qs = entrymod.queries()
     for name in ("roundtrip_lineitem", "dedup_minhash_lsh",
                  "ann_cosine_topk", "text_quality", "dedup_exact"):
-        times = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            qs[name](spark, SF_DIR).count()
-            times.append(time.perf_counter() - t0)
-        queries[name] = round(min(times), 3)
+        dt, _ = _timed_reps(
+            name, lambda n=name: qs[n](spark, SF_DIR).count())
+        queries[name] = round(dt, 3)
 
     if os.environ.get("SPARK_GRAFT_SCALING"):
         extras["scaling"] = run_scaling(
@@ -188,6 +234,7 @@ def main() -> None:
         "unit": "sec",
         "queries": queries,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "load_gate": {"max": LOAD_MAX, "per_query": _LOAD_META},
         **extras,
     }
     print(json.dumps(out))

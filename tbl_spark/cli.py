@@ -7,6 +7,9 @@
     python -m tbl_spark.cli decode --store DIR --schema DDL [--output DIR]
     python -m tbl_spark.cli stats  --store DIR
 
+Pipeline subcommands (r5; no reference analog — the LLM-curation surface):
+    dedup | curate | pack | sample | decontaminate
+
 Output modes (types.rs:43-63 / data.rs:30-50): default pretty-print n rows
 to stdout; --output writes parquet; --csv/--json switch the sink format
 (output.rs:74-95,130-179)."""
@@ -174,6 +177,98 @@ def build_parser() -> argparse.ArgumentParser:
     vf.add_argument("--store", required=True)
     vf.add_argument("--key", required=True, help="join key column")
     vf.add_argument("--tree", action="store_true")
+
+    # -- LLM-pipeline subcommands (r5: VERDICT r4 #6) — the curation
+    # operators, previously library-only, on the same output plumbing
+    def _add_pipe_output(p: argparse.ArgumentParser) -> None:
+        p.add_argument("--output", default=None, help="parquet output dir")
+        p.add_argument("-n", "--rows", default="20")
+        p.add_argument("--csv", action="store_true")
+        p.add_argument("--json", action="store_true")
+        p.add_argument("--jsonl", action="store_true")
+        p.add_argument("--hex", action="store_true")
+        p.add_argument("--yes", "-y", action="store_true")
+        p.add_argument("--dry-run", action="store_true")
+        p.add_argument("--tree", action="store_true")
+
+    dd = sub.add_parser("dedup", help="corpus deduplication (exact / "
+                                      "minhash-LSH / simhash / exact-"
+                                      "substring excision)")
+    dd.add_argument("paths", nargs="+")
+    dd.add_argument("--method", default="exact",
+                    choices=["exact", "minhash", "simhash",
+                             "substring", "substring-stats"])
+    dd.add_argument("--text-col", default="text")
+    dd.add_argument("--id-col", default="doc_id")
+    dd.add_argument("--tokens-col", default="tokens",
+                    help="substring modes: token-array column (derived "
+                         "from --text-col when absent)")
+    dd.add_argument("--k", type=int, default=None,
+                    help="minhash: signature size (default 32); "
+                         "substring: window length (default 8)")
+    dd.add_argument("--bands", type=int, default=8)
+    dd.add_argument("--shingle-n", type=int, default=5)
+    dd.add_argument("--verify-threshold", type=float, default=None,
+                    help="minhash: confirm candidates by exact shingle "
+                         "Jaccard >= T before dropping")
+    dd.add_argument("--gram-repr", default="hash",
+                    choices=["hash", "hash128", "string"])
+    dd.add_argument("--no-verify", action="store_true",
+                    help="exact: skip the second-digest verify pass")
+    _add_pipe_output(dd)
+
+    cu = sub.add_parser("curate", help="composite curation chain: quality "
+                                       "gate -> PII redact -> tokenize -> "
+                                       "substring excise -> pack")
+    cu.add_argument("paths", nargs="+")
+    cu.add_argument("--text-col", default="text")
+    cu.add_argument("--id-col", default="doc_id")
+    cu.add_argument("--min-mwl", type=float, default=4.5,
+                    help="gate: min mean word length")
+    cu.add_argument("--max-mwl", type=float, default=12.0)
+    cu.add_argument("--k", type=int, default=8)
+    cu.add_argument("--seq-len", type=int, default=512)
+    cu.add_argument("--gram-repr", default="hash",
+                    choices=["hash", "hash128", "string"])
+    cu.add_argument("--no-redact", action="store_true")
+    cu.add_argument("--no-excise", action="store_true")
+    _add_pipe_output(cu)
+
+    pk = sub.add_parser("pack", help="pack docs into fixed-length "
+                                     "training sequences (offsets, or "
+                                     "--materialize for real shards)")
+    pk.add_argument("paths", nargs="+")
+    pk.add_argument("--tokens-col", default="tokens")
+    pk.add_argument("--text-col", default="text")
+    pk.add_argument("--order-col", default="doc_id")
+    pk.add_argument("--seq-len", type=int, default=2048)
+    pk.add_argument("--materialize", action="store_true",
+                    help="emit the actual seq_len-token arrays instead "
+                         "of per-doc offsets")
+    _add_pipe_output(pk)
+
+    sp = sub.add_parser("sample", help="deterministic stratified sample")
+    sp.add_argument("paths", nargs="+")
+    sp.add_argument("--strata-col", required=True)
+    sp.add_argument("--rate", action="append", default=[],
+                    metavar="STRATUM=RATE")
+    sp.add_argument("--default-rate", type=float, default=0.0)
+    sp.add_argument("--key-col", default="doc_id")
+    _add_pipe_output(sp)
+
+    dc = sub.add_parser("decontaminate",
+                        help="drop training docs sharing any k-token "
+                             "window with an eval set")
+    dc.add_argument("paths", nargs="+", help="training parquet inputs")
+    dc.add_argument("--eval", dest="eval_paths", nargs="+", required=True,
+                    metavar="PATH", help="evaluation parquet inputs")
+    dc.add_argument("--tokens-col", default="tokens")
+    dc.add_argument("--text-col", default="text")
+    dc.add_argument("--id-col", default="doc_id")
+    dc.add_argument("--k", type=int, default=8)
+    dc.add_argument("--gram-repr", default="hash",
+                    choices=["hash", "hash128", "string"])
+    _add_pipe_output(dc)
     return ap
 
 
@@ -290,7 +385,32 @@ def _print_stdout(out, args) -> None:
 
 
 _SUBCOMMANDS = {"data", "merge", "python", "ls", "schema", "schemas",
-                "encode", "decode", "stats", "compact", "verify"}
+                "encode", "decode", "stats", "compact", "verify",
+                "dedup", "curate", "pack", "sample", "decontaminate"}
+
+
+def _emit_result(out, args, files: list[str]) -> int:
+    """Shared sink for the pipeline subcommands: --output writes parquet
+    behind the same confirmation gate as `data`; otherwise the result
+    pretty-prints/csv/jsonl's to stdout."""
+    if args.output:
+        if not confirm_io([(f, args.output) for f in files],
+                          args.yes, args.dry_run):
+            return 0 if args.dry_run else 3
+        out.write.mode("overwrite").parquet(args.output)
+        print(f"-> {args.output}")
+        return 0
+    _print_stdout(out, args)
+    return 0
+
+
+def _ensure_tokens(df, tokens_col: str, text_col: str):
+    """Token-consuming subcommands accept either a ready token-array
+    column or derive one from the text column."""
+    if tokens_col in df.columns:
+        return df
+    from .pipelines.textstats import with_tokens
+    return with_tokens(df, text_col=text_col, out_col=tokens_col)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -463,6 +583,111 @@ def main(argv: list[str] | None = None) -> int:
         else:
             _print_stdout(out, args)
         return 0
+
+    if args.cmd == "dedup":
+        from .inspect import discover
+        from .pipelines import dedup as dd
+        files = discover(args.paths, args.tree)
+        df = spark.read.parquet(*files)
+        m = args.method
+        if m == "exact":
+            out = dd.exact_dedup(df, text_col=args.text_col,
+                                 verify=not args.no_verify)
+        elif m == "minhash":
+            out = dd.minhash_lsh_dedup(
+                df, text_col=args.text_col, id_col=args.id_col,
+                k=args.k or 32, bands=args.bands,
+                shingle_n=args.shingle_n,
+                verify_threshold=args.verify_threshold)
+        elif m == "simhash":
+            out = dd.simhash_dedup(df, text_col=args.text_col,
+                                   id_col=args.id_col)
+        else:  # substring / substring-stats
+            toks = _ensure_tokens(df, args.tokens_col, args.text_col)
+            fn = (dd.substring_dup_stats if m == "substring-stats"
+                  else dd.substring_excise)
+            out = fn(toks, tokens_col=args.tokens_col,
+                     id_col=args.id_col, k=args.k or 8,
+                     gram_repr=args.gram_repr)
+        return _emit_result(out, args, files)
+
+    if args.cmd == "curate":
+        import pyspark.sql.functions as F
+        from .inspect import discover
+        from .pipelines import dedup as dd
+        from .pipelines import textstats
+        from .pipelines.packing import pack_sequences
+        files = discover(args.paths, args.tree)
+        df = spark.read.parquet(*files)
+        t = args.text_col
+        if not args.no_redact:
+            df = textstats.with_pii_redacted(df, text_col=t)
+        words = f"regexp_extract_all({t}, '\\\\S+', 0)"
+        mwl = (F.expr(f"aggregate({words}, 0L, (a, w) -> a + length(w))")
+               / F.greatest(F.expr(f"size({words})"), F.lit(1)))
+        df = (df.withColumn("_mwl", mwl)
+              .filter((F.col("_mwl") >= args.min_mwl)
+                      & (F.col("_mwl") <= args.max_mwl)).drop("_mwl"))
+        df = textstats.with_tokens(df, text_col=t)
+        if not args.no_excise:
+            df = dd.substring_excise(df, id_col=args.id_col, k=args.k,
+                                     gram_repr=args.gram_repr)
+        df = df.withColumn("n_tok_clean", F.size("tokens"))
+        out = pack_sequences(df, n_tok_col="n_tok_clean",
+                             order_col=args.id_col, seq_len=args.seq_len)
+        return _emit_result(out, args, files)
+
+    if args.cmd == "pack":
+        import pyspark.sql.functions as F
+        from .inspect import discover
+        from .pipelines.packing import (materialize_sequences,
+                                        pack_sequences)
+        files = discover(args.paths, args.tree)
+        df = _ensure_tokens(spark.read.parquet(*files),
+                            args.tokens_col, args.text_col)
+        if args.materialize:
+            out = materialize_sequences(df, tokens_col=args.tokens_col,
+                                        order_col=args.order_col,
+                                        seq_len=args.seq_len)
+        else:
+            if "n_tok" not in df.columns:
+                df = df.withColumn("n_tok", F.size(args.tokens_col))
+            out = pack_sequences(df, n_tok_col="n_tok",
+                                 order_col=args.order_col,
+                                 seq_len=args.seq_len)
+        return _emit_result(out, args, files)
+
+    if args.cmd == "sample":
+        from .inspect import discover
+        from .pipelines.sampling import stratified_sample
+        files = discover(args.paths, args.tree)
+        df = spark.read.parquet(*files)
+        rates: dict[str, float] = {}
+        for spec_s in args.rate:
+            name, _, val = spec_s.partition("=")
+            if not _:
+                print(f"bad --rate {spec_s!r} (want STRATUM=RATE)",
+                      file=sys.stderr)
+                return 1
+            rates[name] = float(val)
+        out = stratified_sample(df, args.strata_col, rates,
+                                key_col=args.key_col,
+                                default_rate=args.default_rate)
+        return _emit_result(out, args, files)
+
+    if args.cmd == "decontaminate":
+        from .inspect import discover
+        from .pipelines import dedup as dd
+        files = discover(args.paths, args.tree)
+        eval_files = discover(args.eval_paths, args.tree)
+        tr = _ensure_tokens(spark.read.parquet(*files),
+                            args.tokens_col, args.text_col)
+        ev = _ensure_tokens(spark.read.parquet(*eval_files),
+                            args.tokens_col, args.text_col)
+        out = dd.decontaminate(tr, ev, tokens_col=args.tokens_col,
+                               id_col=args.id_col, k=args.k,
+                               gram_repr=args.gram_repr)
+        return _emit_result(out, args, files)
 
     if args.cmd == "python":
         # interactive handoff with the dataset preloaded

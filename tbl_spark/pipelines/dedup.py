@@ -495,6 +495,17 @@ def _window_grams(tokens_col: str, k: int, gram_repr: str):
     the ids with ',' — slower but exactly re-derivable in ANSI SQL, which
     is what the driver's DuckDB oracle runs.
 
+    Collision trade-off (ADVICE r4): 'hash' is a bare 64-bit digest, so at
+    the 10^12-token design point the corpus holds ~10^12 distinct grams
+    and the birthday bound expects ~n^2/2^65 ≈ 3·10^4 colliding PAIRS —
+    each one silently conflates two unrelated k-token windows (excising a
+    non-duplicated span, or dropping an uncontaminated doc). Use
+    'hash128' — two independently-seeded xxhash64 chains packed in a
+    struct, collision odds ~n^2/2^129 ≈ 10^-15 at the same scale — when
+    that matters and the gram key must stay fixed-width, or 'string' for
+    the exact (and oracle-derivable) representation. Shuffle cost: 8
+    bytes/gram for 'hash', 16 for 'hash128', ~5k for 'string'.
+
     Documents SHORTER than k emit NO windows: the operator's contract is
     about repeated >= k-token substrings, and a truncated partial window
     would otherwise classify every sub-k exact-duplicate doc ('404 not
@@ -504,6 +515,15 @@ def _window_grams(tokens_col: str, k: int, gram_repr: str):
         gram = (f"aggregate(slice({tokens_col}, i, {k}), 0L, "
                 f"(acc, x) -> xxhash64(acc, x))")
         gram_t = "bigint"
+    elif gram_repr == "hash128":
+        # two xxhash64 chains from independent seeds; a collision needs
+        # BOTH lanes to collide on the same window pair
+        gram = ("struct("
+                f"aggregate(slice({tokens_col}, i, {k}), 0L, "
+                f"(acc, x) -> xxhash64(acc, x)) AS h0, "
+                f"aggregate(slice({tokens_col}, i, {k}), 5740354900026072187L, "
+                f"(acc, x) -> xxhash64(acc, x)) AS h1)")
+        gram_t = "struct<h0:bigint,h1:bigint>"
     elif gram_repr == "string":
         gram = f"concat_ws(',', slice({tokens_col}, i, {k}))"
         gram_t = "string"
@@ -580,6 +600,17 @@ def substring_excise(df: DataFrame, tokens_col: str = "tokens",
            .filter((F.col("_cnt") > 1) & (F.col("_key") != F.col("_canon")))
            .groupBy(id_col)
            .agg(F.sort_array(F.collect_list("_pos")).alias("_bad")))
+    # the clean/affected union below references `bad` from BOTH branches;
+    # without a persist each branch re-derives the whole explode→gram-agg
+    # subtree — the single most expensive shuffle in the op — from scratch
+    # (VERDICT r4 #1). `bad` is small (affected docs only: id + window
+    # starts), so cache it: the first branch to touch a partition computes
+    # it, the second reads the cached block, and the plan shows ONE gram
+    # aggregation under an InMemoryRelation. No explicit unpersist — the
+    # result is lazy, so Spark's ContextCleaner drops the cache when the
+    # caller's DataFrame goes out of scope.
+    from pyspark import StorageLevel
+    bad = bad.persist(StorageLevel.MEMORY_AND_DISK)
     joined = df.join(bad, id_col, "left")
     clean = (joined.filter(F.col("_bad").isNull()).drop("_bad")
              .withColumn("n_removed", F.lit(0)))
@@ -638,7 +669,8 @@ def substring_excise(df: DataFrame, tokens_col: str = "tokens",
 
 def decontaminate(train_df: DataFrame, eval_df: DataFrame,
                   tokens_col: str = "tokens", id_col: str = "doc_id",
-                  k: int = 8, gram_repr: str = "hash") -> DataFrame:
+                  k: int = 8, gram_repr: str = "hash",
+                  broadcast_threshold: int = 5_000_000) -> DataFrame:
     """Benchmark decontamination: drop every training document that
     shares ANY k-token window with the evaluation set (the n-gram
     overlap rule used to scrub eval contamination from pretraining
@@ -652,6 +684,16 @@ def decontaminate(train_df: DataFrame, eval_df: DataFrame,
     ev = (eval_df.select(F.explode(
         _window_grams(tokens_col, k, gram_repr)).alias("_w"))
         .select(F.col("_w.gram").alias("_g")).distinct())
+    # make the build-side choice deterministic rather than an AQE bet
+    # (VERDICT r4 #7): count the distinct eval grams once (the distinct
+    # agg is cached so the semi-join reuses it, not recomputes it) and
+    # broadcast only when the set is genuinely broadcast-sized; a huge
+    # eval side falls back to the shuffle semi-join on the 8-byte key.
+    from pyspark import StorageLevel
+    ev = ev.persist(StorageLevel.MEMORY_AND_DISK)
+    n_ev = ev.count()
+    if n_ev <= broadcast_threshold:
+        ev = F.broadcast(ev)
     tr = (train_df.select(F.col(id_col), F.explode(
         _window_grams(tokens_col, k, gram_repr)).alias("_w"))
         .select(id_col, F.col("_w.gram").alias("_g")))

@@ -987,7 +987,9 @@ def _write_wave(store_root: str, seq: int, parts: list[int]) -> dict:
 
 def encode_to_store(df: DataFrame, store: ChunkStore, num_parts: int,
                     resume: bool = True,
-                    salt_cols: tuple[str, ...] | None = None) -> dict:
+                    salt_cols: tuple[str, ...] | None = None,
+                    driver_audition: bool = True,
+                    codec_hints: dict[str, int] | None = None) -> dict:
     """Run the resumable encode job; returns run summary.
 
     The encode UDF writes + commits each chunk on the executor, then emits
@@ -995,6 +997,12 @@ def encode_to_store(df: DataFrame, store: ChunkStore, num_parts: int,
     The store pins (num_parts, salt_cols, schema) on first encode and every
     later run fails fast on mismatch — resuming with different partitioning
     parameters would silently drop rows that hash into committed part ids.
+
+    `codec_hints` / `driver_audition` mirror encode_chunks (ADVICE r4):
+    pass precomputed hints (or driver_audition=False) to skip the two
+    driver-side audition sample jobs — essential for callers that encode
+    many small batches, e.g. streaming.stream_encode's foreachBatch, which
+    auditions ONCE and reuses the hints every micro-batch.
     """
     from .partitioning import resolve_salt_cols
     store.init_dirs()
@@ -1019,8 +1027,13 @@ def encode_to_store(df: DataFrame, store: ChunkStore, num_parts: int,
                    for f in df.schema.fields if f.name != PART_COL}
     store_root = store.root
 
-    from .encode import audition_codec_hints
-    hints = audition_codec_hints(df.drop(PART_COL))
+    if codec_hints is not None:
+        hints = codec_hints
+    elif driver_audition:
+        from .encode import audition_codec_hints
+        hints = audition_codec_hints(df.drop(PART_COL))
+    else:
+        hints = {}
 
     def encode_commit(key: tuple, tbl: pa.Table) -> pa.Table:
         if hints:
@@ -1087,7 +1100,10 @@ def encode_to_store(df: DataFrame, store: ChunkStore, num_parts: int,
 def encode_to_store_colocated(df: DataFrame, store: ChunkStore,
                               tokens_per_chunk: int | None = None,
                               resume: bool = True,
-                              token_col: str = "tokens") -> dict:
+                              token_col: str = "tokens",
+                              driver_audition: bool = True,
+                              codec_hints: dict[str, int] | None = None
+                              ) -> dict:
     """ZERO-shuffle resumable encode: chunks are cut inside each scan task
     (encode.cut_colocated_chunks — no Exchange), committed with the same
     atomic protocol, and a rerun skips already-committed chunk ids.
@@ -1140,8 +1156,15 @@ def encode_to_store_colocated(df: DataFrame, store: ChunkStore,
     # the committed set INCLUDES wave-compacted parts (whose loose
     # markers were deleted by compact()) — resume must not re-encode them
     committed = frozenset(store.committed_parts()) if resume else frozenset()
-    from .encode import audition_codec_hints
-    hints = audition_codec_hints(df)
+    # same hint plumbing as encode_to_store (ADVICE r4): callers that
+    # encode many micro-batches audition once and pass the result in
+    if codec_hints is not None:
+        hints = codec_hints
+    elif driver_audition:
+        from .encode import audition_codec_hints
+        hints = audition_codec_hints(df)
+    else:
+        hints = {}
 
     def run(batches):
         if hints:

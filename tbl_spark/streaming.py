@@ -41,13 +41,24 @@ def stream_encode(spark: SparkSession, input_dir: str, store_root: str,
               .option("maxFilesPerTrigger", "64")
               .parquet(input_dir))
 
+    # audition the codec hints on the FIRST non-empty micro-batch only,
+    # then reuse them for every later batch — without this each batch
+    # pays two driver-side sample jobs (ADVICE r4)
+    hint_cache: dict = {}
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         store = ChunkStore(os.path.join(store_root, f"batch={batch_id}"))
+        if "hints" not in hint_cache and not batch_df.isEmpty():
+            from .encode import audition_codec_hints
+            hint_cache["hints"] = audition_codec_hints(batch_df)
+        hints = hint_cache.get("hints", {})
         if colocated:
             from .store import encode_to_store_colocated
-            encode_to_store_colocated(batch_df, store, resume=True)
+            encode_to_store_colocated(batch_df, store, resume=True,
+                                      codec_hints=hints)
         else:
-            encode_to_store(batch_df, store, num_parts, resume=True)
+            encode_to_store(batch_df, store, num_parts, resume=True,
+                            codec_hints=hints)
 
     writer = (stream.writeStream.foreachBatch(process)
               .option("checkpointLocation", checkpoint_dir))
@@ -157,11 +168,15 @@ def stream_dedup_exact(stream_df: DataFrame, text_col: str = "text",
         seen = set(state.get[0]) if state.exists else set()
         firsts: list[pd.DataFrame] = []
         for pdf in pdfs:
-            for idx in range(len(pdf)):
-                d = int(pdf["_d"].iloc[idx])
-                if d not in seen:  # new text (or first ever in this group)
-                    seen.add(d)
-                    firsts.append(pdf.iloc[idx:idx + 1][cols])
+            # vectorized: keep a row iff its digest is unseen AND it is
+            # the first occurrence within this batch (VERDICT r4 #8 —
+            # groups are ~1 row by construction, but a hash-skewed group
+            # must not degrade to per-row iloc slicing)
+            mask = (~pdf["_d"].isin(seen)
+                    & ~pdf["_d"].duplicated(keep="first"))
+            if mask.any():
+                seen.update(int(d) for d in pdf.loc[mask, "_d"])
+                firsts.append(pdf.loc[mask, cols])
         state.update((sorted(seen),))
         if timeout_minutes is not None:
             state.setTimeoutDuration(int(timeout_minutes * 60 * 1000))

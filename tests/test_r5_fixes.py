@@ -1,0 +1,235 @@
+"""Round-5 regression tests: the VERDICT r4 / ADVICE r4 closures.
+
+1. substring_excise computes its gram aggregation ONCE (persisted bad
+   list, both union branches read the cache).
+2. Gopher dup-line scan is O(n log n) — a 50k-line pathological doc
+   completes in bounded time with exact metrics.
+3. pack_sequences bucket assignment is a binary-search WHEN tree, not a
+   per-row linear aggregate — correct and plan-checked at P >= 2048.
+4. seq_id uses integer `div` (2^53-safe), matching materialize.
+5. hash128 gram mode (dual-lane digest) agrees with the exact string
+   mode on the corpus.
+6. decontaminate broadcasts a small eval side deterministically.
+7. encode_to_store/encode_to_store_colocated accept codec_hints /
+   driver_audition=False (streaming reuse path).
+8. CLI: dedup / curate / pack / sample / decontaminate end-to-end.
+"""
+
+import json
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _with_tokens(df):
+    from tbl_spark.pipelines.textstats import with_tokens
+    return with_tokens(df)
+
+
+# -- 1. single gram aggregation ----------------------------------------------
+
+def test_substring_excise_single_gram_agg(spark, sf_dir):
+    from tbl_spark.pipelines.dedup import substring_excise
+    toks = _with_tokens(_docs(spark, sf_dir))
+    out = substring_excise(toks, k=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # both union branches must read the persisted bad-list, not re-derive
+    # the explode→gram-agg subtree: the plan shows an InMemoryRelation
+    # consumed by (at least) two InMemoryTableScans
+    assert plan.count("InMemoryTableScan") >= 2
+    assert "InMemoryRelation" in plan
+    # and the result stays exact: excising planted duplicate spans
+    assert out.count() == toks.count()
+    assert out.agg(F.sum("n_removed")).collect()[0][0] > 0
+
+
+# -- 2. Gopher pathological doc ----------------------------------------------
+
+def test_gopher_50k_line_doc_bounded(spark):
+    from tbl_spark.pipelines.textstats import with_gopher_quality
+    # 50k lines: 49k distinct + 1k repeated copies of 'dup-line'
+    # (quadratic scan would be ~2.5e9 comparisons; sorted-run scan is ms)
+    lines = [f"u{i}" for i in range(49_000)] + ["dup-line"] * 1_000
+    text = "\n".join(lines)
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    r = with_gopher_quality(df).collect()[0]
+    assert r["n_lines"] == 50_000
+    assert r["frac_dup_lines"] == round(1_000 / 50_000, 6)
+    dup_chars = 1_000 * len("dup-line")
+    assert r["frac_chars_dup_lines"] == round(dup_chars / len(text), 6)
+
+
+def test_gopher_dup_metrics_exact(spark):
+    from tbl_spark.pipelines.textstats import with_gopher_quality
+    df = spark.createDataFrame(
+        [(1, "a\nb\na\nc\nb\na"), (2, "x\ny\nz")],
+        "doc_id int, text string")
+    out = {r["doc_id"]: r for r in with_gopher_quality(df).collect()}
+    # doc 1: a×3 + b×2 duplicated occurrences = 5 of 6 lines
+    assert out[1]["frac_dup_lines"] == round(5 / 6, 6)
+    assert out[1]["frac_chars_dup_lines"] == round(5 / 11, 6)
+    assert out[2]["frac_dup_lines"] == 0.0
+
+
+# -- 3./4. packing ------------------------------------------------------------
+
+def test_pack_bucket_binary_search_no_linear_aggregate(spark):
+    from tbl_spark.pipelines.packing import pack_sequences
+    n = 20_000
+    df = (spark.range(n)
+          .select(F.col("id").alias("doc_id"),
+                  (F.col("id") % 97 + 1).cast("int").alias("n_tok")))
+    out = pack_sequences(df, num_parts=2048, seq_len=2048)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the old shape evaluated aggregate() over a P-element literal array
+    # per row; the WHEN tree must not contain any aggregate(...) lambda
+    assert "aggregate(" not in plan.lower().replace("hashaggregate", "")
+    rows = out.orderBy("doc_id").collect()
+    # exact prefix-sum semantics regardless of bucketing
+    acc = 0
+    for r in rows:
+        assert r["start_offset"] == acc
+        assert r["seq_id"] == acc // 2048
+        acc += r["n_tok"]
+
+
+def test_pack_seq_id_integer_div(spark):
+    from tbl_spark.pipelines.packing import pack_sequences
+    df = spark.createDataFrame(
+        [("a", 100), ("b", 500), ("c", 7)], "doc_id string, n_tok int")
+    out = {r["doc_id"]: r for r in
+           pack_sequences(df, seq_len=256).collect()}
+    assert out["a"]["start_offset"] == 0 and out["a"]["seq_id"] == 0
+    assert out["b"]["start_offset"] == 100 and out["b"]["seq_id"] == 0
+    assert out["c"]["start_offset"] == 600 and out["c"]["seq_id"] == 2
+
+
+# -- 5. hash128 gram mode -----------------------------------------------------
+
+@pytest.mark.parametrize("repr_fast", ["hash", "hash128"])
+def test_gram_reprs_agree_with_string(spark, sf_dir, repr_fast):
+    from tbl_spark.pipelines.dedup import substring_dup_stats
+    toks = _with_tokens(_docs(spark, sf_dir)).limit(200)
+    a = {r["doc_id"]: (r["n_windows"], r["dup_windows"]) for r in
+         substring_dup_stats(toks, k=8, gram_repr=repr_fast).collect()}
+    b = {r["doc_id"]: (r["n_windows"], r["dup_windows"]) for r in
+         substring_dup_stats(toks, k=8, gram_repr="string").collect()}
+    assert a == b
+
+
+# -- 6. decontaminate deterministic broadcast ---------------------------------
+
+def test_decontaminate_broadcasts_small_eval(spark, sf_dir):
+    from tbl_spark.pipelines.dedup import decontaminate
+    docs = _with_tokens(_docs(spark, sf_dir))
+    ev = docs.filter(F.col("doc_id") % 20 == 0)
+    tr = docs.filter(F.col("doc_id") % 20 != 0)
+    out = decontaminate(tr, ev, k=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert 0 < out.count() < tr.count()
+
+
+# -- 7. encode hint plumbing --------------------------------------------------
+
+def test_encode_to_store_accepts_hints(spark, tmp_path):
+    from tbl_spark.datagen import SPARK_SCHEMA_DDL, generate_df
+    from tbl_spark.encode import audition_codec_hints
+    from tbl_spark.store import ChunkStore, decode_from_store, \
+        encode_to_store
+    df = generate_df(spark, 800, 2)
+    hints = audition_codec_hints(df)
+    store = ChunkStore(str(tmp_path / "s_hint"))
+    encode_to_store(df, store, 4, codec_hints=hints)
+    assert decode_from_store(store, spark, SPARK_SCHEMA_DDL).count() == 800
+    # and the no-audition arm works too
+    store2 = ChunkStore(str(tmp_path / "s_noaud"))
+    encode_to_store(df, store2, 4, driver_audition=False)
+    assert decode_from_store(store2, spark,
+                             SPARK_SCHEMA_DDL).count() == 800
+
+
+# -- 8. CLI -------------------------------------------------------------------
+
+def _docs_path(sf_dir):
+    return f"{sf_dir}/documents.parquet"
+
+
+def test_cli_dedup_exact_writes(spark, sf_dir, tmp_path):
+    from tbl_spark.cli import main
+    out = str(tmp_path / "dd_out")
+    rc = main(["dedup", _docs_path(sf_dir), "--method", "exact",
+               "--output", out, "--yes"])
+    assert rc == 0
+    n_src = _docs(spark, sf_dir).count()
+    n_out = spark.read.parquet(out).count()
+    assert 0 < n_out <= n_src
+
+
+def test_cli_dedup_substring_stats(sf_dir, capsys):
+    from tbl_spark.cli import main
+    rc = main(["dedup", _docs_path(sf_dir), "--method", "substring-stats",
+               "--k", "8", "--csv", "-n", "5"])
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert lines[0].split(",")[:3] == ["doc_id", "n_windows",
+                                      "dup_windows"]
+    assert len(lines) == 6
+
+
+def test_cli_curate_end_to_end(spark, sf_dir, tmp_path):
+    from tbl_spark.cli import main
+    out = str(tmp_path / "cur_out")
+    rc = main(["curate", _docs_path(sf_dir), "--seq-len", "512",
+               "--output", out, "--yes"])
+    assert rc == 0
+    res = spark.read.parquet(out)
+    for c in ("n_removed", "n_tok_clean", "start_offset", "seq_id"):
+        assert c in res.columns
+    assert res.count() > 0
+
+
+def test_cli_pack_materialize(spark, sf_dir, tmp_path):
+    from tbl_spark.cli import main
+    out = str(tmp_path / "pk_out")
+    rc = main(["pack", _docs_path(sf_dir), "--seq-len", "512",
+               "--materialize", "--output", out, "--yes"])
+    assert rc == 0
+    seqs = spark.read.parquet(out)
+    full = seqs.filter(F.size("tokens") == 512).count()
+    assert full >= seqs.count() - 1  # only the final shard may be short
+
+
+def test_cli_sample_rates(spark, sf_dir, capsys):
+    from tbl_spark.cli import main
+    rc = main(["sample", _docs_path(sf_dir), "--strata-col", "source",
+               "--rate", "src0=1.0", "--rate", "src1=0.0",
+               "--key-col", "doc_id", "--csv", "-n", "all"])
+    assert rc == 0
+    body = capsys.readouterr().out.strip().splitlines()[1:]
+    srcs = {line.split(",")[3] for line in body}
+    assert "src0" in srcs and "src1" not in srcs
+
+
+def test_cli_decontaminate_self_drops_all(sf_dir, capsys):
+    from tbl_spark.cli import main
+    p = _docs_path(sf_dir)
+    rc = main(["decontaminate", p, "--eval", p, "--csv", "-n", "all"])
+    assert rc == 0
+    body = capsys.readouterr().out.strip().splitlines()[1:]
+    assert body == []  # eval == train ⇒ every doc contaminated
+
+
+def test_cli_pipeline_refuses_unconfirmed_write(sf_dir, tmp_path,
+                                               capsys):
+    from tbl_spark.cli import main
+    out = str(tmp_path / "no_write")
+    rc = main(["sample", _docs_path(sf_dir), "--strata-col", "source",
+               "--rate", "src0=0.5", "--output", out])
+    assert rc == 3
+    import os
+    assert not os.path.exists(out)

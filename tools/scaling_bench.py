@@ -126,6 +126,9 @@ def main() -> None:
     ap.add_argument("--append", action="store_true",
                     help="append the section to BENCH.md instead of "
                          "rewriting it")
+    ap.add_argument("--no-md", action="store_true",
+                    help="print the JSON report only; leave BENCH.md "
+                         "untouched (repeat/confirmation runs)")
     args = ap.parse_args()
 
     zip_path = build_zip("/tmp/tbl_spark.zip")
@@ -162,6 +165,7 @@ def main() -> None:
                 for _ in range(args.trials)]
         return max(runs, key=lambda r: r["tokens_per_sec"])
 
+    load_start = round(os.getloadavg()[0], 2)
     lo = best_of(args.n)
     hi = best_of(4 * args.n)
     eff = (hi["tokens_per_sec"] / lo["tokens_per_sec"]) / 4.0
@@ -195,6 +199,11 @@ def main() -> None:
             hi.get("part_tokens_per_sec_min_med_max"),
         "part_tokens_min_med_max": hi.get("part_tokens_min_med_max"),
         "cpu_pinned": not args.no_pin,
+        # host-load annotation (VERDICT r4 #2/#9): numbers from this box
+        # are only trustworthy when these stayed low AND the control
+        # speedup stayed physically plausible (<= 4x)
+        "loadavg_start": load_start,
+        "loadavg_end": round(os.getloadavg()[0], 2),
     }
     print(json.dumps(report, indent=2))
 
@@ -245,6 +254,8 @@ shared memory bus, which does not exist between real executors.
 Compressed size: {lo['bytes_per_token']} bytes/token.
 """
     path = os.path.join(REPO, "BENCH.md")
+    if args.no_md:
+        return
     if args.append and os.path.exists(path):
         with open(path, "a") as f:
             f.write(md)
