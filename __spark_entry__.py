@@ -432,6 +432,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                               "start_offset", "seq_id")
                 .orderBy("doc_id"))
 
+    def text_ngram_repetition(spark, sf):
+        # the word-n-gram Gopher repetition signals; the corpus text gets
+        # its first 60 chars re-appended so within-doc duplicated grams
+        # actually exist (random word soup rarely repeats a 5-gram)
+        docs = _read(spark, sf, "documents").withColumn(
+            "text", F.expr("concat(text, ' ', substring(text, 1, 60))"))
+        out = textstats.with_ngram_repetition(
+            docs, top_ns=(2, 3), dup_ns=(5, 10))
+        return (out.select("doc_id", "frac_chars_top_2gram",
+                           "frac_chars_top_3gram",
+                           "frac_chars_dup_5grams",
+                           "frac_chars_dup_10grams")
+                .orderBy("doc_id"))
+
     # -- streaming ops (real Structured Streaming runs, batch-SQL twins) -----
 
     def stream_windowed_stats(spark, sf):
@@ -586,6 +600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_curate_v2": pipeline_curate_v2,
         "stream_windowed_stats": stream_windowed_stats,
         "stream_dedup_replay": stream_dedup_replay,
+        "text_ngram_repetition": text_ngram_repetition,
     }
 
 
@@ -1171,6 +1186,54 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
                        AND 1 PRECEDING), 0) / 512.0) AS BIGINT) AS seq_id
             FROM counted ORDER BY doc_id""",
+        # the occurrence-weighted n-gram repetition formula, re-derived:
+        # per (doc, n) explode to gram rows, count, top-1 by (count DESC,
+        # gram) = the sorted-scan's first-max tie-break, dup = count > 1
+        "text_ngram_repetition": """
+            WITH d AS (SELECT doc_id,
+                              concat(text, ' ', substring(text, 1, 60))
+                                  AS t
+                       FROM documents),
+            w AS (SELECT doc_id, regexp_extract_all(t, '\\S+') AS l,
+                         CAST(greatest(length(t), 1) AS DOUBLE) AS nch
+                  FROM d),
+            wn AS (SELECT doc_id, l, nch, n
+                   FROM w CROSS JOIN
+                        (SELECT unnest([2, 3, 5, 10]) AS n) ns),
+            gr AS (SELECT doc_id, n,
+                          array_to_string(l[i:i+n-1], ' ') AS gram
+                   FROM wn, LATERAL (SELECT unnest(generate_series(
+                       CAST(1 AS BIGINT),
+                       CAST(len(l) - n + 1 AS BIGINT))) AS i) s),
+            c AS (SELECT doc_id, n, gram, count(*) AS c
+                  FROM gr GROUP BY doc_id, n, gram),
+            topx AS (SELECT doc_id, n,
+                            CAST(c * length(gram) AS DOUBLE) AS chars,
+                            row_number() OVER (PARTITION BY doc_id, n
+                                ORDER BY c DESC, gram) AS rn
+                     FROM c),
+            dupx AS (SELECT doc_id, n,
+                            CAST(sum(c * length(gram)) AS DOUBLE) AS chars
+                     FROM c WHERE c > 1 GROUP BY doc_id, n)
+            SELECT w.doc_id,
+                   round(coalesce(t2.chars, 0) / w.nch, 6)
+                       AS frac_chars_top_2gram,
+                   round(coalesce(t3.chars, 0) / w.nch, 6)
+                       AS frac_chars_top_3gram,
+                   round(coalesce(d5.chars, 0) / w.nch, 6)
+                       AS frac_chars_dup_5grams,
+                   round(coalesce(d10.chars, 0) / w.nch, 6)
+                       AS frac_chars_dup_10grams
+            FROM w
+            LEFT JOIN (SELECT doc_id, chars FROM topx
+                       WHERE n = 2 AND rn = 1) t2 USING (doc_id)
+            LEFT JOIN (SELECT doc_id, chars FROM topx
+                       WHERE n = 3 AND rn = 1) t3 USING (doc_id)
+            LEFT JOIN (SELECT doc_id, chars FROM dupx
+                       WHERE n = 5) d5 USING (doc_id)
+            LEFT JOIN (SELECT doc_id, chars FROM dupx
+                       WHERE n = 10) d10 USING (doc_id)
+            ORDER BY doc_id""",
         # batch twin of the REAL streaming run: with the sentinel-row
         # finalization protocol the append-mode sink holds exactly the
         # tumbling-window aggregation, i.e. a plain time_bucket group-by

@@ -153,6 +153,70 @@ def with_gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
             .drop(_ls))
 
 
+def with_ngram_repetition(df: DataFrame, text_col: str = "text",
+                          top_ns: tuple[int, ...] = (2, 3, 4),
+                          dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10)
+                          ) -> DataFrame:
+    """The word-n-gram half of the Gopher/MassiveText repetition filters
+    (Rae et al. 2021, arXiv:2112.11446 Table A1, public): per document,
+    the fraction of characters covered by the most-frequently-occurring
+    n-gram (n in `top_ns`) and by n-grams occurring more than once
+    (n in `dup_ns`).
+
+    Deterministic variant: "characters covered" is occurrences x
+    length-of-gram-string (single-space joined) over length(text) —
+    occurrence-weighted, NOT overlap-deduplicated as in the paper's
+    appendix, so the exact same formula is re-derivable in ANSI SQL (the
+    driver oracle). Ties for the top gram break to the lexicographically
+    smallest. Docs with fewer than n words score 0 for that n.
+
+    Scale shape: shuffle-free per-row JVM expressions. Each n sorts the
+    doc's gram array once (O(W log W)) and scans adjacent runs — the
+    same bounded pattern as the dup-line metrics; no per-doc quadratic
+    pass, no Python."""
+    words = f"regexp_extract_all({text_col}, '\\\\S+', 0)"
+    _w = "_ngr_words"
+    out = df.withColumn(_w, F.expr(words))
+    nch = F.greatest(F.length(text_col), F.lit(1))
+    gcols = []
+    for n in sorted(set(top_ns) | set(dup_ns)):
+        g = f"_ngr_g{n}"
+        gcols.append(g)
+        out = out.withColumn(g, F.expr(
+            f"CASE WHEN size({_w}) < {n} THEN array() "
+            f"ELSE sort_array(transform(sequence(1, size({_w}) - {n - 1}),"
+            f" i -> concat_ws(' ', slice({_w}, i, {n})))) END"))
+    for n in top_ns:
+        g = f"_ngr_g{n}"
+        # one pass over the sorted grams: track the current run and the
+        # best (count, gram); strict > keeps the FIRST max in sorted
+        # order = the lexicographically smallest top gram
+        top_chars = F.expr(
+            f"aggregate({g}, "
+            f"struct(CAST('' AS STRING) AS prev, 0 AS run, "
+            f"       0 AS best, CAST('' AS STRING) AS bestg), "
+            f"(a, x) -> struct("
+            f"  x AS prev, "
+            f"  IF(x = a.prev, a.run + 1, 1) AS run, "
+            f"  IF(IF(x = a.prev, a.run + 1, 1) > a.best, "
+            f"     IF(x = a.prev, a.run + 1, 1), a.best) AS best, "
+            f"  IF(IF(x = a.prev, a.run + 1, 1) > a.best, x, a.bestg) "
+            f"     AS bestg), "
+            f"a -> CAST(a.best AS BIGINT) * length(a.bestg))")
+        out = out.withColumn(f"frac_chars_top_{n}gram",
+                             F.round(top_chars / nch, 6))
+    for n in dup_ns:
+        g = f"_ngr_g{n}"
+        dup_cond = (f"((i > 0 AND x = {g}[i-1]) OR "
+                    f"(i < size({g}) - 1 AND x = {g}[i+1]))")
+        dup_chars = F.expr(
+            f"aggregate(transform({g}, (x, i) -> IF({dup_cond}, "
+            f"CAST(length(x) AS BIGINT), 0L)), 0L, (acc, c) -> acc + c)")
+        out = out.withColumn(f"frac_chars_dup_{n}grams",
+                             F.round(dup_chars / nch, 6))
+    return out.drop(_w, *gcols)
+
+
 # -- PII redaction -----------------------------------------------------------
 # Patterns stay inside the regex subset that Java (Spark) and RE2 (DuckDB,
 # ANSI engines) match identically: character classes + greedy counted

@@ -233,3 +233,34 @@ def test_cli_pipeline_refuses_unconfirmed_write(sf_dir, tmp_path,
     assert rc == 3
     import os
     assert not os.path.exists(out)
+
+
+# -- 9. n-gram repetition (r5 new op) -----------------------------------------
+
+def test_ngram_repetition_exact_and_edges(spark):
+    from tbl_spark.pipelines.textstats import with_ngram_repetition
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"),      # top 2-gram "a b" x3 (of 5 2-grams)
+         (2, "x y"),              # one 2-gram, no 5-grams
+         (3, "solo")],            # no 2-grams at all
+        "doc_id int, text string")
+    out = {r["doc_id"]: r for r in
+           with_ngram_repetition(df, top_ns=(2,), dup_ns=(5,)).collect()}
+    # doc 1: len("a b")=3, 3 occurrences, text len 11
+    assert out[1]["frac_chars_top_2gram"] == round(3 * 3 / 11, 6)
+    # 5-grams of doc 1: "a b a b a", "b a b a b" — each unique
+    assert out[1]["frac_chars_dup_5grams"] == 0.0
+    assert out[2]["frac_chars_top_2gram"] == round(3 / 3, 6)
+    assert out[3]["frac_chars_top_2gram"] == 0.0
+    assert out[3]["frac_chars_dup_5grams"] == 0.0
+
+
+def test_ngram_repetition_dup_grams(spark):
+    from tbl_spark.pipelines.textstats import with_ngram_repetition
+    text = "p q r s t u p q r s t u"   # every 5-gram window of the first
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    r = with_ngram_repetition(df, top_ns=(2,), dup_ns=(5,)).collect()[0]
+    # 2-gram "p q" (and others) occur twice; top tie-break = smallest
+    assert r["frac_chars_top_2gram"] == round(2 * 3 / len(text), 6)
+    # duplicated 5-grams: "p q r s t","q r s t u" twice each = 4 occ x 9
+    assert r["frac_chars_dup_5grams"] == round(4 * 9 / len(text), 6)
