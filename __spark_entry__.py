@@ -432,6 +432,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                               "start_offset", "seq_id")
                 .orderBy("doc_id"))
 
+    def sample_temperature(spark, sf):
+        # temperature-based domain mixing at T=2, weighted by token
+        # count: big sources are downsampled toward uniform mixture,
+        # rates derived from the corpus itself (no hand-set dict)
+        from tbl_spark.pipelines.sampling import temperature_sample
+        docs = _read(spark, sf, "documents").withColumn(
+            "n_tok", F.size(F.expr(_TOKENS)))
+        kept = temperature_sample(docs, "source", key_col="doc_id",
+                                  temperature=2.0, weight_col="n_tok")
+        return kept.select("doc_id", "source").orderBy("doc_id")
+
     def text_ngram_repetition(spark, sf):
         # the word-n-gram Gopher repetition signals; the corpus text gets
         # its first 60 chars re-appended so within-doc duplicated grams
@@ -601,6 +612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_stats": stream_windowed_stats,
         "stream_dedup_replay": stream_dedup_replay,
         "text_ngram_repetition": text_ngram_repetition,
+        "sample_temperature": sample_temperature,
     }
 
 
@@ -1186,6 +1198,27 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
                        AND 1 PRECEDING), 0) / 512.0) AS BIGINT) AS seq_id
             FROM counted ORDER BY doc_id""",
+        # temperature mixing re-derived: token-weighted stratum sizes,
+        # w_s ∝ n_s^(1/2), budget N* = min n_s/w_s, rate = N*·w_s/n_s
+        # rounded to 9 digits (both engines), md5-60 keyed uniform
+        "sample_temperature": """
+            WITH d AS (SELECT doc_id, source,
+                              CAST(len(regexp_split_to_array(text,
+                                  '\\s+')) AS DOUBLE) AS nt
+                       FROM documents),
+            s AS (SELECT source, sum(nt) AS n FROM d GROUP BY source),
+            r AS (SELECT source, n, pow(n, 0.5) AS p FROM s),
+            r2 AS (SELECT source, n, p / sum(p) OVER () AS w FROM r),
+            r3 AS (SELECT source,
+                          round(least(1.0, min(n / w) OVER () * w / n),
+                                9) AS rate
+                   FROM r2)
+            SELECT d.doc_id, d.source FROM d JOIN r3 USING (source)
+            WHERE CAST(CAST(concat('0x', substring(
+                      md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                      AS UBIGINT) AS DOUBLE) / 1152921504606846976.0
+                  < r3.rate
+            ORDER BY doc_id""",
         # the occurrence-weighted n-gram repetition formula, re-derived:
         # per (doc, n) explode to gram rows, count, top-1 by (count DESC,
         # gram) = the sorted-scan's first-max tie-break, dup = count > 1

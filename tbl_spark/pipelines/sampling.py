@@ -43,3 +43,42 @@ def stratified_sample(df: DataFrame, strata_col: str,
         rate = F.when(F.col(strata_col) == s, F.lit(float(r))) \
             .otherwise(rate)
     return df.filter(u < rate)
+
+
+def temperature_sample(df: DataFrame, strata_col: str, key_col: str,
+                       temperature: float = 2.0,
+                       weight_col: str | None = None,
+                       scale: float = 1.0) -> DataFrame:
+    """Temperature-based domain mixing (the standard multilingual/Pile
+    resampling rule, public — e.g. Arivazhagan et al. 2019 §5, The Pile):
+    target mixture weight w_s ∝ n_s^(1/T), where n_s is the stratum's
+    size (row count, or the sum of `weight_col` — e.g. tokens). T=1
+    keeps natural proportions; T→∞ approaches uniform domain weights.
+
+    A filter-based sampler cannot upsample, so the realized budget is
+    the largest N with N·w_s ≤ n_s for every stratum (N* = min_s n_s/w_s,
+    scaled down by `scale`); per-stratum keep rate = N*·w_s/n_s, rounded
+    to 9 digits so the rate arithmetic is reproducible cross-engine.
+    The keep decision reuses the deterministic md5-60 per-key uniform —
+    rerun-stable, cluster-size-independent, ANSI-SQL re-derivable.
+
+    Scale shape: one tiny per-stratum aggregate (partial map-side), rate
+    algebra via windows over that #strata-row frame, and a broadcast
+    join back — the corpus itself is never shuffled."""
+    from pyspark.sql import Window
+    w = (F.count("*") if weight_col is None
+         else F.sum(weight_col)).cast("double")
+    everything = Window.partitionBy()   # the stats frame is #strata rows
+    stats = (df.groupBy(strata_col).agg(w.alias("_n"))
+             .withColumn("_p", F.pow("_n", 1.0 / float(temperature)))
+             .withColumn("_w", F.col("_p") / F.sum("_p").over(everything))
+             .withColumn("_nstar",
+                         F.min(F.col("_n") / F.col("_w")).over(everything)))
+    rates = stats.select(
+        strata_col,
+        F.round(F.least(F.lit(1.0),
+                        F.lit(float(scale)) * F.col("_nstar")
+                        * F.col("_w") / F.col("_n")), 9).alias("_rate"))
+    u = uniform_hash(key_col)
+    return (df.join(F.broadcast(rates), strata_col)
+            .filter(u < F.col("_rate")).drop("_rate"))

@@ -264,3 +264,41 @@ def test_ngram_repetition_dup_grams(spark):
     assert r["frac_chars_top_2gram"] == round(2 * 3 / len(text), 6)
     # duplicated 5-grams: "p q r s t","q r s t u" twice each = 4 occ x 9
     assert r["frac_chars_dup_5grams"] == round(4 * 9 / len(text), 6)
+
+
+# -- 10. temperature-based domain mixing (r5 new op) --------------------------
+
+def test_temperature_sample_rates_and_determinism(spark):
+    from tbl_spark.pipelines.sampling import temperature_sample
+    rows = [(i, "big" if i < 9000 else "small") for i in range(10_000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    # T=1: natural proportions — every rate is 1.0, nothing dropped
+    assert temperature_sample(df, "source", "doc_id",
+                              temperature=1.0).count() == 10_000
+    # high T → near-uniform weights: the big stratum is cut down toward
+    # the small one; the small (binding) stratum keeps everything
+    kept = temperature_sample(df, "source", "doc_id", temperature=100.0)
+    by = {r["source"]: r["cnt"] for r in
+          kept.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    assert by["small"] == 1000            # binding stratum: rate 1.0
+    # big stratum rate ≈ 1000/9000 (uniform weights) → ~1000 kept ±5%
+    assert abs(by["big"] - 1000) < 150
+    # deterministic: a rerun keeps exactly the same rows
+    a = sorted(r["doc_id"] for r in kept.collect())
+    b = sorted(r["doc_id"] for r in temperature_sample(
+        df, "source", "doc_id", temperature=100.0).collect())
+    assert a == b
+
+
+def test_temperature_sample_weighted_no_shuffle_of_corpus(spark):
+    from tbl_spark.pipelines.sampling import temperature_sample
+    rows = [(i, "a" if i % 2 else "b", 10 if i % 2 else 1000)
+            for i in range(2_000)]
+    df = spark.createDataFrame(rows,
+                               "doc_id bigint, source string, n_tok int")
+    kept = temperature_sample(df, "source", "doc_id", temperature=2.0,
+                              weight_col="n_tok")
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    # the corpus joins the tiny rates frame via broadcast — no sort-merge
+    assert "BroadcastHashJoin" in plan
+    assert 0 < kept.count() <= 2_000
