@@ -217,8 +217,12 @@ def main() -> None:
     # JIT/codegen; steady-state is what a long-lived cluster sees)
     import __spark_entry__ as entrymod
     qs = entrymod.queries()
+    # r5: pipeline_curate_v2 joins the headline set — the 5-stage LLM
+    # curation chain (gate → redact → tokenize → excise → pack) is the
+    # operator composition a real corpus run executes end-to-end
     for name in ("roundtrip_lineitem", "dedup_minhash_lsh",
-                 "ann_cosine_topk", "text_quality", "dedup_exact"):
+                 "ann_cosine_topk", "text_quality", "dedup_exact",
+                 "pipeline_curate_v2"):
         dt, _ = _timed_reps(
             name, lambda n=name: qs[n](spark, SF_DIR).count())
         queries[name] = round(dt, 3)

@@ -143,7 +143,16 @@ def build_parser() -> argparse.ArgumentParser:
                           "acceptable)")
 
     dec = sub.add_parser("decode", help="decode a chunk store")
-    dec.add_argument("--store", required=True)
+    dec.add_argument("--store", default=None)
+    dec.add_argument("--stream-root", default=None,
+                     help="decode a streaming store root (batch=* dirs) "
+                          "instead of a single chunk store")
+    dec.add_argument("--as-of-batch", type=int, default=None,
+                     help="time travel: union only batches <= N "
+                          "(stream roots only)")
+    dec.add_argument("--as-of-ts", type=float, default=None,
+                     help="time travel: batches committed at or before "
+                          "this unix timestamp (stream roots only)")
     dec.add_argument("--schema", default=None,
                      help="output schema DDL (default: the schema pinned "
                           "in the store's store.json at first encode)")
@@ -771,8 +780,24 @@ def main(argv: list[str] | None = None) -> int:
         from .store import ChunkStore, decode_from_store
         cols = [c.strip() for c in args.columns.split(",")] \
             if args.columns else None
-        out = decode_from_store(ChunkStore(args.store), spark, args.schema,
-                                columns=cols, predicate=args.where)
+        if args.stream_root:
+            from .streaming import decode_stream_store
+            if not args.schema:
+                print("--stream-root requires --schema DDL",
+                      file=sys.stderr)
+                return 1
+            out = decode_stream_store(spark, args.stream_root,
+                                      args.schema,
+                                      as_of_batch=args.as_of_batch,
+                                      as_of_ts=args.as_of_ts)
+        elif not args.store:
+            print("decode needs --store or --stream-root",
+                  file=sys.stderr)
+            return 1
+        else:
+            out = decode_from_store(
+                ChunkStore(args.store), spark, args.schema,
+                columns=cols, predicate=args.where)
         if args.output:
             out.write.mode("overwrite").parquet(args.output)
         else:

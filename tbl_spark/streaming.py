@@ -75,15 +75,41 @@ def batch_stores(store_root: str) -> list[ChunkStore]:
             sorted(glob.glob(os.path.join(store_root, "batch=*")))]
 
 
+def _batch_id(store: ChunkStore) -> int:
+    return int(os.path.basename(store.root.rstrip("/")).split("=", 1)[1])
+
+
 def decode_stream_store(spark: SparkSession, store_root: str,
-                        output_ddl: str) -> DataFrame:
-    """Union the zero-shuffle decodes of every batch store."""
+                        output_ddl: str,
+                        as_of_batch: int | None = None,
+                        as_of_ts: float | None = None) -> DataFrame:
+    """Union the zero-shuffle decodes of every batch store.
+
+    Time travel (Iceberg-snapshot analog): batch stores are append-only —
+    a micro-batch only ever ADDS a `batch=<id>` directory — so the table
+    as of an earlier point is exactly the union of a batch prefix.
+    `as_of_batch` keeps batches with id <= N; `as_of_ts` keeps batches
+    whose last snapshot committed at or before the (driver-clock) unix
+    timestamp. Both are metadata-only decisions — excluded batches'
+    files are never opened."""
     from functools import reduce
 
     from .store import decode_from_store
     stores = batch_stores(store_root)
+    if as_of_batch is not None:
+        stores = [s for s in stores if _batch_id(s) <= as_of_batch]
+    if as_of_ts is not None:
+        kept = []
+        for s in stores:
+            snaps = s.snapshots()
+            if snaps and snaps[-1].get("committed_at", 0) <= as_of_ts:
+                kept.append(s)
+        stores = kept
     if not stores:
-        raise ValueError(f"no committed batches under {store_root}")
+        raise ValueError(
+            f"no committed batches under {store_root}"
+            + (" at the requested as-of point"
+               if as_of_batch is not None or as_of_ts is not None else ""))
     return reduce(DataFrame.unionByName,
                   (decode_from_store(s, spark, output_ddl) for s in stores))
 

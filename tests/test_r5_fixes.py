@@ -302,3 +302,46 @@ def test_temperature_sample_weighted_no_shuffle_of_corpus(spark):
     # the corpus joins the tiny rates frame via broadcast — no sort-merge
     assert "BroadcastHashJoin" in plan
     assert 0 < kept.count() <= 2_000
+
+
+# -- 11. streaming time travel (r5) -------------------------------------------
+
+def test_stream_store_as_of_batch(spark, tmp_path):
+    import os
+    import time
+    from tbl_spark.datagen import SPARK_SCHEMA_DDL, write_token_table, \
+        generate_part
+    from tbl_spark.streaming import (batch_stores, decode_stream_store,
+                                     stream_encode)
+    import pyarrow.parquet as pq
+
+    inbox = str(tmp_path / "tt_inbox")
+    store = str(tmp_path / "tt_store")
+    write_token_table(inbox, 600, n_parts=2)
+    stream_encode(spark, inbox, store, num_parts=2,
+                  schema_ddl=SPARK_SCHEMA_DDL)
+    t_between = time.time()
+    tbl = generate_part(2, 300, rows_per_part=300)
+    pq.write_table(tbl, os.path.join(inbox, "late-2.parquet"),
+                   compression="zstd")
+    stream_encode(spark, inbox, store, num_parts=2,
+                  schema_ddl=SPARK_SCHEMA_DDL)
+    batches = sorted(int(os.path.basename(s.root).split("=")[1])
+                     for s in batch_stores(store))
+    assert len(batches) >= 2
+    # latest view = everything
+    assert decode_stream_store(spark, store,
+                               SPARK_SCHEMA_DDL).count() == 900
+    # as of the first batch: only wave-1 rows, later files never opened
+    old = decode_stream_store(spark, store, SPARK_SCHEMA_DDL,
+                              as_of_batch=batches[0])
+    assert old.count() == 600
+    # timestamp cut between the runs gives the same historical view
+    old_ts = decode_stream_store(spark, store, SPARK_SCHEMA_DDL,
+                                 as_of_ts=t_between)
+    assert old_ts.count() == 600
+    # an as-of point before any batch is an explicit error
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        decode_stream_store(spark, store, SPARK_SCHEMA_DDL,
+                            as_of_ts=t_between - 3600)
