@@ -504,11 +504,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             q.processAllAvailable()
         finally:
             q.stop()
-        return (spark.table(name)
+        # materialize the (small) window table, then drop the memory
+        # sink and the staged input copy — repeated invocations (bench
+        # reps, driver retries) must not accumulate sinks/temp dirs
+        import shutil
+        sink = (spark.table(name)
                 .filter(F.col("event_type") != "_sentinel_")
                 .select("win_start", "event_type",
                         F.col("tokens").cast("bigint").alias("tokens"),
-                        "docs")
+                        "docs"))
+        rows, schema = sink.collect(), sink.schema
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(work, ignore_errors=True)
+        return (spark.createDataFrame(rows, schema)
                 .orderBy("win_start", "event_type"))
 
     def stream_dedup_replay(spark, sf):
@@ -550,7 +558,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 q.processAllAvailable()
         finally:
             q.stop()
-        return spark.table(name).select("doc_id").orderBy("doc_id")
+        import shutil
+        sink = spark.table(name).select("doc_id")
+        rows, schema = sink.collect(), sink.schema
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(work, ignore_errors=True)
+        return spark.createDataFrame(rows, schema).orderBy("doc_id")
 
     # -- multimodal plumbing -------------------------------------------------
 

@@ -36,13 +36,20 @@ LOAD_WAIT_S = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "60"))
 _LOAD_META: dict[str, dict] = {}
 
 
+_GATE_SLEPT = [0.0]   # total seconds spent waiting for load, session-wide
+
+
 def _wait_low_load() -> float:
     """Block (bounded by LOAD_WAIT_S) until 1-min loadavg <= LOAD_MAX;
-    return the loadavg actually observed when proceeding."""
+    return the loadavg actually observed when proceeding. Time spent
+    sleeping here is accounted in _GATE_SLEPT so wall-clock-derived
+    metrics (encode_tokens_incl_setup_sec) can exclude it — gate waits
+    are host hygiene, not engine cost."""
     t0 = time.monotonic()
     while True:
         la = os.getloadavg()[0]
         if la <= LOAD_MAX or time.monotonic() - t0 > LOAD_WAIT_S:
+            _GATE_SLEPT[0] += time.monotonic() - t0
             return la
         time.sleep(2.0)
 
@@ -156,10 +163,14 @@ def main() -> None:
     # them into this query's wall — compare across rounds via
     # encode_tokens_incl_setup_sec, which keeps the old definition.
     t0 = time.perf_counter()
+    slept0 = _GATE_SLEPT[0]
     thr, total_tokens, enc_bytes, best_dt = encode_tokens_per_sec(
         spark, BENCH_DOCS, num_parts=2 * CPUS, meta_name="encode_tokens")
     queries["encode_tokens"] = round(best_dt, 3)
-    extras["encode_tokens_incl_setup_sec"] = round(time.perf_counter() - t0, 3)
+    # old (r1/r2-comparable) definition: warmup+staging+reps wall,
+    # MINUS time the load gate spent sleeping (pure host hygiene)
+    extras["encode_tokens_incl_setup_sec"] = round(
+        time.perf_counter() - t0 - (_GATE_SLEPT[0] - slept0), 3)
     extras["encode_tokens_per_sec"] = round(thr)
     extras["bytes_per_token"] = round(enc_bytes / total_tokens, 4)
     extras["total_tokens"] = total_tokens

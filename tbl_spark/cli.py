@@ -601,6 +601,7 @@ def main(argv: list[str] | None = None) -> int:
         m = args.method
         if m == "exact":
             out = dd.exact_dedup(df, text_col=args.text_col,
+                                 id_col=args.id_col,
                                  verify=not args.no_verify)
         elif m == "minhash":
             out = dd.minhash_lsh_dedup(
@@ -689,6 +690,13 @@ def main(argv: list[str] | None = None) -> int:
         from .pipelines import dedup as dd
         files = discover(args.paths, args.tree)
         eval_files = discover(args.eval_paths, args.tree)
+        if args.output:
+            # confirm BEFORE constructing the op — decontaminate runs an
+            # eager eval-gram count at construction time, and a
+            # --dry-run must not burn that job
+            if not confirm_io([(f, args.output) for f in files],
+                              args.yes, args.dry_run):
+                return 0 if args.dry_run else 3
         tr = _ensure_tokens(spark.read.parquet(*files),
                             args.tokens_col, args.text_col)
         ev = _ensure_tokens(spark.read.parquet(*eval_files),
@@ -696,7 +704,12 @@ def main(argv: list[str] | None = None) -> int:
         out = dd.decontaminate(tr, ev, tokens_col=args.tokens_col,
                                id_col=args.id_col, k=args.k,
                                gram_repr=args.gram_repr)
-        return _emit_result(out, args, files)
+        if args.output:
+            out.write.mode("overwrite").parquet(args.output)
+            print(f"-> {args.output}")
+            return 0
+        _print_stdout(out, args)
+        return 0
 
     if args.cmd == "python":
         # interactive handoff with the dataset preloaded
@@ -786,12 +799,23 @@ def main(argv: list[str] | None = None) -> int:
                 print("--stream-root requires --schema DDL",
                       file=sys.stderr)
                 return 1
+            if cols or args.where:
+                # refuse rather than silently return unprojected /
+                # unfiltered rows the caller believes were narrowed
+                print("--columns/--where are not supported with "
+                      "--stream-root yet", file=sys.stderr)
+                return 1
             out = decode_stream_store(spark, args.stream_root,
                                       args.schema,
                                       as_of_batch=args.as_of_batch,
                                       as_of_ts=args.as_of_ts)
         elif not args.store:
             print("decode needs --store or --stream-root",
+                  file=sys.stderr)
+            return 1
+        elif args.as_of_batch is not None or args.as_of_ts is not None:
+            print("--as-of-batch/--as-of-ts require --stream-root "
+                  "(single chunk stores are immutable datasets)",
                   file=sys.stderr)
             return 1
         else:

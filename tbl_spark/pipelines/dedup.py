@@ -489,6 +489,27 @@ def embedding_cosine_dedup(df: DataFrame, vec_col: str = "embedding",
 # mark every non-canonical occurrence of a repeated window.
 
 
+_CACHE_RING: list = []
+_CACHE_RING_MAX = 4
+
+
+def _ring_persist(df: DataFrame) -> DataFrame:
+    """persist() with a bounded lifetime. DataFrame caches live in
+    Spark's CacheManager until explicitly unpersisted — they are NOT
+    cleaned by GC or the ContextCleaner (that only applies to raw RDD
+    persists) — so an op that persists per call would leak one
+    session-lifetime cache entry per invocation (streaming foreachBatch,
+    bench reps). Keep the N most recent cached frames and evict the
+    oldest; eviction is always safe — an evicted plan recomputes from
+    lineage if it ever re-executes, it never loses data."""
+    from pyspark import StorageLevel
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _CACHE_RING.append(df)
+    while len(_CACHE_RING) > _CACHE_RING_MAX:
+        _CACHE_RING.pop(0).unpersist(blocking=False)
+    return df
+
+
 def _window_grams(tokens_col: str, k: int, gram_repr: str):
     """(pos, gram) pairs for every k-token window. gram_repr='hash' is the
     fast path (xxhash64 chain, no string materialization); 'string' joins
@@ -504,7 +525,7 @@ def _window_grams(tokens_col: str, k: int, gram_repr: str):
     struct, collision odds ~n^2/2^129 ≈ 10^-15 at the same scale — when
     that matters and the gram key must stay fixed-width, or 'string' for
     the exact (and oracle-derivable) representation. Shuffle cost: 8
-    bytes/gram for 'hash', 16 for 'hash128', ~5k for 'string'.
+    bytes/gram for 'hash', 16 for 'hash128', ~6·k chars for 'string'.
 
     Documents SHORTER than k emit NO windows: the operator's contract is
     about repeated >= k-token substrings, and a truncated partial window
@@ -606,11 +627,9 @@ def substring_excise(df: DataFrame, tokens_col: str = "tokens",
     # (VERDICT r4 #1). `bad` is small (affected docs only: id + window
     # starts), so cache it: the first branch to touch a partition computes
     # it, the second reads the cached block, and the plan shows ONE gram
-    # aggregation under an InMemoryRelation. No explicit unpersist — the
-    # result is lazy, so Spark's ContextCleaner drops the cache when the
-    # caller's DataFrame goes out of scope.
-    from pyspark import StorageLevel
-    bad = bad.persist(StorageLevel.MEMORY_AND_DISK)
+    # aggregation under an InMemoryRelation. The ring bounds how many of
+    # these caches a long-lived session can accumulate.
+    bad = _ring_persist(bad)
     joined = df.join(bad, id_col, "left")
     clean = (joined.filter(F.col("_bad").isNull()).drop("_bad")
              .withColumn("n_removed", F.lit(0)))
@@ -670,7 +689,8 @@ def substring_excise(df: DataFrame, tokens_col: str = "tokens",
 def decontaminate(train_df: DataFrame, eval_df: DataFrame,
                   tokens_col: str = "tokens", id_col: str = "doc_id",
                   k: int = 8, gram_repr: str = "hash",
-                  broadcast_threshold: int = 5_000_000) -> DataFrame:
+                  broadcast_threshold: int = 256 * 1024 * 1024
+                  ) -> DataFrame:
     """Benchmark decontamination: drop every training document that
     shares ANY k-token window with the evaluation set (the n-gram
     overlap rule used to scrub eval contamination from pretraining
@@ -686,13 +706,17 @@ def decontaminate(train_df: DataFrame, eval_df: DataFrame,
         .select(F.col("_w.gram").alias("_g")).distinct())
     # make the build-side choice deterministic rather than an AQE bet
     # (VERDICT r4 #7): count the distinct eval grams once (the distinct
-    # agg is cached so the semi-join reuses it, not recomputes it) and
-    # broadcast only when the set is genuinely broadcast-sized; a huge
-    # eval side falls back to the shuffle semi-join on the 8-byte key.
-    from pyspark import StorageLevel
-    ev = ev.persist(StorageLevel.MEMORY_AND_DISK)
+    # agg is ring-cached so the semi-join reuses it, not recomputes it)
+    # and broadcast only when the ESTIMATED BYTES fit — rows alone would
+    # green-light broadcasting 5M ~5KB string grams (~25 GB). NOTE this
+    # count runs at op-construction time: the deterministic plan choice
+    # costs one eager (cached, reused) job over the eval side — eval
+    # suites are small by construction; pass a plan-only eval_df stub if
+    # you truly need a no-work dry plan.
+    ev = _ring_persist(ev)
     n_ev = ev.count()
-    if n_ev <= broadcast_threshold:
+    gram_bytes = {"hash": 16, "hash128": 32}.get(gram_repr, 64 + 6 * k)
+    if n_ev * gram_bytes <= broadcast_threshold:
         ev = F.broadcast(ev)
     tr = (train_df.select(F.col(id_col), F.explode(
         _window_grams(tokens_col, k, gram_repr)).alias("_w"))

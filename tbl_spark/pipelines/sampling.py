@@ -68,17 +68,24 @@ def temperature_sample(df: DataFrame, strata_col: str, key_col: str,
     from pyspark.sql import Window
     w = (F.count("*") if weight_col is None
          else F.sum(weight_col)).cast("double")
+    # NULL strata form their own stratum: an equi-join on the raw column
+    # would silently drop every NULL-strata row (NULL never equals NULL),
+    # so both sides key on a string sentinel instead
+    _k = "_ts_stratum_key"
+    skey = F.coalesce(F.col(strata_col).cast("string"),
+                      F.lit("\x00<null-stratum>"))
+    keyed = df.withColumn(_k, skey)
     everything = Window.partitionBy()   # the stats frame is #strata rows
-    stats = (df.groupBy(strata_col).agg(w.alias("_n"))
+    stats = (keyed.groupBy(_k).agg(w.alias("_n"))
              .withColumn("_p", F.pow("_n", 1.0 / float(temperature)))
              .withColumn("_w", F.col("_p") / F.sum("_p").over(everything))
              .withColumn("_nstar",
                          F.min(F.col("_n") / F.col("_w")).over(everything)))
     rates = stats.select(
-        strata_col,
+        _k,
         F.round(F.least(F.lit(1.0),
                         F.lit(float(scale)) * F.col("_nstar")
                         * F.col("_w") / F.col("_n")), 9).alias("_rate"))
     u = uniform_hash(key_col)
-    return (df.join(F.broadcast(rates), strata_col)
-            .filter(u < F.col("_rate")).drop("_rate"))
+    return (keyed.join(F.broadcast(rates), _k)
+            .filter(u < F.col("_rate")).drop("_rate", _k))

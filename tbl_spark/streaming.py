@@ -99,10 +99,19 @@ def decode_stream_store(spark: SparkSession, store_root: str,
     if as_of_batch is not None:
         stores = [s for s in stores if _batch_id(s) <= as_of_batch]
     if as_of_ts is not None:
+        # a batch existed at time t iff its FIRST successful run committed
+        # by t — a later snapshot is a checkpoint-replay (resume skips all
+        # parts; it adds no data) and must not move the batch's birth time
+        # past t. A batch whose snapshot write crashed falls back to its
+        # earliest per-part manifest commit time (bounded driver read).
         kept = []
         for s in stores:
-            snaps = s.snapshots()
-            if snaps and snaps[-1].get("committed_at", 0) <= as_of_ts:
+            times = [sn["committed_at"] for sn in s.snapshots()
+                     if sn.get("committed_at") is not None]
+            if not times:
+                times = [m["committed_at"] for m in s.loose_manifest_rows()
+                         if m.get("committed_at") is not None]
+            if times and min(times) <= as_of_ts:
                 kept.append(s)
         stores = kept
     if not stores:

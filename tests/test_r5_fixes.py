@@ -345,3 +345,69 @@ def test_stream_store_as_of_batch(spark, tmp_path):
     with _pt.raises(ValueError):
         decode_stream_store(spark, store, SPARK_SCHEMA_DDL,
                             as_of_ts=t_between - 3600)
+
+
+# -- 12. code-review fixes (r5) -----------------------------------------------
+
+def test_cache_ring_bounds_persisted_frames(spark, sf_dir):
+    from tbl_spark.pipelines import dedup as dd
+    toks = _with_tokens(_docs(spark, sf_dir)).limit(50)
+    before = len(dd._CACHE_RING)
+    for _ in range(dd._CACHE_RING_MAX + 3):
+        dd.substring_excise(toks, k=8).count()
+    assert len(dd._CACHE_RING) <= dd._CACHE_RING_MAX
+    # evicted frames really are unpersisted (ring is the only holder)
+    assert before <= dd._CACHE_RING_MAX
+
+
+def test_temperature_sample_null_strata_kept(spark):
+    from tbl_spark.pipelines.sampling import temperature_sample
+    rows = [(i, None if i % 4 == 0 else "a") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    kept = temperature_sample(df, "source", "doc_id", temperature=1.0)
+    # T=1 keeps every stratum at rate 1.0 INCLUDING the null stratum
+    assert kept.count() == 400
+    assert kept.filter(F.col("source").isNull()).count() == 100
+
+
+def test_cli_dedup_exact_honors_id_col(spark, tmp_path, capsys):
+    from tbl_spark.cli import main
+    src = str(tmp_path / "idcol_in")
+    spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, "other")],
+        "my_id bigint, text string").write.parquet(src)
+    rc = main(["dedup", src, "--method", "exact", "--id-col", "my_id",
+               "--csv", "-n", "all"])
+    assert rc == 0
+    body = capsys.readouterr().out.strip().splitlines()[1:]
+    ids = sorted(int(line.split(",")[0]) for line in body)
+    assert ids == [1, 3]
+
+
+def test_cli_decode_flag_combinations_rejected(tmp_path, capsys):
+    from tbl_spark.cli import main
+    assert main(["decode", "--stream-root", str(tmp_path),
+                 "--schema", "a int", "--columns", "a"]) == 1
+    assert main(["decode", "--store", str(tmp_path),
+                 "--as-of-batch", "0"]) == 1
+
+
+def test_stream_as_of_ts_survives_replay(spark, tmp_path):
+    """A checkpoint-replay snapshot written AFTER the cutoff must not
+    hide a batch whose data was committed before it."""
+    import time
+    from tbl_spark.datagen import SPARK_SCHEMA_DDL, write_token_table
+    from tbl_spark.streaming import (batch_stores, decode_stream_store,
+                                     stream_encode)
+    inbox = str(tmp_path / "rp_inbox")
+    store = str(tmp_path / "rp_store")
+    write_token_table(inbox, 300, n_parts=1)
+    stream_encode(spark, inbox, store, num_parts=1,
+                  schema_ddl=SPARK_SCHEMA_DDL)
+    cut = time.time()
+    # simulate a replay: a second snapshot lands after the cutoff
+    b0 = batch_stores(store)[0]
+    b0.append_snapshot({"encoded_parts": 0, "committed_at": cut + 100})
+    out = decode_stream_store(spark, store, SPARK_SCHEMA_DDL,
+                              as_of_ts=cut)
+    assert out.count() == 300
