@@ -432,6 +432,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                               "start_offset", "seq_id")
                 .orderBy("doc_id"))
 
+    def dedup_paragraphs(spark, sf):
+        # corpus-level paragraph dedup: synthesize 3-paragraph docs where
+        # the header repeats per source and the footer repeats corpus-wide
+        # — only the globally-first occurrence of each survives
+        docs = _read(spark, sf, "documents").withColumn(
+            "text", F.expr("concat('hdr ', source, '\\n\\n', text, "
+                           "'\\n\\n', 'shared footer')"))
+        out = dedup.paragraph_dedup(docs)
+        return (out.select("doc_id", "text", "n_pars_removed")
+                .orderBy("doc_id"))
+
     def sample_temperature(spark, sf):
         # temperature-based domain mixing at T=2, weighted by token
         # count: big sources are downsampled toward uniform mixture,
@@ -626,6 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_replay": stream_dedup_replay,
         "text_ngram_repetition": text_ngram_repetition,
         "sample_temperature": sample_temperature,
+        "dedup_paragraphs": dedup_paragraphs,
     }
 
 
@@ -1211,6 +1223,37 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
                        AND 1 PRECEDING), 0) / 512.0) AS BIGINT) AS seq_id
             FROM counted ORDER BY doc_id""",
+        # paragraph dedup re-derived: explode paragraphs with positions,
+        # row_number over (content) ordered by (doc, pos) marks the
+        # canonical occurrence, survivors string_agg back in order
+        "dedup_paragraphs": """
+            WITH d AS (SELECT doc_id,
+                              concat('hdr ', source, chr(10), chr(10),
+                                     text, chr(10), chr(10),
+                                     'shared footer') AS t
+                       FROM documents),
+            w AS (SELECT doc_id, t,
+                         regexp_split_to_array(t, '\\n\\n') AS pr
+                  FROM d),
+            p AS (SELECT doc_id, i AS pos, pr[i] AS par
+                  FROM w, LATERAL (SELECT unnest(generate_series(
+                      CAST(1 AS BIGINT),
+                      CAST(len(pr) AS BIGINT))) AS i) s),
+            k AS (SELECT doc_id, pos, par,
+                         row_number() OVER (PARTITION BY par
+                             ORDER BY doc_id, pos) AS rn
+                  FROM p),
+            rb AS (SELECT doc_id,
+                          string_agg(par, chr(10) || chr(10)
+                                     ORDER BY pos) AS new_text,
+                          count(*) AS n_kept
+                   FROM k WHERE rn = 1 GROUP BY doc_id)
+            SELECT w.doc_id,
+                   coalesce(rb.new_text, '') AS text,
+                   CAST(len(w.pr) - coalesce(rb.n_kept, 0) AS INTEGER)
+                       AS n_pars_removed
+            FROM w LEFT JOIN rb USING (doc_id)
+            ORDER BY w.doc_id""",
         # temperature mixing re-derived: token-weighted stratum sizes,
         # w_s ∝ n_s^(1/2), budget N* = min n_s/w_s, rate = N*·w_s/n_s
         # rounded to 9 digits (both engines), md5-60 keyed uniform

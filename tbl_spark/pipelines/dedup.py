@@ -686,6 +686,50 @@ def substring_excise(df: DataFrame, tokens_col: str = "tokens",
     return clean.unionByName(affected.mapInArrow(surgery, out_ddl))
 
 
+def paragraph_dedup(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    sep: str = "\n\n") -> DataFrame:
+    """Corpus-level paragraph deduplication (the CCNet/RefinedWeb line-
+    or paragraph-dedup pass, public method): every occurrence of a
+    repeated paragraph is removed EXCEPT the canonical first one
+    (minimal (doc_id, position) across the whole corpus), and each
+    document's text is reassembled from its surviving paragraphs.
+    Returns the input rows with `text` rebuilt and `n_pars_removed`.
+
+    Scale shape: ONE paragraph-keyed shuffle — paragraphs are exploded
+    with their position, windowed by (hash(para), para) (the exact
+    content rides in the partition key, so a 64-bit hash collision can
+    never conflate two distinct paragraphs), and the survivors group
+    back by doc. Each paragraph crosses the wire twice (dedup window +
+    reassembly group), never the whole doc text more than that; no
+    driver materialization. Docs whose every paragraph was a duplicate
+    come back with empty text (kept as rows — dropping whole docs is
+    exact_dedup's job)."""
+    pars = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_par"))
+    w = Window.partitionBy(F.xxhash64("_par"), "_par") \
+        .orderBy(id_col, "_pos")
+    kept = (pars.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1))
+    # NOTE sep is used as a split REGEX and a join LITERAL — pass only
+    # regex-literal separators ('\n\n', '\n')
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.array_join(F.expr(
+                   "transform(sort_array(collect_list("
+                   "struct(_pos, _par))), s -> s._par)"), sep)
+                   .alias("_new_text"),
+                   F.count("*").alias("_n_kept")))
+    n_pars = F.size(F.split(F.col(text_col), sep))
+    return (df.withColumn("_n_pars", n_pars)
+            .join(rebuilt, id_col, "left")
+            .withColumn(text_col, F.coalesce("_new_text", F.lit("")))
+            .withColumn("n_pars_removed",
+                        (F.col("_n_pars")
+                         - F.coalesce("_n_kept", F.lit(0))).cast("int"))
+            .drop("_new_text", "_n_kept", "_n_pars"))
+
+
 def decontaminate(train_df: DataFrame, eval_df: DataFrame,
                   tokens_col: str = "tokens", id_col: str = "doc_id",
                   k: int = 8, gram_repr: str = "hash",

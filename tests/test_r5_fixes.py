@@ -411,3 +411,27 @@ def test_stream_as_of_ts_survives_replay(spark, tmp_path):
     out = decode_stream_store(spark, store, SPARK_SCHEMA_DDL,
                               as_of_ts=cut)
     assert out.count() == 300
+
+
+# -- 13. paragraph dedup (r5 new op) ------------------------------------------
+
+def test_paragraph_dedup_canonical_and_reassembly(spark):
+    from tbl_spark.pipelines.dedup import paragraph_dedup
+    df = spark.createDataFrame(
+        [(1, "A\n\nB\n\nC"),
+         (2, "B\n\nD"),        # B duplicates doc 1's
+         (3, "A\n\nB")],       # both paragraphs duplicated -> empty
+        "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in paragraph_dedup(df).collect()}
+    assert out[1]["text"] == "A\n\nB\n\nC"
+    assert out[1]["n_pars_removed"] == 0
+    assert out[2]["text"] == "D" and out[2]["n_pars_removed"] == 1
+    assert out[3]["text"] == "" and out[3]["n_pars_removed"] == 2
+
+
+def test_paragraph_dedup_within_doc_repeat(spark):
+    from tbl_spark.pipelines.dedup import paragraph_dedup
+    df = spark.createDataFrame([(7, "X\n\nX\n\nY")],
+                               "doc_id bigint, text string")
+    r = paragraph_dedup(df).collect()[0]
+    assert r["text"] == "X\n\nY" and r["n_pars_removed"] == 1
