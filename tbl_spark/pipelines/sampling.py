@@ -70,10 +70,13 @@ def temperature_sample(df: DataFrame, strata_col: str, key_col: str,
          else F.sum(weight_col)).cast("double")
     # NULL strata form their own stratum: an equi-join on the raw column
     # would silently drop every NULL-strata row (NULL never equals NULL),
-    # so both sides key on a string sentinel instead
+    # so both sides key on a prefixed string — 'n' for the null stratum,
+    # 'v:'+value otherwise (prefixing makes collision with a real value
+    # impossible, and keeps the key printable in plan dumps)
     _k = "_ts_stratum_key"
-    skey = F.coalesce(F.col(strata_col).cast("string"),
-                      F.lit("\x00<null-stratum>"))
+    skey = F.when(F.col(strata_col).isNull(), F.lit("n")) \
+        .otherwise(F.concat(F.lit("v:"),
+                            F.col(strata_col).cast("string")))
     keyed = df.withColumn(_k, skey)
     everything = Window.partitionBy()   # the stats frame is #strata rows
     stats = (keyed.groupBy(_k).agg(w.alias("_n"))
