@@ -432,6 +432,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                               "start_offset", "seq_id")
                 .orderBy("doc_id"))
 
+    def text_gopher_gate(spark, sf):
+        # the combined Table A1 keep/drop decision; same multi-line text
+        # synthesis as text_gopher_quality, thresholds tuned so the
+        # corpus splits on word count while the synthetic dup lines pass
+        docs = _read(spark, sf, "documents").withColumn(
+            "text", F.expr("concat(text, '\\n', source, '\\n', source, "
+                           "'\\n- bullet item', '\\n', 'tail...')"))
+        out = textstats.with_gopher_gate(
+            docs, min_words=50, max_dup_line_frac=0.45,
+            max_dup_line_char_frac=0.5, min_stop_hits=1)
+        return (out.select(
+            "doc_id", "n_words", "alpha_word_frac", "stop_hits",
+            F.col("gopher_keep").cast("int").alias("gopher_keep"))
+            .orderBy("doc_id"))
+
     def dedup_paragraphs(spark, sf):
         # corpus-level paragraph dedup: synthesize 3-paragraph docs where
         # the header repeats per source and the footer repeats corpus-wide
@@ -638,6 +653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ngram_repetition": text_ngram_repetition,
         "sample_temperature": sample_temperature,
         "dedup_paragraphs": dedup_paragraphs,
+        "text_gopher_gate": text_gopher_gate,
     }
 
 
@@ -1223,6 +1239,61 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
                        AND 1 PRECEDING), 0) / 512.0) AS BIGINT) AS seq_id
             FROM counted ORDER BY doc_id""",
+        # the full Table A1 gate re-derived: every signal recomputed with
+        # the same rounded formulas, then the same threshold conjunction
+        "text_gopher_gate": """
+            WITH d AS (SELECT doc_id,
+                              concat(text, chr(10), source, chr(10),
+                                     source, chr(10), '- bullet item',
+                                     chr(10), 'tail...') AS txt
+                       FROM documents),
+            m AS (SELECT doc_id, txt,
+                         string_split(txt, chr(10)) AS lines,
+                         regexp_extract_all(txt, '\\S+') AS words
+                  FROM d),
+            sig AS (SELECT doc_id,
+                len(words) AS n_words,
+                round(list_sum(list_transform(words, w -> length(w)))
+                    / CAST(greatest(len(words), 1) AS DOUBLE), 6)
+                    AS mwl,
+                round(len(regexp_extract_all(txt, '[#]|\\.\\.\\.'))
+                    / CAST(greatest(len(words), 1) AS DOUBLE), 6)
+                    AS swr,
+                round(len(list_filter(lines, l -> l LIKE '- %'
+                    OR l LIKE '* %' OR l LIKE '• %'))
+                    / CAST(greatest(len(lines), 1) AS DOUBLE), 6)
+                    AS bullet,
+                round(len(list_filter(lines, l -> l LIKE '%...'))
+                    / CAST(greatest(len(lines), 1) AS DOUBLE), 6)
+                    AS ellipsis,
+                round(len(list_filter(lines, l -> len(list_filter(
+                    lines, x -> x = l)) > 1))
+                    / CAST(greatest(len(lines), 1) AS DOUBLE), 6)
+                    AS dupl,
+                round(coalesce(list_sum(list_transform(list_filter(
+                    lines, l -> len(list_filter(lines, x -> x = l))
+                    > 1), l -> length(l))), 0)
+                    / CAST(greatest(length(txt), 1) AS DOUBLE), 6)
+                    AS duplc,
+                round(len(list_filter(words,
+                    w -> regexp_matches(w, '[A-Za-z]')))
+                    / CAST(greatest(len(words), 1) AS DOUBLE), 6)
+                    AS alpha,
+                len(list_intersect(list_distinct(words),
+                    ['the', 'be', 'to', 'of', 'and', 'that', 'have',
+                     'with'])) AS stops
+                FROM m)
+            SELECT doc_id,
+                   CAST(n_words AS INTEGER) AS n_words,
+                   alpha AS alpha_word_frac,
+                   CAST(stops AS INTEGER) AS stop_hits,
+                   CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+                        AND mwl >= 3.0 AND mwl <= 10.0 AND swr <= 0.1
+                        AND bullet <= 0.9 AND ellipsis <= 0.3
+                        AND dupl <= 0.45 AND duplc <= 0.5
+                        AND alpha >= 0.8 AND stops >= 1
+                        THEN 1 ELSE 0 END AS INTEGER) AS gopher_keep
+            FROM sig ORDER BY doc_id""",
         # paragraph dedup re-derived: explode paragraphs with positions,
         # row_number over (content) ordered by (doc, pos) marks the
         # canonical occurrence, survivors string_agg back in order

@@ -241,6 +241,13 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["hash", "hash128", "string"])
     cu.add_argument("--no-redact", action="store_true")
     cu.add_argument("--no-excise", action="store_true")
+    cu.add_argument("--gopher", action="store_true",
+                    help="gate with the full Gopher Table A1 rule set "
+                         "instead of the mean-word-length band")
+    cu.add_argument("--min-words", type=int, default=50,
+                    help="gopher gate: min word count")
+    cu.add_argument("--min-stop-hits", type=int, default=2,
+                    help="gopher gate: distinct stop words required")
     _add_pipe_output(cu)
 
     pk = sub.add_parser("pack", help="pack docs into fixed-length "
@@ -632,12 +639,22 @@ def main(argv: list[str] | None = None) -> int:
         t = args.text_col
         if not args.no_redact:
             df = textstats.with_pii_redacted(df, text_col=t)
-        words = f"regexp_extract_all({t}, '\\\\S+', 0)"
-        mwl = (F.expr(f"aggregate({words}, 0L, (a, w) -> a + length(w))")
-               / F.greatest(F.expr(f"size({words})"), F.lit(1)))
-        df = (df.withColumn("_mwl", mwl)
-              .filter((F.col("_mwl") >= args.min_mwl)
-                      & (F.col("_mwl") <= args.max_mwl)).drop("_mwl"))
+        if args.gopher:
+            before = set(df.columns)
+            gated = textstats.with_gopher_gate(
+                df, text_col=t, min_words=args.min_words,
+                min_stop_hits=args.min_stop_hits)
+            df = gated.filter("gopher_keep").drop(
+                *[c for c in gated.columns if c not in before])
+        else:
+            words = f"regexp_extract_all({t}, '\\\\S+', 0)"
+            mwl = (F.expr(
+                f"aggregate({words}, 0L, (a, w) -> a + length(w))")
+                / F.greatest(F.expr(f"size({words})"), F.lit(1)))
+            df = (df.withColumn("_mwl", mwl)
+                  .filter((F.col("_mwl") >= args.min_mwl)
+                          & (F.col("_mwl") <= args.max_mwl))
+                  .drop("_mwl"))
         df = textstats.with_tokens(df, text_col=t)
         if not args.no_excise:
             df = dd.substring_excise(df, id_col=args.id_col, k=args.k,

@@ -153,6 +153,60 @@ def with_gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
             .drop(_ls))
 
 
+# Rae et al. 2021 Table A1 stop-word list (public)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
+                    "with")
+
+
+def with_gopher_gate(df: DataFrame, text_col: str = "text",
+                     min_words: int = 50, max_words: int = 100_000,
+                     min_mean_word_len: float = 3.0,
+                     max_mean_word_len: float = 10.0,
+                     max_symbol_ratio: float = 0.1,
+                     max_bullet_frac: float = 0.9,
+                     max_ellipsis_frac: float = 0.3,
+                     max_dup_line_frac: float = 0.3,
+                     max_dup_line_char_frac: float = 0.2,
+                     min_alpha_word_frac: float = 0.8,
+                     min_stop_hits: int = 2) -> DataFrame:
+    """The combined Gopher document-level quality GATE (Rae et al. 2021
+    Table A1, public): every repetition/shape signal compared against
+    its published threshold (all thresholds overridable), reduced to one
+    `gopher_keep` boolean — the filter a MassiveText-style pipeline
+    applies before tokenization. Adds the three signals the rule set
+    needs beyond with_gopher_quality: `n_words`, `alpha_word_frac`
+    (fraction of words containing an alphabetic char) and `stop_hits`
+    (distinct Table-A1 stop words present).
+
+    Scale shape: pure per-row JVM expressions on top of
+    with_gopher_quality's sorted-run scans; no shuffle, no Python."""
+    out = with_gopher_quality(df, text_col)
+    words = f"regexp_extract_all({text_col}, '\\\\S+', 0)"
+    n_words = F.expr(f"size({words})")
+    alpha = F.expr(
+        f"size(filter({words}, w -> w RLIKE '[A-Za-z]'))")
+    stop_arr = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    stops = F.expr(
+        f"size(array_intersect(array_distinct({words}), "
+        f"array({stop_arr})))")
+    out = (out.withColumn("n_words", n_words)
+           .withColumn("alpha_word_frac",
+                       F.round(alpha / F.greatest(n_words, F.lit(1)), 6))
+           .withColumn("stop_hits", stops))
+    keep = ((F.col("n_words") >= min_words)
+            & (F.col("n_words") <= max_words)
+            & (F.col("mean_word_len") >= min_mean_word_len)
+            & (F.col("mean_word_len") <= max_mean_word_len)
+            & (F.col("symbol_word_ratio") <= max_symbol_ratio)
+            & (F.col("frac_bullet_lines") <= max_bullet_frac)
+            & (F.col("frac_ellipsis_lines") <= max_ellipsis_frac)
+            & (F.col("frac_dup_lines") <= max_dup_line_frac)
+            & (F.col("frac_chars_dup_lines") <= max_dup_line_char_frac)
+            & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+            & (F.col("stop_hits") >= min_stop_hits))
+    return out.withColumn("gopher_keep", keep)
+
+
 def with_ngram_repetition(df: DataFrame, text_col: str = "text",
                           top_ns: tuple[int, ...] = (2, 3, 4),
                           dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10)

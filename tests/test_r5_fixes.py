@@ -435,3 +435,48 @@ def test_paragraph_dedup_within_doc_repeat(spark):
                                "doc_id bigint, text string")
     r = paragraph_dedup(df).collect()[0]
     assert r["text"] == "X\n\nY" and r["n_pars_removed"] == 1
+
+
+# -- 14. gopher gate (r5 new op) ----------------------------------------------
+
+def test_gopher_gate_rules(spark):
+    from tbl_spark.pipelines.textstats import with_gopher_gate
+    good = "the quick brown fox jumps over the lazy dog and " * 8  # 72 w
+    short = "the tiny one"
+    symbols = ("the " + "# " * 30) * 5                 # symbol-heavy
+    numeric = "the " + "12345 " * 99                   # alpha frac low
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, symbols), (4, numeric)],
+        "doc_id int, text string")
+    out = {r["doc_id"]: r for r in
+           with_gopher_gate(df, min_stop_hits=1).collect()}
+    assert out[1]["gopher_keep"] is True
+    assert out[2]["gopher_keep"] is False      # word count < 50
+    assert out[3]["gopher_keep"] is False      # symbol ratio > 0.1
+    assert out[4]["gopher_keep"] is False      # alpha fraction < 0.8
+    assert out[1]["stop_hits"] >= 2            # the, and, over? the+and
+    assert out[4]["alpha_word_frac"] == round(1 / 100, 6)
+
+
+def test_gopher_gate_split_on_corpus(spark, sf_dir):
+    from tbl_spark.pipelines.textstats import with_gopher_gate
+    docs = _docs(spark, sf_dir)
+    out = with_gopher_gate(docs, min_stop_hits=1, max_dup_line_frac=1.0,
+                           max_dup_line_char_frac=1.0)
+    kept = out.filter("gopher_keep").count()
+    assert 0 < kept < docs.count()             # the rule set discriminates
+
+
+def test_cli_curate_gopher_gate(spark, sf_dir, tmp_path):
+    from tbl_spark.cli import main
+    out = str(tmp_path / "cur_gopher")
+    rc = main(["curate", _docs_path(sf_dir), "--gopher",
+               "--min-stop-hits", "1", "--seq-len", "512",
+               "--output", out, "--yes"])
+    assert rc == 0
+    res = spark.read.parquet(out)
+    # gate columns were dropped after filtering; chain columns remain
+    assert "gopher_keep" not in res.columns
+    assert res.count() > 0
+    for c in ("n_removed", "n_tok_clean", "start_offset", "seq_id"):
+        assert c in res.columns
