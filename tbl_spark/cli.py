@@ -232,9 +232,12 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("paths", nargs="+")
     cu.add_argument("--text-col", default="text")
     cu.add_argument("--id-col", default="doc_id")
-    cu.add_argument("--min-mwl", type=float, default=4.5,
-                    help="gate: min mean word length")
-    cu.add_argument("--max-mwl", type=float, default=12.0)
+    cu.add_argument("--min-mwl", type=float, default=None,
+                    help="gate: min mean word length (default 4.5; "
+                         "with --gopher the Table A1 default 3.0)")
+    cu.add_argument("--max-mwl", type=float, default=None,
+                    help="gate: max mean word length (default 12.0; "
+                         "with --gopher the Table A1 default 10.0)")
     cu.add_argument("--k", type=int, default=8)
     cu.add_argument("--seq-len", type=int, default=512)
     cu.add_argument("--gram-repr", default="hash",
@@ -641,19 +644,25 @@ def main(argv: list[str] | None = None) -> int:
             df = textstats.with_pii_redacted(df, text_col=t)
         if args.gopher:
             before = set(df.columns)
+            gate_kw = {}
+            if args.min_mwl is not None:
+                gate_kw["min_mean_word_len"] = args.min_mwl
+            if args.max_mwl is not None:
+                gate_kw["max_mean_word_len"] = args.max_mwl
             gated = textstats.with_gopher_gate(
                 df, text_col=t, min_words=args.min_words,
-                min_stop_hits=args.min_stop_hits)
+                min_stop_hits=args.min_stop_hits, **gate_kw)
             df = gated.filter("gopher_keep").drop(
                 *[c for c in gated.columns if c not in before])
         else:
+            lo = 4.5 if args.min_mwl is None else args.min_mwl
+            hi = 12.0 if args.max_mwl is None else args.max_mwl
             words = f"regexp_extract_all({t}, '\\\\S+', 0)"
             mwl = (F.expr(
                 f"aggregate({words}, 0L, (a, w) -> a + length(w))")
                 / F.greatest(F.expr(f"size({words})"), F.lit(1)))
             df = (df.withColumn("_mwl", mwl)
-                  .filter((F.col("_mwl") >= args.min_mwl)
-                          & (F.col("_mwl") <= args.max_mwl))
+                  .filter((F.col("_mwl") >= lo) & (F.col("_mwl") <= hi))
                   .drop("_mwl"))
         df = textstats.with_tokens(df, text_col=t)
         if not args.no_excise:

@@ -696,15 +696,17 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text",
     document's text is reassembled from its surviving paragraphs.
     Returns the input rows with `text` rebuilt and `n_pars_removed`.
 
-    Scale shape: ONE paragraph-keyed shuffle — paragraphs are exploded
-    with their position, windowed by (hash(para), para) (the exact
-    content rides in the partition key, so a 64-bit hash collision can
-    never conflate two distinct paragraphs), and the survivors group
-    back by doc. Each paragraph crosses the wire twice (dedup window +
-    reassembly group), never the whole doc text more than that; no
-    driver materialization. Docs whose every paragraph was a duplicate
-    come back with empty text (kept as rows — dropping whole docs is
-    exact_dedup's job)."""
+    Scale shape: paragraphs are exploded with their position, windowed
+    by (hash(para), para) (the exact content rides in the partition
+    key, so a 64-bit hash collision can never conflate two distinct
+    paragraphs), and the survivors group back by doc. Each surviving
+    paragraph crosses the wire twice (dedup window + reassembly group)
+    and the REBUILT text rides the doc-keyed rebuild join once more —
+    but the ORIGINAL document text is dropped before that join, so it
+    never re-shuffles; no driver materialization. Docs whose every
+    paragraph was a duplicate come back with empty text (kept as rows —
+    dropping whole docs is exact_dedup's job); NULL-text docs stay NULL
+    with n_pars_removed = 0."""
     pars = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_par"))
@@ -720,14 +722,25 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text",
                    "struct(_pos, _par))), s -> s._par)"), sep)
                    .alias("_new_text"),
                    F.count("*").alias("_n_kept")))
-    n_pars = F.size(F.split(F.col(text_col), sep))
-    return (df.withColumn("_n_pars", n_pars)
-            .join(rebuilt, id_col, "left")
-            .withColumn(text_col, F.coalesce("_new_text", F.lit("")))
-            .withColumn("n_pars_removed",
-                        (F.col("_n_pars")
-                         - F.coalesce("_n_kept", F.lit(0))).cast("int"))
-            .drop("_new_text", "_n_kept", "_n_pars"))
+    # carry only the tiny derived columns through the rebuild join —
+    # the original text column must not cross this shuffle
+    slim = (df.withColumn("_n_pars",
+                          F.size(F.split(F.col(text_col), sep)))
+            .withColumn("_had_text", F.col(text_col).isNotNull())
+            .drop(text_col))
+    return (slim.join(rebuilt, id_col, "left")
+            .withColumn(
+                text_col,
+                F.when(~F.col("_had_text"),
+                       F.lit(None).cast("string"))
+                .otherwise(F.coalesce("_new_text", F.lit(""))))
+            .withColumn(
+                "n_pars_removed",
+                F.when(~F.col("_had_text"), F.lit(0))
+                .otherwise(F.col("_n_pars")
+                           - F.coalesce("_n_kept", F.lit(0)))
+                .cast("int"))
+            .drop("_new_text", "_n_kept", "_n_pars", "_had_text"))
 
 
 def decontaminate(train_df: DataFrame, eval_df: DataFrame,

@@ -204,7 +204,11 @@ def with_gopher_gate(df: DataFrame, text_col: str = "text",
             & (F.col("frac_chars_dup_lines") <= max_dup_line_char_frac)
             & (F.col("alpha_word_frac") >= min_alpha_word_frac)
             & (F.col("stop_hits") >= min_stop_hits))
-    return out.withColumn("gopher_keep", keep)
+    # NULL text makes every signal NULL and the conjunction NULL — a
+    # row that would then vanish from BOTH keep and reject partitions;
+    # the boolean contract maps it to an explicit reject instead
+    return out.withColumn("gopher_keep",
+                          F.coalesce(keep, F.lit(False)))
 
 
 def with_ngram_repetition(df: DataFrame, text_col: str = "text",

@@ -480,3 +480,30 @@ def test_cli_curate_gopher_gate(spark, sf_dir, tmp_path):
     assert res.count() > 0
     for c in ("n_removed", "n_tok_clean", "start_offset", "seq_id"):
         assert c in res.columns
+
+
+def test_paragraph_dedup_null_text_contract(spark):
+    from tbl_spark.pipelines.dedup import paragraph_dedup
+    df = spark.createDataFrame([(1, "A\n\nB"), (2, None), (3, "A")],
+                               "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in paragraph_dedup(df).collect()}
+    assert out[2]["text"] is None and out[2]["n_pars_removed"] == 0
+    assert out[3]["text"] == "" and out[3]["n_pars_removed"] == 1
+
+
+def test_gopher_gate_null_text_rejected(spark):
+    from tbl_spark.pipelines.textstats import with_gopher_gate
+    df = spark.createDataFrame([(1, None)], "doc_id int, text string")
+    r = with_gopher_gate(df).collect()[0]
+    assert r["gopher_keep"] is False          # explicit reject, not NULL
+
+
+def test_cli_curate_gopher_honors_mwl_flags(spark, sf_dir, capsys):
+    from tbl_spark.cli import main
+    # an impossible band through the gate drops everything
+    rc = main(["curate", _docs_path(sf_dir), "--gopher",
+               "--min-stop-hits", "1", "--min-mwl", "9.5",
+               "--max-mwl", "9.6", "--csv", "-n", "all"])
+    assert rc == 0
+    body = capsys.readouterr().out.strip().splitlines()[1:]
+    assert body == []
