@@ -149,6 +149,17 @@ def main() -> None:
 
     n_cpus = os.cpu_count() or 32
 
+    def wait_low_load(max_load: float = 6.0, timeout_s: float = 120.0):
+        """Best-of only fixes noise WITHIN a window; a trial that starts
+        inside a co-tenant spike poisons whole levels (the r4 repeat was
+        discarded for exactly this). Bounded wait, like bench.py's gate."""
+        import time as _t
+        t0 = _t.monotonic()
+        while os.getloadavg()[0] > max_load \
+                and _t.monotonic() - t0 < timeout_s:
+            _t.sleep(3.0)
+        return round(os.getloadavg()[0], 2)
+
     def best_of(n_units: int) -> dict:
         cores = n_units * cpe
         if args.mode == "executors":
@@ -159,10 +170,12 @@ def main() -> None:
         cpu_set = None
         if not args.no_pin and cores <= n_cpus:
             cpu_set = f"0-{cores - 1}"
-        runs = [run_submit(master, cores, zip_path, args.docs, num_parts,
-                           input_dir, cpu_set=cpu_set,
-                           colocated=args.colocated)
-                for _ in range(args.trials)]
+        runs = []
+        for _ in range(args.trials):
+            wait_low_load()
+            runs.append(run_submit(master, cores, zip_path, args.docs,
+                                   num_parts, input_dir, cpu_set=cpu_set,
+                                   colocated=args.colocated))
         return max(runs, key=lambda r: r["tokens_per_sec"])
 
     load_start = round(os.getloadavg()[0], 2)
@@ -170,7 +183,11 @@ def main() -> None:
     hi = best_of(4 * args.n)
     eff = (hi["tokens_per_sec"] / lo["tokens_per_sec"]) / 4.0
 
+    # the control is MORE load-sensitive than the job (a polluted control
+    # reads >4x, physically impossible) — gate each measurement too
+    wait_low_load()
     cap_n = host_capacity(args.n * cpe)
+    wait_low_load()
     cap_4n = host_capacity(4 * args.n * cpe)
     host_speedup = cap_4n / cap_n       # what the box itself gives, ≤ 4
     job_speedup = hi["tokens_per_sec"] / lo["tokens_per_sec"]
