@@ -432,6 +432,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                               "start_offset", "seq_id")
                 .orderBy("doc_id"))
 
+    def text_corpus_stats(spark, sf):
+        # per-source corpus report: docs / chars / words / exact vocab
+        return textstats.corpus_stats(_read(spark, sf, "documents"))
+
     def text_gopher_gate(spark, sf):
         # the combined Table A1 keep/drop decision; same multi-line text
         # synthesis as text_gopher_quality, thresholds tuned so the
@@ -654,6 +658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_temperature": sample_temperature,
         "dedup_paragraphs": dedup_paragraphs,
         "text_gopher_gate": text_gopher_gate,
+        "text_corpus_stats": text_corpus_stats,
     }
 
 
@@ -1239,6 +1244,21 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
                        AND 1 PRECEDING), 0) / 512.0) AS BIGINT) AS seq_id
             FROM counted ORDER BY doc_id""",
+        "text_corpus_stats": """
+            WITH w AS (SELECT source,
+                              coalesce(length(text), 0) AS nc,
+                              regexp_extract_all(text, '\\S+') AS ws
+                       FROM documents),
+            a AS (SELECT source, count(*) AS n_docs,
+                         CAST(sum(nc) AS BIGINT) AS total_chars,
+                         CAST(sum(len(ws)) AS BIGINT) AS total_words
+                  FROM w GROUP BY source),
+            v AS (SELECT source, count(DISTINCT word) AS vocab
+                  FROM (SELECT source, unnest(ws) AS word FROM w)
+                  GROUP BY source)
+            SELECT a.source, a.n_docs, a.total_chars, a.total_words,
+                   CAST(coalesce(v.vocab, 0) AS BIGINT) AS vocab
+            FROM a LEFT JOIN v USING (source) ORDER BY a.source""",
         # the full Table A1 gate re-derived: every signal recomputed with
         # the same rounded formulas, then the same threshold conjunction
         "text_gopher_gate": """

@@ -275,6 +275,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--key-col", default="doc_id")
     _add_pipe_output(sp)
 
+    cs = sub.add_parser("corpus-stats",
+                        help="per-stratum corpus report: docs / chars / "
+                             "words / exact vocabulary")
+    cs.add_argument("paths", nargs="+")
+    cs.add_argument("--text-col", default="text")
+    cs.add_argument("--strata-col", default="source")
+    _add_pipe_output(cs)
+
     dc = sub.add_parser("decontaminate",
                         help="drop training docs sharing any k-token "
                              "window with an eval set")
@@ -405,7 +413,8 @@ def _print_stdout(out, args) -> None:
 
 _SUBCOMMANDS = {"data", "merge", "python", "ls", "schema", "schemas",
                 "encode", "decode", "stats", "compact", "verify",
-                "dedup", "curate", "pack", "sample", "decontaminate"}
+                "dedup", "curate", "pack", "sample", "decontaminate",
+                "corpus-stats"}
 
 
 def _emit_result(out, args, files: list[str]) -> int:
@@ -709,6 +718,15 @@ def main(argv: list[str] | None = None) -> int:
         out = stratified_sample(df, args.strata_col, rates,
                                 key_col=args.key_col,
                                 default_rate=args.default_rate)
+        return _emit_result(out, args, files)
+
+    if args.cmd == "corpus-stats":
+        from .inspect import discover
+        from .pipelines.textstats import corpus_stats
+        files = discover(args.paths, args.tree)
+        out = corpus_stats(spark.read.parquet(*files),
+                           text_col=args.text_col,
+                           strata_col=args.strata_col)
         return _emit_result(out, args, files)
 
     if args.cmd == "decontaminate":

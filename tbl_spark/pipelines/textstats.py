@@ -153,6 +153,36 @@ def with_gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
             .drop(_ls))
 
 
+def corpus_stats(df: DataFrame, text_col: str = "text",
+                 strata_col: str = "source") -> DataFrame:
+    """Per-stratum corpus report — the document-corpus analog of the
+    store's inspect/stats surface: docs, characters, words, and exact
+    vocabulary size per source. The one-call health check a pipeline
+    runs before and after each curation stage (NULL texts count as docs
+    with zero chars/words).
+
+    Scale shape: the scalar sums partially aggregate map-side; the
+    vocabulary count explodes (stratum, word) pairs through ONE
+    partial-distinct aggregation — no corpus text crosses the wire."""
+    words = f"regexp_extract_all({text_col}, '\\\\S+', 0)"
+    base = df.select(
+        F.col(strata_col),
+        F.coalesce(F.length(text_col), F.lit(0)).alias("_nc"),
+        F.expr(f"coalesce(size({words}), 0)").alias("_nw"),
+        F.expr(words).alias("_ws"))
+    agg = (base.groupBy(strata_col)
+           .agg(F.count("*").alias("n_docs"),
+                F.sum("_nc").cast("bigint").alias("total_chars"),
+                F.sum("_nw").cast("bigint").alias("total_words")))
+    vocab = (base.select(strata_col, F.explode("_ws").alias("_w"))
+             .groupBy(strata_col)
+             .agg(F.count_distinct("_w").alias("vocab")))
+    return (agg.join(vocab, strata_col, "left")
+            .withColumn("vocab",
+                        F.coalesce("vocab", F.lit(0)).cast("bigint"))
+            .orderBy(strata_col))
+
+
 # Rae et al. 2021 Table A1 stop-word list (public)
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
                     "with")

@@ -507,3 +507,27 @@ def test_cli_curate_gopher_honors_mwl_flags(spark, sf_dir, capsys):
     assert rc == 0
     body = capsys.readouterr().out.strip().splitlines()[1:]
     assert body == []
+
+
+# -- 15. corpus stats (r5 new op) ---------------------------------------------
+
+def test_corpus_stats_exact(spark):
+    from tbl_spark.pipelines.textstats import corpus_stats
+    df = spark.createDataFrame(
+        [(1, "a b a", "s1"), (2, "c", "s1"), (3, None, "s2")],
+        "doc_id int, text string, source string")
+    out = {r["source"]: r for r in corpus_stats(df).collect()}
+    assert out["s1"]["n_docs"] == 2
+    assert out["s1"]["total_chars"] == 6 and out["s1"]["total_words"] == 4
+    assert out["s1"]["vocab"] == 3                       # a, b, c
+    assert out["s2"]["n_docs"] == 1 and out["s2"]["vocab"] == 0
+    assert out["s2"]["total_chars"] == 0
+
+
+def test_cli_corpus_stats(sf_dir, capsys):
+    from tbl_spark.cli import main
+    rc = main(["corpus-stats", _docs_path(sf_dir), "--csv", "-n", "all"])
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert lines[0] == "source,n_docs,total_chars,total_words,vocab"
+    assert len(lines) > 1
