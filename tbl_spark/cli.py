@@ -8,7 +8,7 @@
     python -m tbl_spark.cli stats  --store DIR
 
 Pipeline subcommands (r5; no reference analog — the LLM-curation surface):
-    dedup | curate | pack | sample | decontaminate
+    dedup | curate | pack | sample | decontaminate | corpus-stats
 
 Output modes (types.rs:43-63 / data.rs:30-50): default pretty-print n rows
 to stdout; --output writes parquet; --csv/--json switch the sink format
