@@ -1251,14 +1251,17 @@ def oracle_sql() -> dict[str, str]:
                        FROM documents),
             a AS (SELECT source, count(*) AS n_docs,
                          CAST(sum(nc) AS BIGINT) AS total_chars,
-                         CAST(sum(len(ws)) AS BIGINT) AS total_words
+                         CAST(sum(coalesce(len(ws), 0)) AS BIGINT)
+                             AS total_words
                   FROM w GROUP BY source),
             v AS (SELECT source, count(DISTINCT word) AS vocab
                   FROM (SELECT source, unnest(ws) AS word FROM w)
                   GROUP BY source)
             SELECT a.source, a.n_docs, a.total_chars, a.total_words,
                    CAST(coalesce(v.vocab, 0) AS BIGINT) AS vocab
-            FROM a LEFT JOIN v USING (source) ORDER BY a.source""",
+            FROM a LEFT JOIN v
+                 ON a.source IS NOT DISTINCT FROM v.source
+            ORDER BY a.source""",
         # the full Table A1 gate re-derived: every signal recomputed with
         # the same rounded formulas, then the same threshold conjunction
         "text_gopher_gate": """

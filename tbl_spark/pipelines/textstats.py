@@ -164,12 +164,15 @@ def corpus_stats(df: DataFrame, text_col: str = "text",
     Scale shape: the scalar sums partially aggregate map-side; the
     vocabulary count explodes (stratum, word) pairs through ONE
     partial-distinct aggregation — no corpus text crosses the wire."""
+    from .dedup import _ring_persist
     words = f"regexp_extract_all({text_col}, '\\\\S+', 0)"
-    base = df.select(
+    # ring-cached: the scalar-sums branch and the vocab branch would
+    # otherwise each rescan the corpus and re-run the regexp extraction
+    base = _ring_persist(df.select(
         F.col(strata_col),
         F.coalesce(F.length(text_col), F.lit(0)).alias("_nc"),
         F.expr(f"coalesce(size({words}), 0)").alias("_nw"),
-        F.expr(words).alias("_ws"))
+        F.expr(words).alias("_ws")))
     agg = (base.groupBy(strata_col)
            .agg(F.count("*").alias("n_docs"),
                 F.sum("_nc").cast("bigint").alias("total_chars"),
@@ -177,9 +180,14 @@ def corpus_stats(df: DataFrame, text_col: str = "text",
     vocab = (base.select(strata_col, F.explode("_ws").alias("_w"))
              .groupBy(strata_col)
              .agg(F.count_distinct("_w").alias("vocab")))
-    return (agg.join(vocab, strata_col, "left")
-            .withColumn("vocab",
-                        F.coalesce("vocab", F.lit(0)).cast("bigint"))
+    # null-safe join: a NULL stratum is a legitimate group in BOTH
+    # branches, and an equi-join would silently zero its vocabulary
+    cond = agg[strata_col].eqNullSafe(vocab[strata_col])
+    return (agg.join(vocab, cond, "left")
+            .select(agg[strata_col], "n_docs", "total_chars",
+                    "total_words",
+                    F.coalesce(vocab["vocab"], F.lit(0)).cast("bigint")
+                    .alias("vocab"))
             .orderBy(strata_col))
 
 

@@ -531,3 +531,12 @@ def test_cli_corpus_stats(sf_dir, capsys):
     lines = capsys.readouterr().out.strip().splitlines()
     assert lines[0] == "source,n_docs,total_chars,total_words,vocab"
     assert len(lines) > 1
+
+
+def test_corpus_stats_null_stratum_vocab(spark):
+    from tbl_spark.pipelines.textstats import corpus_stats
+    df = spark.createDataFrame([(5, "x y", None), (6, "x", "s1")],
+                               "doc_id int, text string, source string")
+    out = {r["source"]: r for r in corpus_stats(df).collect()}
+    assert out[None]["vocab"] == 2          # null stratum keeps its words
+    assert out["s1"]["vocab"] == 1

@@ -149,16 +149,25 @@ def main() -> None:
 
     n_cpus = os.cpu_count() or 32
 
+    gate_log: list[dict] = []
+
     def wait_low_load(max_load: float = 6.0, timeout_s: float = 120.0):
         """Best-of only fixes noise WITHIN a window; a trial that starts
         inside a co-tenant spike poisons whole levels (the r4 repeat was
-        discarded for exactly this). Bounded wait, like bench.py's gate."""
+        discarded for exactly this). Bounded wait, like bench.py's gate;
+        every gate passage is logged into the report so a run that had
+        to proceed dirty (timed out above max_load) is visible in the
+        artifact, not just in the operator's memory."""
         import time as _t
         t0 = _t.monotonic()
         while os.getloadavg()[0] > max_load \
                 and _t.monotonic() - t0 < timeout_s:
             _t.sleep(3.0)
-        return round(os.getloadavg()[0], 2)
+        la = round(os.getloadavg()[0], 2)
+        gate_log.append({"loadavg": la,
+                         "waited_s": round(_t.monotonic() - t0, 1),
+                         "dirty": la > max_load})
+        return la
 
     def best_of(n_units: int) -> dict:
         cores = n_units * cpe
@@ -221,6 +230,9 @@ def main() -> None:
         # speedup stayed physically plausible (<= 4x)
         "loadavg_start": load_start,
         "loadavg_end": round(os.getloadavg()[0], 2),
+        # one entry per gated phase (trials + capacity controls), in
+        # order; any dirty=true entry flags the whole run as suspect
+        "load_gate": gate_log,
     }
     print(json.dumps(report, indent=2))
 
