@@ -137,3 +137,54 @@ def test_temperature_sample_rate_model(spark, rows, temp):
 
     expect = {k for k, s in rows if u(k) < rate[s]}
     assert kept == expect
+
+
+def _excise_reference(docs, k):
+    """Pure-Python fixed-k substring excision (Lee et al. semantics as
+    implemented): count every k-window occurrence; the canonical
+    occurrence of each repeated window survives; every token covered by
+    a non-canonical repeated window is removed. The implementation's
+    canonical key is the STRING 'doc_id#<pos zero-padded to 10>' (the
+    same key the DuckDB oracle uses), so e.g. doc '10' canonicalizes
+    before doc '2' — the model must order the same way."""
+    def key(doc_id, pos):
+        return f"{doc_id}#{pos:010d}"
+
+    occs = {}
+    for doc_id, toks in docs:
+        for i in range(len(toks) - k + 1):
+            occs.setdefault(tuple(toks[i:i + k]), []).append(
+                key(doc_id, i))
+    out = {}
+    for doc_id, toks in docs:
+        covered = [False] * len(toks)
+        for i in range(len(toks) - k + 1):
+            g = tuple(toks[i:i + k])
+            if len(occs[g]) > 1 and min(occs[g]) != key(doc_id, i):
+                for j in range(i, i + k):
+                    covered[j] = True
+        kept = [t for t, c in zip(toks, covered) if not c]
+        out[doc_id] = (kept, sum(covered))
+    return out
+
+
+@st.composite
+def token_corpora(draw):
+    """Small-vocabulary corpora so repeated k-windows actually occur;
+    doc ids cross the 9→10 boundary so the string-key canonical
+    ordering (doc '10' before doc '2') is actually exercised."""
+    n = draw(st.integers(1, 13))
+    return [(i, draw(st.lists(st.integers(0, 3), min_size=0,
+                              max_size=14)))
+            for i in range(n)]
+
+
+@given(token_corpora(), st.sampled_from([2, 3]))
+@settings(**SETTINGS)
+def test_substring_excise_matches_python_model(spark, docs, k):
+    from tbl_spark.pipelines.dedup import substring_excise
+    df = spark.createDataFrame(docs,
+                               "doc_id bigint, tokens array<int>")
+    got = {r["doc_id"]: (list(r["tokens"]), r["n_removed"]) for r in
+           substring_excise(df, k=k, gram_repr="string").collect()}
+    assert got == _excise_reference(docs, k)
