@@ -489,25 +489,11 @@ def embedding_cosine_dedup(df: DataFrame, vec_col: str = "embedding",
 # mark every non-canonical occurrence of a repeated window.
 
 
-_CACHE_RING: list = []
-_CACHE_RING_MAX = 4
-
-
-def _ring_persist(df: DataFrame) -> DataFrame:
-    """persist() with a bounded lifetime. DataFrame caches live in
-    Spark's CacheManager until explicitly unpersisted — they are NOT
-    cleaned by GC or the ContextCleaner (that only applies to raw RDD
-    persists) — so an op that persists per call would leak one
-    session-lifetime cache entry per invocation (streaming foreachBatch,
-    bench reps). Keep the N most recent cached frames and evict the
-    oldest; eviction is always safe — an evicted plan recomputes from
-    lineage if it ever re-executes, it never loses data."""
-    from pyspark import StorageLevel
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _CACHE_RING.append(df)
-    while len(_CACHE_RING) > _CACHE_RING_MAX:
-        _CACHE_RING.pop(0).unpersist(blocking=False)
-    return df
+# bounded cache lifetime (see pipelines/_cache.py for the rationale);
+# the aliases keep this module's historical names importable
+from ._cache import CACHE_RING as _CACHE_RING          # noqa: F401
+from ._cache import RING_MAX as _CACHE_RING_MAX        # noqa: F401
+from ._cache import ring_persist as _ring_persist
 
 
 def _window_grams(tokens_col: str, k: int, gram_repr: str):

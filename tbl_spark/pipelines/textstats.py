@@ -163,21 +163,22 @@ def corpus_stats(df: DataFrame, text_col: str = "text",
 
     Scale shape: the scalar sums partially aggregate map-side; the
     vocabulary count explodes (stratum, word) pairs through ONE
-    partial-distinct aggregation — no corpus text crosses the wire."""
-    from .dedup import _ring_persist
+    partial-distinct aggregation — no corpus text crosses the wire.
+    The two aggregation branches each scan the (column-pruned) source
+    once: deliberately NOT cached, because persisting the tokenized
+    per-doc word arrays would materialize a copy LARGER than the source
+    text to save one cheap columnar rescan."""
     words = f"regexp_extract_all({text_col}, '\\\\S+', 0)"
-    # ring-cached: the scalar-sums branch and the vocab branch would
-    # otherwise each rescan the corpus and re-run the regexp extraction
-    base = _ring_persist(df.select(
+    agg = (df.select(
         F.col(strata_col),
         F.coalesce(F.length(text_col), F.lit(0)).alias("_nc"),
-        F.expr(f"coalesce(size({words}), 0)").alias("_nw"),
-        F.expr(words).alias("_ws")))
-    agg = (base.groupBy(strata_col)
-           .agg(F.count("*").alias("n_docs"),
-                F.sum("_nc").cast("bigint").alias("total_chars"),
-                F.sum("_nw").cast("bigint").alias("total_words")))
-    vocab = (base.select(strata_col, F.explode("_ws").alias("_w"))
+        F.expr(f"coalesce(size({words}), 0)").alias("_nw"))
+        .groupBy(strata_col)
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("_nc").cast("bigint").alias("total_chars"),
+             F.sum("_nw").cast("bigint").alias("total_words")))
+    vocab = (df.select(F.col(strata_col),
+                       F.explode(F.expr(words)).alias("_w"))
              .groupBy(strata_col)
              .agg(F.count_distinct("_w").alias("vocab")))
     # null-safe join: a NULL stratum is a legitimate group in BOTH

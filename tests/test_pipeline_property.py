@@ -92,7 +92,15 @@ def _ngram_reference(text, top_n, dup_n):
         top = 0
     d = Counter(grams(dup_n))
     dup = sum(c * len(w) for w, c in d.items() if c > 1)
-    return round(top / nch, 6), round(dup / nch, 6)
+
+    def r6(x):
+        # Spark's F.round is HALF_UP; Python's round() is half-even and
+        # diverges whenever the value ties at the 6th decimal
+        from decimal import ROUND_HALF_UP, Decimal
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"),
+                                               rounding=ROUND_HALF_UP))
+
+    return r6(top / nch), r6(dup / nch)
 
 
 @given(st.lists(st.sampled_from(WORDS), min_size=0, max_size=30),
