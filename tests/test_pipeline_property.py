@@ -196,3 +196,47 @@ def test_substring_excise_matches_python_model(spark, docs, k):
     got = {r["doc_id"]: (list(r["tokens"]), r["n_removed"]) for r in
            substring_excise(df, k=k, gram_repr="string").collect()}
     assert got == _excise_reference(docs, k)
+
+
+def _exact_dedup_reference(docs):
+    """Keep the smallest doc_id per distinct text; NULL texts are their
+    own group (exact_dedup groups by hash of the text value)."""
+    best = {}
+    for doc_id, text in docs:
+        if text not in best or doc_id < best[text]:
+            best[text] = doc_id
+    return set(best.values())
+
+
+@given(st.lists(st.tuples(st.integers(0, 1000),
+                          st.sampled_from(["a", "bb", "ccc", "d d",
+                                           ""])),
+                min_size=1, max_size=40, unique_by=lambda t: t[0]))
+@settings(**SETTINGS)
+def test_exact_dedup_matches_python_model(spark, rows):
+    from tbl_spark.pipelines.dedup import exact_dedup
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    kept = {r["doc_id"] for r in exact_dedup(df).collect()}
+    assert kept == _exact_dedup_reference(rows)
+
+
+@given(st.lists(st.tuples(st.integers(0, 5000),
+                          st.sampled_from(["s1", "s2", "s3"])),
+                min_size=1, max_size=50, unique_by=lambda t: t[0]),
+       st.sampled_from([0.0, 0.3, 1.0]))
+@settings(**SETTINGS)
+def test_stratified_sample_matches_python_model(spark, rows, rate):
+    import hashlib
+    from tbl_spark.pipelines.sampling import stratified_sample
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    kept = {r["doc_id"] for r in stratified_sample(
+        df, "source", {"s1": rate, "s2": 1.0}, key_col="doc_id",
+        default_rate=0.5).collect()}
+
+    def u(key):
+        return int(hashlib.md5(str(key).encode()).hexdigest()[:15],
+                   16) / float(1 << 60)
+
+    rates = {"s1": rate, "s2": 1.0, "s3": 0.5}
+    expect = {k for k, s in rows if u(k) < rates[s]}
+    assert kept == expect
