@@ -203,7 +203,10 @@ def build_parser() -> argparse.ArgumentParser:
     dd = sub.add_parser("dedup", help="corpus deduplication (exact / "
                                       "minhash-LSH / simhash / exact-"
                                       "substring excision)")
-    dd.add_argument("paths", nargs="+")
+    dd.add_argument("paths", nargs="*")
+    dd.add_argument("--store", default=None,
+                    help="read the corpus from an encoded chunk store "
+                         "(zero-shuffle decode) instead of parquet paths")
     dd.add_argument("--method", default="exact",
                     choices=["exact", "minhash", "simhash",
                              "substring", "substring-stats"])
@@ -229,7 +232,10 @@ def build_parser() -> argparse.ArgumentParser:
     cu = sub.add_parser("curate", help="composite curation chain: quality "
                                        "gate -> PII redact -> tokenize -> "
                                        "substring excise -> pack")
-    cu.add_argument("paths", nargs="+")
+    cu.add_argument("paths", nargs="*")
+    cu.add_argument("--store", default=None,
+                    help="read the corpus from an encoded chunk store "
+                         "(zero-shuffle decode) instead of parquet paths")
     cu.add_argument("--text-col", default="text")
     cu.add_argument("--id-col", default="doc_id")
     cu.add_argument("--min-mwl", type=float, default=None,
@@ -256,7 +262,10 @@ def build_parser() -> argparse.ArgumentParser:
     pk = sub.add_parser("pack", help="pack docs into fixed-length "
                                      "training sequences (offsets, or "
                                      "--materialize for real shards)")
-    pk.add_argument("paths", nargs="+")
+    pk.add_argument("paths", nargs="*")
+    pk.add_argument("--store", default=None,
+                    help="read the corpus from an encoded chunk store "
+                         "(zero-shuffle decode) instead of parquet paths")
     pk.add_argument("--tokens-col", default="tokens")
     pk.add_argument("--text-col", default="text")
     pk.add_argument("--order-col", default="doc_id")
@@ -267,7 +276,10 @@ def build_parser() -> argparse.ArgumentParser:
     _add_pipe_output(pk)
 
     sp = sub.add_parser("sample", help="deterministic stratified sample")
-    sp.add_argument("paths", nargs="+")
+    sp.add_argument("paths", nargs="*")
+    sp.add_argument("--store", default=None,
+                    help="read the corpus from an encoded chunk store "
+                         "(zero-shuffle decode) instead of parquet paths")
     sp.add_argument("--strata-col", required=True)
     sp.add_argument("--rate", action="append", default=[],
                     metavar="STRATUM=RATE")
@@ -278,7 +290,10 @@ def build_parser() -> argparse.ArgumentParser:
     cs = sub.add_parser("corpus-stats",
                         help="per-stratum corpus report: docs / chars / "
                              "words / exact vocabulary")
-    cs.add_argument("paths", nargs="+")
+    cs.add_argument("paths", nargs="*")
+    cs.add_argument("--store", default=None,
+                    help="read the corpus from an encoded chunk store "
+                         "(zero-shuffle decode) instead of parquet paths")
     cs.add_argument("--text-col", default="text")
     cs.add_argument("--strata-col", default="source")
     _add_pipe_output(cs)
@@ -430,6 +445,31 @@ def _emit_result(out, args, files: list[str]) -> int:
         return 0
     _print_stdout(out, args)
     return 0
+
+
+def _pipe_source(spark, args):
+    """Pipeline-subcommand input: parquet paths, or an encoded chunk
+    store decoded through the zero-shuffle path (--store) — the
+    curation ops run directly on the compressed corpus, no manual
+    decode step. Returns (df, files) or (None, None) after printing an
+    error."""
+    if getattr(args, "store", None):
+        if args.paths:
+            print("give parquet paths OR --store, not both",
+                  file=sys.stderr)
+            return None, None
+        from .store import ChunkStore, decode_from_store
+        return (decode_from_store(ChunkStore(args.store), spark),
+                [args.store])
+    if not args.paths:
+        print("need parquet paths or --store", file=sys.stderr)
+        return None, None
+    from .inspect import discover
+    files = discover(args.paths, args.tree)
+    if not files:
+        print("no parquet inputs", file=sys.stderr)
+        return None, None
+    return spark.read.parquet(*files), files
 
 
 def _ensure_tokens(df, tokens_col: str, text_col: str):
@@ -613,10 +653,10 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "dedup":
-        from .inspect import discover
         from .pipelines import dedup as dd
-        files = discover(args.paths, args.tree)
-        df = spark.read.parquet(*files)
+        df, files = _pipe_source(spark, args)
+        if df is None:
+            return 1
         m = args.method
         if m == "exact":
             out = dd.exact_dedup(df, text_col=args.text_col,
@@ -642,12 +682,12 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "curate":
         import pyspark.sql.functions as F
-        from .inspect import discover
         from .pipelines import dedup as dd
         from .pipelines import textstats
         from .pipelines.packing import pack_sequences
-        files = discover(args.paths, args.tree)
-        df = spark.read.parquet(*files)
+        df, files = _pipe_source(spark, args)
+        if df is None:
+            return 1
         t = args.text_col
         if not args.no_redact:
             df = textstats.with_pii_redacted(df, text_col=t)
@@ -684,12 +724,12 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "pack":
         import pyspark.sql.functions as F
-        from .inspect import discover
         from .pipelines.packing import (materialize_sequences,
                                         pack_sequences)
-        files = discover(args.paths, args.tree)
-        df = _ensure_tokens(spark.read.parquet(*files),
-                            args.tokens_col, args.text_col)
+        df, files = _pipe_source(spark, args)
+        if df is None:
+            return 1
+        df = _ensure_tokens(df, args.tokens_col, args.text_col)
         if args.materialize:
             out = materialize_sequences(df, tokens_col=args.tokens_col,
                                         order_col=args.order_col,
@@ -703,10 +743,10 @@ def main(argv: list[str] | None = None) -> int:
         return _emit_result(out, args, files)
 
     if args.cmd == "sample":
-        from .inspect import discover
         from .pipelines.sampling import stratified_sample
-        files = discover(args.paths, args.tree)
-        df = spark.read.parquet(*files)
+        df, files = _pipe_source(spark, args)
+        if df is None:
+            return 1
         rates: dict[str, float] = {}
         for spec_s in args.rate:
             name, _, val = spec_s.partition("=")
@@ -721,11 +761,11 @@ def main(argv: list[str] | None = None) -> int:
         return _emit_result(out, args, files)
 
     if args.cmd == "corpus-stats":
-        from .inspect import discover
         from .pipelines.textstats import corpus_stats
-        files = discover(args.paths, args.tree)
-        out = corpus_stats(spark.read.parquet(*files),
-                           text_col=args.text_col,
+        df, files = _pipe_source(spark, args)
+        if df is None:
+            return 1
+        out = corpus_stats(df, text_col=args.text_col,
                            strata_col=args.strata_col)
         return _emit_result(out, args, files)
 

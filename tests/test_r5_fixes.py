@@ -540,3 +540,31 @@ def test_corpus_stats_null_stratum_vocab(spark):
     out = {r["source"]: r for r in corpus_stats(df).collect()}
     assert out[None]["vocab"] == 2          # null stratum keeps its words
     assert out["s1"]["vocab"] == 1
+
+
+# -- 16. pipeline ops read encoded stores directly (r5) -----------------------
+
+def test_pipeline_ops_from_store(spark, sf_dir, tmp_path, capsys):
+    from tbl_spark.cli import main
+    from tbl_spark.store import ChunkStore, encode_to_store
+    docs = _docs(spark, sf_dir)
+    store = str(tmp_path / "pipe_store")
+    encode_to_store(docs, ChunkStore(store), 4, salt_cols=("doc_id",))
+    # corpus-stats straight off the compressed corpus
+    rc = main(["corpus-stats", "--store", store, "--csv", "-n", "all"])
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert lines[0] == "source,n_docs,total_chars,total_words,vocab"
+    total_docs = sum(int(line.split(",")[1]) for line in lines[1:])
+    assert total_docs == docs.count()
+    # dedup from the store, written to parquet
+    out = str(tmp_path / "pipe_dd_out")
+    rc = main(["dedup", "--store", store, "--method", "exact",
+               "--output", out, "--yes"])
+    assert rc == 0
+    assert 0 < spark.read.parquet(out).count() <= docs.count()
+    # both sources at once is an error, not a guess
+    assert main(["corpus-stats", _docs_path(sf_dir), "--store", store,
+                 "-n", "2"]) == 1
+    # neither is too
+    assert main(["sample", "--strata-col", "source"]) == 1
