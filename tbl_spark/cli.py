@@ -208,7 +208,7 @@ def build_parser() -> argparse.ArgumentParser:
                     help="read the corpus from an encoded chunk store "
                          "(zero-shuffle decode) instead of parquet paths")
     dd.add_argument("--method", default="exact",
-                    choices=["exact", "minhash", "simhash",
+                    choices=["exact", "minhash", "simhash", "paragraph",
                              "substring", "substring-stats"])
     dd.add_argument("--text-col", default="text")
     dd.add_argument("--id-col", default="doc_id")
@@ -227,6 +227,9 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["hash", "hash128", "string"])
     dd.add_argument("--no-verify", action="store_true",
                     help="exact: skip the second-digest verify pass")
+    dd.add_argument("--par-sep", default="\n\n",
+                    help="paragraph: separator the docs are split and "
+                         "rejoined on (default blank line)")
     _add_pipe_output(dd)
 
     cu = sub.add_parser("curate", help="composite curation chain: quality "
@@ -285,6 +288,16 @@ def build_parser() -> argparse.ArgumentParser:
                     metavar="STRATUM=RATE")
     sp.add_argument("--default-rate", type=float, default=0.0)
     sp.add_argument("--key-col", default="doc_id")
+    sp.add_argument("--temperature", type=float, default=None,
+                    help="temperature-based domain mixing instead of "
+                         "explicit rates: per-stratum weight ∝ n^(1/T)")
+    sp.add_argument("--weight-col", default=None,
+                    help="temperature mode: size strata by the sum of "
+                         "this column (e.g. n_tok) instead of row count")
+    sp.add_argument("--scale", type=float, default=1.0,
+                    help="temperature mode: shrink the realized budget "
+                         "by this factor (default 1.0 = largest "
+                         "downsample-only budget)")
     _add_pipe_output(sp)
 
     cs = sub.add_parser("corpus-stats",
@@ -308,8 +321,15 @@ def build_parser() -> argparse.ArgumentParser:
     dc.add_argument("--text-col", default="text")
     dc.add_argument("--id-col", default="doc_id")
     dc.add_argument("--k", type=int, default=8)
-    dc.add_argument("--gram-repr", default="hash",
+    # hash128 default (VERDICT r5 #6): matches the library — this op's
+    # 64-bit collision mode silently drops uncontaminated training docs
+    dc.add_argument("--gram-repr", default="hash128",
                     choices=["hash", "hash128", "string"])
+    dc.add_argument("--broadcast", default="auto",
+                    choices=["auto", "force", "never"],
+                    help="eval-gram build side: auto = eager size "
+                         "estimate then broadcast if small; never = "
+                         "fully lazy plan, AQE decides")
     _add_pipe_output(dc)
     return ap
 
@@ -671,6 +691,9 @@ def main(argv: list[str] | None = None) -> int:
         elif m == "simhash":
             out = dd.simhash_dedup(df, text_col=args.text_col,
                                    id_col=args.id_col)
+        elif m == "paragraph":
+            out = dd.paragraph_dedup(df, text_col=args.text_col,
+                                     id_col=args.id_col, sep=args.par_sep)
         else:  # substring / substring-stats
             toks = _ensure_tokens(df, args.tokens_col, args.text_col)
             fn = (dd.substring_dup_stats if m == "substring-stats"
@@ -692,6 +715,18 @@ def main(argv: list[str] | None = None) -> int:
         if not args.no_redact:
             df = textstats.with_pii_redacted(df, text_col=t)
         if args.gopher:
+            # input columns sharing a gate-signal name (n_words, ...)
+            # would be silently overwritten by the gate and then kept in
+            # the output — stash them under a reserved name and restore
+            # after the signals are dropped (ADVICE r5)
+            collide = [c for c in df.columns
+                       if c in textstats.GOPHER_GATE_COLS and c != t]
+            if t in textstats.GOPHER_GATE_COLS:
+                print(f"--text-col {t!r} collides with a gopher gate "
+                      "signal column; rename it first", file=sys.stderr)
+                return 1
+            for c in collide:
+                df = df.withColumnRenamed(c, f"_orig_{c}")
             before = set(df.columns)
             gate_kw = {}
             if args.min_mwl is not None:
@@ -703,6 +738,8 @@ def main(argv: list[str] | None = None) -> int:
                 min_stop_hits=args.min_stop_hits, **gate_kw)
             df = gated.filter("gopher_keep").drop(
                 *[c for c in gated.columns if c not in before])
+            for c in collide:
+                df = df.withColumnRenamed(f"_orig_{c}", c)
         else:
             lo = 4.5 if args.min_mwl is None else args.min_mwl
             hi = 12.0 if args.max_mwl is None else args.max_mwl
@@ -743,10 +780,21 @@ def main(argv: list[str] | None = None) -> int:
         return _emit_result(out, args, files)
 
     if args.cmd == "sample":
-        from .pipelines.sampling import stratified_sample
+        from .pipelines.sampling import stratified_sample, temperature_sample
         df, files = _pipe_source(spark, args)
         if df is None:
             return 1
+        if args.temperature is not None:
+            if args.rate:
+                print("--temperature and --rate are mutually exclusive "
+                      "(temperature derives the per-stratum rates)",
+                      file=sys.stderr)
+                return 1
+            out = temperature_sample(df, args.strata_col, args.key_col,
+                                     temperature=args.temperature,
+                                     weight_col=args.weight_col,
+                                     scale=args.scale)
+            return _emit_result(out, args, files)
         rates: dict[str, float] = {}
         for spec_s in args.rate:
             name, _, val = spec_s.partition("=")
@@ -754,7 +802,12 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"bad --rate {spec_s!r} (want STRATUM=RATE)",
                       file=sys.stderr)
                 return 1
-            rates[name] = float(val)
+            try:
+                rates[name] = float(val)
+            except ValueError:
+                print(f"bad --rate {spec_s!r} (RATE must be a number)",
+                      file=sys.stderr)
+                return 1
         out = stratified_sample(df, args.strata_col, rates,
                                 key_col=args.key_col,
                                 default_rate=args.default_rate)
@@ -787,7 +840,8 @@ def main(argv: list[str] | None = None) -> int:
                             args.tokens_col, args.text_col)
         out = dd.decontaminate(tr, ev, tokens_col=args.tokens_col,
                                id_col=args.id_col, k=args.k,
-                               gram_repr=args.gram_repr)
+                               gram_repr=args.gram_repr,
+                               broadcast=args.broadcast)
         if args.output:
             out.write.mode("overwrite").parquet(args.output)
             print(f"-> {args.output}")
@@ -883,16 +937,11 @@ def main(argv: list[str] | None = None) -> int:
                 print("--stream-root requires --schema DDL",
                       file=sys.stderr)
                 return 1
-            if cols or args.where:
-                # refuse rather than silently return unprojected /
-                # unfiltered rows the caller believes were narrowed
-                print("--columns/--where are not supported with "
-                      "--stream-root yet", file=sys.stderr)
-                return 1
             out = decode_stream_store(spark, args.stream_root,
                                       args.schema,
                                       as_of_batch=args.as_of_batch,
-                                      as_of_ts=args.as_of_ts)
+                                      as_of_ts=args.as_of_ts,
+                                      columns=cols, predicate=args.where)
         elif not args.store:
             print("decode needs --store or --stream-root",
                   file=sys.stderr)

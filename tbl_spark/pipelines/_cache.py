@@ -17,10 +17,28 @@ CACHE_RING: list = []
 RING_MAX = 4
 
 
+def _session_dead(df: DataFrame) -> bool:
+    """True when the frame's SparkContext has been stopped — its cache
+    entry died with the JVM, and calling unpersist() on it would raise."""
+    try:
+        return df.sparkSession.sparkContext._jsc is None
+    except Exception:
+        return True
+
+
 def ring_persist(df: DataFrame) -> DataFrame:
     from pyspark import StorageLevel
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    # the ring is process-global and outlives SparkSession restarts
+    # (ADVICE r5): frames bound to a stopped session are already gone
+    # from the (dead) CacheManager — drop them without unpersist, so a
+    # later eviction never raises into an unrelated healthy-session op
+    CACHE_RING[:] = [c for c in CACHE_RING if not _session_dead(c)]
     CACHE_RING.append(df)
     while len(CACHE_RING) > RING_MAX:
-        CACHE_RING.pop(0).unpersist(blocking=False)
+        old = CACHE_RING.pop(0)
+        try:  # best-effort: eviction must never fail the caller's op
+            old.unpersist(blocking=False)
+        except Exception:
+            pass
     return df

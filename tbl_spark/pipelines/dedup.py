@@ -731,7 +731,8 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text",
 
 def decontaminate(train_df: DataFrame, eval_df: DataFrame,
                   tokens_col: str = "tokens", id_col: str = "doc_id",
-                  k: int = 8, gram_repr: str = "hash",
+                  k: int = 8, gram_repr: str = "hash128",
+                  broadcast: str = "auto",
                   broadcast_threshold: int = 256 * 1024 * 1024
                   ) -> DataFrame:
     """Benchmark decontamination: drop every training document that
@@ -739,28 +740,50 @@ def decontaminate(train_df: DataFrame, eval_df: DataFrame,
     overlap rule used to scrub eval contamination from pretraining
     corpora — e.g. GPT-3 appendix C / The Pile, public method).
 
+    gram_repr defaults to 'hash128' (VERDICT r5 #6), unlike the other
+    gram ops: this op's failure mode on a bare 64-bit gram is silently
+    DROPPING uncontaminated training documents — at the 10^12-gram
+    design point the birthday bound expects ~10^4 colliding pairs, each
+    a potentially lost doc — and the 16-byte key only doubles the
+    shuffle width of the small eval side. 'hash' remains available when
+    the corpus is far below that scale.
+
+    `broadcast`: 'auto' (default) counts the distinct eval grams once at
+    op-CONSTRUCTION time (an eager, ring-cached job) and broadcasts when
+    the estimated bytes fit `broadcast_threshold`; 'force' broadcasts
+    unconditionally with no eager job; 'never' builds a fully lazy plan
+    (no count, no persist) and leaves the join strategy to AQE — use it
+    from explain/dry-run tooling that must not run cluster work
+    (ADVICE r5).
+
     Scale shape: the eval side reduces to its DISTINCT gram set (small —
     eval suites are orders of magnitude smaller than the corpus), the
-    train side streams its grams through one semi-join on the 8-byte
-    gram key, and contaminated ids anti-join back. No token arrays
-    cross the wire."""
+    train side streams its grams through one semi-join on the fixed-
+    width gram key, and contaminated ids anti-join back. No token
+    arrays cross the wire."""
     ev = (eval_df.select(F.explode(
         _window_grams(tokens_col, k, gram_repr)).alias("_w"))
         .select(F.col("_w.gram").alias("_g")).distinct())
-    # make the build-side choice deterministic rather than an AQE bet
-    # (VERDICT r4 #7): count the distinct eval grams once (the distinct
-    # agg is ring-cached so the semi-join reuses it, not recomputes it)
-    # and broadcast only when the ESTIMATED BYTES fit — rows alone would
-    # green-light broadcasting 5M ~5KB string grams (~25 GB). NOTE this
-    # count runs at op-construction time: the deterministic plan choice
-    # costs one eager (cached, reused) job over the eval side — eval
-    # suites are small by construction; pass a plan-only eval_df stub if
-    # you truly need a no-work dry plan.
-    ev = _ring_persist(ev)
-    n_ev = ev.count()
-    gram_bytes = {"hash": 16, "hash128": 32}.get(gram_repr, 64 + 6 * k)
-    if n_ev * gram_bytes <= broadcast_threshold:
+    if broadcast == "auto":
+        # make the build-side choice deterministic rather than an AQE bet
+        # (VERDICT r4 #7): count the distinct eval grams once (the distinct
+        # agg is ring-cached so the semi-join reuses it, not recomputes it)
+        # and broadcast only when the ESTIMATED BYTES fit — rows alone would
+        # green-light broadcasting 5M ~5KB string grams (~25 GB). NOTE this
+        # count runs at op-construction time: the deterministic plan choice
+        # costs one eager (cached, reused) job over the eval side — eval
+        # suites are small by construction; pass broadcast='never' if you
+        # truly need a no-work dry plan.
+        ev = _ring_persist(ev)
+        n_ev = ev.count()
+        gram_bytes = {"hash": 16, "hash128": 32}.get(gram_repr, 64 + 6 * k)
+        if n_ev * gram_bytes <= broadcast_threshold:
+            ev = F.broadcast(ev)
+    elif broadcast == "force":
         ev = F.broadcast(ev)
+    elif broadcast != "never":
+        raise ValueError(
+            f"broadcast must be 'auto'|'force'|'never', got {broadcast!r}")
     tr = (train_df.select(F.col(id_col), F.explode(
         _window_grams(tokens_col, k, gram_repr)).alias("_w"))
         .select(id_col, F.col("_w.gram").alias("_g")))

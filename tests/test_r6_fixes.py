@@ -1,0 +1,376 @@
+"""Round-6 regression tests: the VERDICT r5 / ADVICE r5 closures.
+
+1. Pure-numpy PNG decode (RFC 2083): pixel-exact against planted arrays
+   for every filter type, grayscale, palette, resize — and the real
+   (non-fake) decode path running end-to-end inside mapInArrow.
+2. Cache ring survives a dead SparkSession in an evicted slot.
+3. decontaminate broadcast='auto'|'force'|'never' agree; 'never' builds
+   a lazy plan; hash128 default matches hash results here.
+4. CLI parity: dedup --method paragraph, sample --temperature.
+5. curate --gopher preserves input columns that collide with the gate's
+   signal names.
+6. sample --rate with a non-numeric rate exits cleanly.
+7. decode_stream_store threads columns/predicate: per-batch projection
+   + zone pruning, CLI --stream-root --where accepted.
+"""
+
+import struct
+import zlib
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _docs_path(sf_dir):
+    return f"{sf_dir}/documents.parquet"
+
+
+# -- 1. PNG decode ------------------------------------------------------------
+
+def _chunk(tag: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data)))
+
+
+def _encode_png(px: np.ndarray, filters: list[int], ctype: int = 2,
+                palette: np.ndarray | None = None) -> bytes:
+    """Minimal test-only PNG writer: filters each scanline with the
+    requested filter type (cycled), so the decoder's five unfilter
+    branches are each exercised against a planted array."""
+    h, w = px.shape[0], px.shape[1]
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    flat = px.reshape(h, w * ch).astype(np.int32)
+    bpp = ch
+    lines = []
+    for y in range(h):
+        f = filters[y % len(filters)]
+        line = flat[y]
+        prev = flat[y - 1] if y else np.zeros(w * ch, np.int32)
+        left = np.concatenate([np.zeros(bpp, np.int32), line[:-bpp]]) \
+            if w * ch > bpp else np.zeros(w * ch, np.int32)
+        if f == 0:
+            out = line
+        elif f == 1:
+            out = (line - left) % 256
+        elif f == 2:
+            out = (line - prev) % 256
+        elif f == 3:
+            out = (line - ((left + prev) // 2)) % 256
+        else:  # Paeth
+            out = np.zeros(w * ch, np.int32)
+            for i in range(w * ch):
+                a = int(line[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc
+                                                       else c)
+                out[i] = (int(line[i]) - pred) % 256
+        lines.append(bytes([f]) + bytes(out.astype(np.uint8)))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    body = _chunk(b"IHDR", ihdr)
+    if palette is not None:
+        body += _chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    body += _chunk(b"IDAT", zlib.compress(b"".join(lines)))
+    body += _chunk(b"IEND", b"")
+    return b"\x89PNG\r\n\x1a\n" + body
+
+
+def test_png_decode_pixel_exact_every_filter():
+    from tbl_spark.pipelines.multimodal import decode_image
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (13, 9, 3), dtype=np.uint8)
+    for filts in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        got = decode_image(_encode_png(px, filts), 0, 0)
+        assert np.array_equal(got, px), f"filters={filts}"
+        assert got.flags.writeable
+
+
+def test_png_decode_grayscale_palette_alpha():
+    from tbl_spark.pipelines.multimodal import decode_image
+    rng = np.random.default_rng(11)
+    g = rng.integers(0, 256, (7, 5), dtype=np.uint8)
+    got = decode_image(_encode_png(g, [0, 1, 2, 3, 4], ctype=0), 0, 0)
+    assert np.array_equal(got, np.repeat(g[:, :, None], 3, axis=2))
+    # palette: indices -> PLTE rows
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    idx = rng.integers(0, 256, (6, 8), dtype=np.uint8)
+    got = decode_image(_encode_png(idx, [0, 2], ctype=3, palette=pal),
+                       0, 0)
+    assert np.array_equal(got, pal[idx])
+    # RGBA: alpha dropped
+    rgba = rng.integers(0, 256, (5, 4, 4), dtype=np.uint8)
+    got = decode_image(_encode_png(rgba, [0, 1, 4], ctype=6), 0, 0)
+    assert np.array_equal(got, rgba[:, :, :3])
+
+
+def test_png_decode_resize_and_gates():
+    from tbl_spark.pipelines.multimodal import _decode_png, decode_image
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (10, 10, 3), dtype=np.uint8)
+    got = decode_image(_encode_png(px, [4]), 20, 30)
+    assert got.shape == (30, 20, 3)
+    # non-PNG, non-PPM still hits the explicit PIL gate
+    with pytest.raises(NotImplementedError, match="PIL"):
+        decode_image(b"\xff\xd8\xffJPEG-ish", 4, 4)
+    # 16-bit depth is a genuinely exotic variant -> explicit reject
+    ihdr16 = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
+    bad = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr16)
+           + _chunk(b"IDAT", zlib.compress(b"\0" * 64))
+           + _chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError, match="bit depth"):
+        _decode_png(bad)
+
+
+def test_png_real_path_in_map_in_arrow(spark):
+    """The compressed-format branch executes end-to-end in the executor
+    batch path (fake_decode=False) — VERDICT r5 #2's done-bar."""
+    from tbl_spark.pipelines.multimodal import extract_features
+    rng = np.random.default_rng(5)
+    rows = []
+    for mid in range(8):
+        px = rng.integers(0, 256, (6 + mid, 4 + mid, 3), dtype=np.uint8)
+        rows.append((mid, "image", px.shape[1], px.shape[0], 1,
+                     bytearray(_encode_png(px, [mid % 5])),
+                     px.reshape(-1, 3).mean(axis=0).tolist()))
+    df = spark.createDataFrame(
+        [r[:6] for r in rows],
+        "media_id bigint, kind string, width int, height int, "
+        "n_frames int, payload binary")
+    feats = {r["media_id"]: r["feature"]
+             for r in extract_features(df, dim=16,
+                                       fake_decode=False).collect()}
+    assert len(feats) == 8
+    for mid, *_rest, mean_rgb in rows:
+        np.testing.assert_allclose(feats[mid][:3], mean_rgb, rtol=1e-5)
+
+
+# -- 2. cache ring vs dead sessions ------------------------------------------
+
+def test_cache_ring_drops_dead_session_frames(spark):
+    from tbl_spark.pipelines._cache import CACHE_RING, ring_persist
+
+    class _DeadFrame:
+        """Stand-in for a DataFrame whose SparkSession was stopped:
+        session access raises and unpersist would too."""
+        @property
+        def sparkSession(self):
+            raise RuntimeError("SparkContext was shut down")
+
+        def unpersist(self, blocking=False):
+            raise RuntimeError("SparkContext was shut down")
+
+    CACHE_RING.append(_DeadFrame())
+    try:
+        # one live persist must neither raise nor keep the dead entry
+        out = ring_persist(spark.range(10))
+        assert out.count() == 10
+        assert not any(isinstance(c, _DeadFrame) for c in CACHE_RING)
+        # fill past RING_MAX: evictions of live frames still work
+        for i in range(6):
+            ring_persist(spark.range(i + 20))
+        from tbl_spark.pipelines._cache import RING_MAX
+        assert len(CACHE_RING) <= RING_MAX
+    finally:
+        CACHE_RING[:] = [c for c in CACHE_RING
+                         if not isinstance(c, _DeadFrame)]
+
+
+# -- 3. decontaminate broadcast modes ----------------------------------------
+
+def test_decontaminate_broadcast_modes_agree(spark, sf_dir):
+    from tbl_spark.pipelines.dedup import decontaminate
+    from tbl_spark.pipelines.textstats import with_tokens
+    tr = with_tokens(_docs(spark, sf_dir).limit(300))
+    ev = with_tokens(_docs(spark, sf_dir).limit(40))
+    base = None
+    for mode in ("auto", "force", "never"):
+        ids = {r["doc_id"] for r in
+               decontaminate(tr, ev, k=8, broadcast=mode)
+               .select("doc_id").collect()}
+        if base is None:
+            base = ids
+        assert ids == base, mode
+    with pytest.raises(ValueError, match="broadcast"):
+        decontaminate(tr, ev, broadcast="maybe")
+
+
+def test_decontaminate_never_is_lazy(spark, sf_dir):
+    """broadcast='never' must not run any job at construction time
+    (ADVICE r5): plan-building tooling can explain() for free."""
+    from tbl_spark.pipelines.dedup import decontaminate
+    from tbl_spark.pipelines.textstats import with_tokens
+    tr = with_tokens(_docs(spark, sf_dir).limit(50))
+    ev = with_tokens(_docs(spark, sf_dir).limit(10))
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    out = decontaminate(tr, ev, k=8, broadcast="never")
+    after = tracker.getJobIdsForGroup(None)
+    assert before == after, "construction ran a Spark job"
+    assert out.columns  # plan is usable
+
+
+def test_decontaminate_hash128_default_matches_hash(spark, sf_dir):
+    from tbl_spark.pipelines.dedup import decontaminate
+    from tbl_spark.pipelines.textstats import with_tokens
+    import inspect
+    sig = inspect.signature(decontaminate)
+    assert sig.parameters["gram_repr"].default == "hash128"
+    tr = with_tokens(_docs(spark, sf_dir).limit(200))
+    ev = with_tokens(_docs(spark, sf_dir).limit(30))
+    a = {r["doc_id"] for r in
+         decontaminate(tr, ev, k=8).select("doc_id").collect()}
+    b = {r["doc_id"] for r in
+         decontaminate(tr, ev, k=8, gram_repr="hash")
+         .select("doc_id").collect()}
+    assert a == b
+
+
+# -- 4. CLI parity: paragraph dedup + temperature sampling -------------------
+
+def test_cli_dedup_paragraph(spark, tmp_path):
+    from tbl_spark.cli import main
+    src = str(tmp_path / "pd_in")
+    spark.createDataFrame(
+        [(1, "A\n\nB\n\nC"), (2, "B\n\nD"), (3, "A\n\nB")],
+        "doc_id bigint, text string").write.parquet(src)
+    out = str(tmp_path / "pd_out")
+    rc = main(["dedup", src, "--method", "paragraph",
+               "--output", out, "--yes"])
+    assert rc == 0
+    res = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert res[1]["text"] == "A\n\nB\n\nC"
+    assert res[2]["text"] == "D" and res[2]["n_pars_removed"] == 1
+    assert res[3]["text"] == "" and res[3]["n_pars_removed"] == 2
+
+
+def test_cli_sample_temperature(spark, sf_dir, tmp_path):
+    from tbl_spark.cli import main
+    from tbl_spark.pipelines.sampling import temperature_sample
+    out = str(tmp_path / "ts_out")
+    rc = main(["sample", _docs_path(sf_dir), "--strata-col", "source",
+               "--temperature", "2.0", "--output", out, "--yes"])
+    assert rc == 0
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    want = {r["doc_id"] for r in
+            temperature_sample(_docs(spark, sf_dir), "source", "doc_id",
+                               temperature=2.0).collect()}
+    assert got == want and got  # identical to the library op, non-empty
+
+
+def test_cli_sample_temperature_excludes_rates(sf_dir, capsys):
+    from tbl_spark.cli import main
+    rc = main(["sample", _docs_path(sf_dir), "--strata-col", "source",
+               "--temperature", "2.0", "--rate", "web=0.5"])
+    assert rc == 1
+    assert "mutually exclusive" in capsys.readouterr().err
+
+
+# -- 5. curate --gopher column collisions ------------------------------------
+
+def test_cli_curate_gopher_preserves_colliding_columns(spark, tmp_path):
+    from tbl_spark.cli import main
+    src = str(tmp_path / "gq_in")
+    body = ("the be to of and that have with lorem ipsum " * 12).strip()
+    spark.createDataFrame(
+        [(i, body, 777 + i) for i in range(4)],
+        "doc_id bigint, text string, n_words int").write.parquet(src)
+    out = str(tmp_path / "gq_out")
+    rc = main(["curate", src, "--gopher", "--min-words", "5",
+               "--min-stop-hits", "2", "--no-excise",
+               "--seq-len", "64", "--output", out, "--yes"])
+    assert rc == 0
+    res = spark.read.parquet(out)
+    vals = {r["n_words"] for r in res.select("n_words").collect()}
+    # the user's n_words column (777..780) survives; the gate's own
+    # n_words signal (120 words) must not leak into the output
+    assert vals <= {777, 778, 779, 780} and vals
+
+
+def test_cli_curate_gopher_text_col_collision_rejected(spark, tmp_path,
+                                                       capsys):
+    from tbl_spark.cli import main
+    src = str(tmp_path / "gt_in")
+    spark.createDataFrame([(1, "some text")],
+                          "doc_id bigint, n_words string") \
+        .write.parquet(src)
+    rc = main(["curate", src, "--gopher", "--text-col", "n_words"])
+    assert rc == 1
+    assert "collides" in capsys.readouterr().err
+
+
+# -- 6. sample --rate parse guard --------------------------------------------
+
+def test_cli_sample_bad_rate_value_clean_error(sf_dir, capsys):
+    from tbl_spark.cli import main
+    rc = main(["sample", _docs_path(sf_dir), "--strata-col", "source",
+               "--rate", "web=abc"])
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert "bad --rate" in err and "Traceback" not in err
+
+
+# -- 7. stream decode projection + predicates --------------------------------
+
+def _stream_wave(spark, inbox, store, lo, n, wave):
+    rows = [(f"d{wave}_{i}", list(range(lo + i, lo + i + 5)), lo + i,
+             f"s{wave}") for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string")
+    df.coalesce(1).write.mode("append").parquet(inbox)
+    from tbl_spark.streaming import stream_encode
+    stream_encode(spark, inbox, store, num_parts=1,
+                  schema_ddl="doc_id string, tokens array<int>, "
+                             "n_tok int, source string")
+
+
+def test_stream_decode_projection_and_zone_prune(spark, tmp_path):
+    from tbl_spark.store import zone_prune_parts
+    from tbl_spark.streaming import batch_stores, decode_stream_store
+    inbox = str(tmp_path / "sw_inbox")
+    store = str(tmp_path / "sw_store")
+    ddl = "doc_id string, tokens array<int>, n_tok int, source string"
+    # three micro-batches with disjoint n_tok ranges
+    _stream_wave(spark, inbox, store, 10, 6, 0)
+    _stream_wave(spark, inbox, store, 500, 6, 1)
+    _stream_wave(spark, inbox, store, 9000, 6, 2)
+    stores = batch_stores(store)
+    assert len(stores) == 3
+    # predicate prunes whole BATCHES via each store's zone maps: the two
+    # out-of-range batches keep zero parts -> their files are never read
+    pred = "n_tok>=9000"
+    kept = [zone_prune_parts(s, pred, spark=spark) for s in stores]
+    assert kept[0] == set() and kept[1] == set() and kept[2]
+    out = decode_stream_store(spark, store, ddl, predicate=pred)
+    rows = out.collect()
+    assert {r["doc_id"] for r in rows} == {f"d2_{i}" for i in range(6)}
+    # projection narrows the unioned schema (unrequested blobs unread)
+    proj = decode_stream_store(spark, store, ddl,
+                               columns=["doc_id", "n_tok"])
+    assert proj.columns == ["doc_id", "n_tok"]
+    assert proj.count() == 18
+
+
+def test_cli_stream_decode_where(spark, tmp_path, capsys):
+    from tbl_spark.cli import main
+    inbox = str(tmp_path / "sc_inbox")
+    store = str(tmp_path / "sc_store")
+    _stream_wave(spark, inbox, store, 10, 4, 0)
+    _stream_wave(spark, inbox, store, 800, 4, 1)
+    out = str(tmp_path / "sc_out")
+    rc = main(["decode", "--stream-root", store,
+               "--schema", "doc_id string, tokens array<int>, "
+                           "n_tok int, source string",
+               "--columns", "doc_id,n_tok", "--where", "n_tok>=800",
+               "--output", out])
+    assert rc == 0
+    res = spark.read.parquet(out)
+    assert res.columns == ["doc_id", "n_tok"]
+    assert res.count() == 4
+    assert res.agg(F.min("n_tok")).collect()[0][0] >= 800
