@@ -305,6 +305,79 @@ def _string_parts(arr: pa.Array) -> tuple[np.ndarray, bytes, np.ndarray | None]:
 
 _str_cache: dict[str, dict] = {}
 
+# '<prefix><digit-run>' id shapes ("web-000000000042", "row_00173", URL
+# counters): the trailing run parses into an int64 (≤18 digits so it
+# always fits) and the prefixes dict-encode. RE2 syntax (pyarrow).
+_TEMPLATE_PATTERN = r"^(?P<p>.*?)(?P<d>[0-9]{1,18})$"
+
+
+def _template_parts(arr: pa.Array):
+    """(prefixes, numbers int64, widths) when EVERY value matches
+    '<prefix><1-18 digits>', else None. All-C++ extraction: one RE2
+    pass, then arrow casts."""
+    try:
+        ex = pc.extract_regex(arr, _TEMPLATE_PATTERN)
+    except pa.ArrowInvalid:
+        return None
+    if ex.null_count:          # at least one value didn't match
+        return None
+    digits = pc.struct_field(ex, "d")
+    return (pc.struct_field(ex, "p"),
+            np.asarray(pc.cast(digits, pa.int64())),
+            np.asarray(pc.utf8_length(digits), dtype=np.int64))
+
+
+def _template_build(arr: pa.Array, dtype_code: DType, n: int,
+                    valid, try_zstd: bool) -> bytes | None:
+    """STR_TEMPLATE blob: frame(prefix_string_blob, numbers_blob,
+    widths_blob). Reconstruction is exact for every matching input —
+    the stored width re-applies the original zero-padding — so the
+    codec is bit-identical like every other, it just exploits that a
+    typical id column is a tiny prefix alphabet plus a near-dense (and,
+    under clustered encode, sorted → delta-tiny) counter."""
+    # cheap decline before the full-column regex: ids are short (skip
+    # document-length text columns outright) and a 64-value probe must
+    # match wall-to-wall — non-id columns exit here at probe cost
+    probe = arr.slice(0, min(64, len(arr)))
+    if len(probe) == 0 or _template_parts(probe) is None:
+        return None
+    avg_len = pc.sum(pc.utf8_length(probe)).as_py() / len(probe)
+    if avg_len > 256:
+        return None
+    parts = _template_parts(arr)
+    if parts is None:
+        return None
+    prefix, numbers, widths = parts
+    payload = frame(_encode_string(prefix, DType.STR, None, try_zstd=False),
+                    _encode_int_auto(numbers),
+                    _encode_int_auto(widths))
+    return assemble(Codec.STR_TEMPLATE, dtype_code, n, payload,
+                    valid=valid, try_zstd=try_zstd)
+
+
+def _template_decode(payload: bytes, n: int) -> pa.Array:
+    bp, bn, bw = unframe(payload, 3)
+    prefix, _ = _decode_string(bp)
+    numbers = _decode_int_blob(bn).astype(np.int64, copy=False)
+    widths = _decode_int_blob(bw)
+    uw = np.unique(widths)
+    num_str = pc.cast(pa.array(numbers), pa.large_string())
+    if len(uw) == 1:           # the common fixed-width id: pure arrow
+        digits = pc.utf8_lpad(num_str, int(uw[0]), "0")
+    else:                      # mixed widths: per-width numpy zfill
+        # width the dtype for the LONGEST zero-padded form up front —
+        # assigning into a narrower fixed-width numpy str array would
+        # silently truncate the padding
+        out = np.char.mod("%d", numbers).astype(f"<U{int(uw[-1])}")
+        for w in uw:
+            m = np.asarray(widths == w)
+            out[m] = np.char.zfill(out[m], int(w))
+        digits = pa.array(out).cast(pa.large_string())
+    joined = pc.binary_join_element_wise(
+        prefix.cast(pa.large_string()), digits,
+        pa.scalar("", type=pa.large_string()))
+    return joined.cast(pa.large_string())
+
 
 def _encode_string(arr: pa.Array, dtype_code: DType, codec: Codec | None,
                    try_zstd: bool, cache_key: str | None = None) -> bytes:
@@ -342,6 +415,9 @@ def _encode_string(arr: pa.Array, dtype_code: DType, codec: Codec | None,
 
     if codec == Codec.STR_DICT:
         return build_dict()
+    if codec == Codec.STR_TEMPLATE:
+        t = _template_build(arr, dtype_code, n, valid, try_zstd)
+        return t if t is not None else build(Codec.STR_RAW, corpus)
     if codec is None:
         # cached choice (worker-local): skip the dict probe / FSST build
         entry = _str_cache.get(cache_key) if cache_key else None
@@ -349,6 +425,14 @@ def _encode_string(arr: pa.Array, dtype_code: DType, codec: Codec | None,
             entry["uses"] += 1
             if entry["choice"] == "dict":
                 return build_dict()
+            if entry["choice"] == "template":
+                t = _template_build(arr, dtype_code, n, valid, try_zstd)
+                if t is not None:
+                    return t
+                # this chunk broke the template shape — re-audition now
+                del _str_cache[cache_key]
+                return _encode_string(arr, dtype_code, None, try_zstd,
+                                      cache_key=cache_key)
             if entry["choice"] == "fsst":
                 payload, merges = strings.fsst_encode_full(
                     corpus, entry["merges"])
@@ -366,8 +450,12 @@ def _encode_string(arr: pa.Array, dtype_code: DType, codec: Codec | None,
                     _str_cache[cache_key] = {"choice": "dict",
                                              "merges": [], "uses": 0}
                 return build_dict()
-        fsst_payload, merges = strings.fsst_encode_full(corpus)
         cands = [("raw", build(Codec.STR_RAW, corpus))]
+        if dtype_code == DType.STR:
+            t = _template_build(arr, dtype_code, n, valid, try_zstd)
+            if t is not None:
+                cands.append(("template", t))
+        fsst_payload, merges = strings.fsst_encode_full(corpus)
         if fsst_payload is not None:
             cands.append(("fsst", build(Codec.FSST, fsst_payload)))
         choice, best = min(cands, key=lambda t: len(t[1]))
@@ -388,6 +476,8 @@ def _decode_string(blob: bytes) -> tuple[pa.Array, np.ndarray | None]:
         codes = _decode_int_blob(bcodes)
         arr = dictionary.take(pa.array(codes))
         return arr, valid
+    if codec == Codec.STR_TEMPLATE:
+        return _template_decode(payload, n), valid
     blen, bcorpus = unframe(payload, 2)
     lengths = _decode_int_blob(blen)
     offsets = np.zeros(n + 1, dtype=np.int64)
@@ -475,7 +565,13 @@ def _encode_list(arr: pa.Array, codec: Codec | None, try_zstd: bool,
     if values.null_count:
         raise ValueError("null list elements are not supported")
     values_np = _primitive_np(values)
-    lengths_blob = _encode_int_auto(lengths)
+    # lengths ride the full auto path (not the analytic-only nested
+    # pick): a 10k-length block of a design-size chunk has ~8.9 bits of
+    # entropy but a 13-bit packed width — the large-array audition lets
+    # rANS/byte-planes compete for it (r6)
+    lengths_blob = encode_array(
+        lengths, try_zstd=True,
+        cache_key=f"{cache_key}.lengths" if cache_key else None)
     values_blob = encode_array(
         values_np, codec=codec, try_zstd=try_zstd,
         cache_key=f"{cache_key}.values" if cache_key else None)
@@ -560,9 +656,13 @@ def encode_array(values, valid: np.ndarray | None = None,
     # auto. Small chunks: analytic pick + RAW(+zstd) guard. Large chunks:
     # audition EVERY candidate (analytic top-2 + byte-planes + rANS) on a
     # contiguous window, then run the full data through the winner only —
-    # one full-size encode pass instead of one per challenger.
+    # one full-size encode pass instead of one per challenger. Threshold
+    # 2^12 (r6, was 2^16): per-row scalar columns of a 4M-token chunk
+    # hold ~10k values — below the old bar, so n_tok-style columns never
+    # met rANS (entropy 8.9 bits) and shipped bit-packed (13 bits); the
+    # audition cost is first-chunk-per-worker only (choice cache).
     n = len(work)
-    if try_zstd and n >= (1 << 16):
+    if try_zstd and n >= (1 << 12):
         picked = None
         entry = _choice_cache.get(cache_key) if cache_key else None
         if entry is not None and entry[1] < _REAUDIT_EVERY:

@@ -54,6 +54,7 @@ class Codec(enum.IntEnum):
     RANS = 11
     DEC128 = 12  # decimal128 as two auto-encoded uint64 word planes
     DELTA_NESTED = 13  # first value + recursively auto-encoded deltas
+    STR_TEMPLATE = 14  # '<prefix><digits>' ids: prefix dict + int + width
 
 
 class DType(enum.IntEnum):

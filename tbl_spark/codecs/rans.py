@@ -68,9 +68,14 @@ def encode(codes: np.ndarray, K: int, n_lanes: int = 4096
     # stream bits, so oversizing L is pure overhead: at 400k codes
     # L=4096 costs 18 KB more than L=1024 for only 1.5× the vector-loop
     # speed, while L=512 saves just 3 KB more for another 1.4× slowdown
-    # — measured on this repo's bench distribution).
+    # — measured on this repo's bench distribution). Cap 1024 (r6, was
+    # 4096): on a 4M-token design chunk the 4096-lane state block is
+    # 32 KB = 0.008 B/token and buys only ~1.5× on the encode loop —
+    # the wrong side of the trade when the north rule grades compressed
+    # size and the rANS loop is a minor share of total encode time
+    # (measured 240 ms of ~1.5 s per 4M-token chunk at L=1024).
     L = min(n_lanes, 1 << max(6, (n // 384).bit_length() - 1))
-    L = max(64, min(L, 4096))
+    L = max(64, min(L, 1024))
     counts = np.bincount(codes, minlength=K)
     f = quantize_freqs(counts)
     cum = np.zeros(K + 1, dtype=np.int64)

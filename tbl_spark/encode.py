@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 
 from .arrowtypes import to_codec_input
 from .codecs import blob_codec, encode_array
-from .partitioning import PART_COL, with_part_id
+from .partitioning import PART_COL, resolve_salt_cols, with_part_id
 
 # part_id is bigint: the shuffle path uses small pmod ids, but the
 # zero-shuffle colocated path derives ids by hashing (file, block, seq),
@@ -260,7 +260,8 @@ def encode_chunks(df: DataFrame, num_parts: int,
                   columns: list[str] | None = None,
                   salt_cols: tuple[str, ...] | None = None,
                   driver_audition: bool = True,
-                  codec_hints: dict[str, int] | None = None) -> DataFrame:
+                  codec_hints: dict[str, int] | None = None,
+                  cluster: bool = True) -> DataFrame:
     """df (token table or any supported schema) → chunk DataFrame.
 
     `salt_cols` picks the chunk-assignment hash key (defaults to
@@ -269,11 +270,30 @@ def encode_chunks(df: DataFrame, num_parts: int,
     encoded; the internal key uses the reserved `__ts_part__` name.
     `codec_hints` (from `audition_codec_hints`) skips the per-call
     driver audition — pass it when encoding the same dataset repeatedly
-    so the per-dataset audition cost is paid once."""
+    so the per-dataset audition cost is paid once.
+
+    `cluster` (default on, r6) sorts each chunk's rows by the salt key
+    BEFORE encoding. Row order inside a salted chunk is shuffle
+    residue — nothing downstream may depend on it, and the decode
+    contract is per-part row SETS — so sorting is free correctness-wise
+    while making the id/source columns delta- and run-compressible
+    (measured: doc_id 3.6 → <1 B/row on the bench table) and the encode
+    bit-deterministic under shuffle-order nondeterminism. The colocated
+    encode never sorts: there the input file order IS the clustering."""
     if columns is not None:
         df = df.select(*columns)
     hints = codec_hints if codec_hints is not None \
         else (audition_codec_hints(df) if driver_audition else {})
+    sort_keys = None
+    if cluster:
+        # only scalar key columns are arrow-sortable; the full-row-hash
+        # fallback key can include list columns — skip those
+        sortable = {f.name for f in df.schema.fields
+                    if f.dataType.typeName() not in
+                    ("array", "map", "struct")}
+        sort_keys = [(c, "ascending")
+                     for c in resolve_salt_cols(df, salt_cols)
+                     if c in sortable] or None
     df = with_part_id(df, num_parts, salt_cols)
     spark_types = {f.name: f.dataType.simpleString()
                    for f in df.schema.fields if f.name != PART_COL}
@@ -282,6 +302,8 @@ def encode_chunks(df: DataFrame, num_parts: int,
         if hints:
             from .codecs.core import seed_choice_cache
             seed_choice_cache(hints)
+        if sort_keys:
+            tbl = tbl.sort_by(sort_keys)
         return encode_table(key[0].as_py(), tbl, spark_types)
 
     return df.groupBy(PART_COL).applyInArrow(encode_group, CHUNK_SCHEMA_DDL)

@@ -374,3 +374,108 @@ def test_cli_stream_decode_where(spark, tmp_path, capsys):
     assert res.columns == ["doc_id", "n_tok"]
     assert res.count() == 4
     assert res.agg(F.min("n_tok")).collect()[0][0] >= 800
+
+
+# -- 8. str_template codec + clustered encode + design-size gate -------------
+
+def test_str_template_roundtrips():
+    import pyarrow as pa
+    from tbl_spark.codecs import decode_array, encode_array
+    from tbl_spark.codecs.core import blob_codec
+    rng = np.random.default_rng(0)
+    idx = rng.permutation(60000)[:5000]
+    srcs = np.array(["web", "books", "arxiv", "wiki"])
+    ids = [f"{srcs[i % 4]}-{i:012d}" for i in idx]
+    for vals in (ids, sorted(ids)):
+        blob = encode_array(pa.array(vals, type=pa.large_string()))
+        assert blob_codec(blob).startswith("str_template")
+        out, _ = decode_array(blob)
+        assert out.cast(pa.large_string()).to_pylist() == vals
+    # sorted ids must land well under 1.5 B/id (fsst+zstd was ~3.6)
+    sorted_blob = encode_array(pa.array(sorted(ids),
+                                        type=pa.large_string()))
+    assert len(sorted_blob) / len(ids) < 1.5
+
+
+def test_str_template_mixed_widths_and_declines():
+    import pyarrow as pa
+    from tbl_spark.codecs import decode_array, encode_array
+    from tbl_spark.codecs.core import blob_codec
+    from tbl_spark.codecs.format import Codec
+    # widths 3..16 incl. >10-digit zero pads (fixed-width numpy trap)
+    vals = [f"id-{i:0{3 + i % 14}d}" for i in range(500)]
+    blob = encode_array(pa.array(vals, type=pa.large_string()),
+                        codec=Codec.STR_TEMPLATE)
+    assert blob_codec(blob).startswith("str_template")
+    out, _ = decode_array(blob)
+    assert out.cast(pa.large_string()).to_pylist() == vals
+    # >18-digit runs split prefix/suffix but stay exact
+    weird = [f"x-{'9' * 24}", "a1", "b007", "42"] * 50
+    ob, _ = decode_array(encode_array(pa.array(weird,
+                                               type=pa.large_string()),
+                                      codec=Codec.STR_TEMPLATE))
+    assert ob.cast(pa.large_string()).to_pylist() == weird
+    # no trailing digits -> auto pick falls elsewhere, still exact
+    plain = [f"alpha-{i}-tail" for i in range(300)]
+    pb = encode_array(pa.array(plain, type=pa.large_string()))
+    assert not blob_codec(pb).startswith("str_template")
+    po, _ = decode_array(pb)
+    assert po.cast(pa.large_string()).to_pylist() == plain
+
+
+def test_clustered_encode_roundtrips_and_uses_template(spark):
+    import pyarrow as pa  # noqa: F401
+    from tbl_spark.datagen import SPARK_SCHEMA_DDL, generate_df
+    from tbl_spark.decode import decode_chunks_colocated
+    from tbl_spark.encode import encode_chunks
+    df = generate_df(spark, 3000, 4)
+    for cluster in (True, False):
+        chunks = encode_chunks(df, 4, cluster=cluster).cache()
+        codecs = {r["column"]: r["codec"]
+                  for r in chunks.select("column", "codec")
+                  .distinct().collect()}
+        if cluster:
+            assert codecs["doc_id"].startswith("str_template")
+        dec = decode_chunks_colocated(chunks, SPARK_SCHEMA_DDL)
+        # row-SET equality: chunk-internal order is an encode freedom
+        diff = (dec.select("doc_id", "n_tok", "source")
+                .exceptAll(df.select("doc_id", "n_tok", "source")).count()
+                + df.select("doc_id", "n_tok", "source")
+                .exceptAll(dec.select("doc_id", "n_tok", "source"))
+                .count())
+        assert diff == 0, f"cluster={cluster}"
+        tok_ok = (dec.select("doc_id", F.hash("tokens").alias("h"))
+                  .exceptAll(df.select("doc_id",
+                                       F.hash("tokens").alias("h")))
+                  .count())
+        assert tok_ok == 0, f"cluster={cluster} token arrays differ"
+        chunks.unpersist()
+
+
+def test_design_size_bytes_per_token_gate(spark):
+    """VERDICT r5 #5 bar: <= 1.13 B/token at the 4M-token design chunk
+    size (the 100 TB deployment's configuration)."""
+    from tbl_spark.datagen import generate_df
+    from tbl_spark.encode import encode_chunks
+    df = generate_df(spark, 20_000, 8).cache()
+    total = df.agg(F.sum("n_tok")).collect()[0][0]
+    parts = max(1, int(total) // 4_000_000)
+    agg = (encode_chunks(df, parts)
+           .agg(F.sum("enc_bytes").alias("enc"),
+                F.sum(F.when(F.col("column") == "tokens",
+                             F.col("n_values"))).alias("tokens"))
+           .collect()[0])
+    df.unpersist()
+    bpt = agg["enc"] / agg["tokens"]
+    assert bpt <= 1.13, f"design bytes/token {bpt:.4f} > 1.13"
+
+
+def test_rans_lane_cap_1024():
+    import struct
+    from tbl_spark.codecs import rans
+    rng = np.random.default_rng(1)
+    codes = rng.integers(0, 500, 2_000_000, dtype=np.int64)
+    core, freqs = rans.encode(codes, 500)
+    L, _k, _sb = struct.unpack_from("<IIQ", core, 0)
+    assert L <= 1024
+    assert (rans.decode(core, len(codes), freqs) == codes).all()
