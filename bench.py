@@ -24,57 +24,159 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", 60_000))
 
-# -- host-load gate (VERDICT r4 #2) ------------------------------------------
-# The sandbox shares its host with co-tenants whose load spikes make wall
-# times 3-5x slower; the r4 official bench was captured under such a spike
-# and told the wrong story. Every timed rep now waits (bounded) for the
-# 1-min loadavg to drop below LOAD_MAX, runs extra reps when a rep executed
-# dirty, and records the observed loadavg + attempt count per query so the
-# artifact itself shows whether its numbers are trustworthy.
+# -- host-load + steal gate (VERDICT r4 #2, r5 #1) ---------------------------
+# The sandbox shares its host with co-tenants. The r4 fix gated every timed
+# rep on the guest's 1-min loadavg, but loadavg cannot see HYPERVISOR CPU
+# STEAL — the r5 official artifact recorded a 2.2x-inflated query while
+# every rep passed the gate as "clean". The r6 gate therefore also times a
+# CALIBRATED CPU-BOUND CONTROL KERNEL around each rep: a fixed work unit
+# whose wall time directly measures one core's effective speed, steal
+# included. Per rep the artifact records the control's slowdown factor
+# relative to the fastest control observed anywhere in the run (a
+# self-consistent floor that an inflated warm-up calibration cannot
+# poison), and a query whose BEST rep ran with control slowdown above
+# CTRL_MAX is flagged in the JSON itself.
+# LOAD_MAX stays at 6.0 deliberately: the 1-min loadavg includes the
+# bench's OWN just-finished 32-thread bursts (it decays over ~a minute),
+# so a tighter bar would mostly gate on ourselves; the control kernel —
+# which runs while our JVM is idle — is the signal that actually
+# separates co-tenant steal from self-load.
 LOAD_MAX = float(os.environ.get("SPARK_GRAFT_LOAD_MAX", "6.0"))
 LOAD_WAIT_S = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "60"))
+CTRL_MAX = float(os.environ.get("SPARK_GRAFT_CTRL_MAX", "1.25"))
 _LOAD_META: dict[str, dict] = {}
 
+_GATE_SLEPT = [0.0]   # seconds spent on gate waits + control timings
+_CTRL_TIMES: list[float] = []   # every control-kernel wall time observed
+_CTRL_BUF = None
 
-_GATE_SLEPT = [0.0]   # total seconds spent waiting for load, session-wide
+CTRL_KERNEL_DESC = ("numpy sin+sum over 8M float64, single-threaded "
+                    "(element-wise ufunc, no BLAS thread pool)")
 
 
-def _wait_low_load() -> float:
-    """Block (bounded by LOAD_WAIT_S) until 1-min loadavg <= LOAD_MAX;
-    return the loadavg actually observed when proceeding. Time spent
-    sleeping here is accounted in _GATE_SLEPT so wall-clock-derived
-    metrics (encode_tokens_incl_setup_sec) can exclude it — gate waits
+def _control_time() -> float:
+    """One control-kernel run: fixed, deterministic, single-threaded CPU
+    work (~0.1 s on an unstolen core). Element-wise numpy never
+    dispatches to a multi-threaded BLAS, so the measurement is one
+    core's effective speed — hypervisor steal slows it in direct
+    proportion, where guest loadavg shows nothing."""
+    global _CTRL_BUF
+    import numpy as np
+    if _CTRL_BUF is None:
+        _CTRL_BUF = np.arange(8_000_000, dtype=np.float64) * 1e-6
+        float(np.sin(_CTRL_BUF).sum())   # page-fault warmup, untimed
+    t0 = time.perf_counter()
+    float(np.sin(_CTRL_BUF).sum())
+    dt = time.perf_counter() - t0
+    _CTRL_TIMES.append(dt)
+    return dt
+
+
+def _ctrl_floor() -> float:
+    """Fastest control observed so far — the running clean-core floor."""
+    return min(_CTRL_TIMES)
+
+
+def _control_burst(k: int = 4, gap: float = 0.25) -> float:
+    """min over k spaced control runs (~1.3 s span). A live Spark JVM
+    emits short periodic CPU spikes (~0.5 s every couple of seconds,
+    measured on an otherwise idle session) that a SINGLE control run
+    randomly straddles; a spaced min-burst always finds a clean slot
+    between self-spikes, while genuine co-tenant steal — which lasts
+    minutes, not fractions of a second — slows every run in the burst
+    and survives the min."""
+    best = _control_time()
+    for _ in range(k - 1):
+        time.sleep(gap)
+        best = min(best, _control_time())
+    return best
+
+
+def _wait_clean() -> tuple[float, float]:
+    """Block (bounded by LOAD_WAIT_S) until the window looks clean on
+    BOTH signals: 1-min loadavg <= LOAD_MAX (guest-visible load) and a
+    fresh control-kernel run within CTRL_MAX of the running floor
+    (hypervisor steal). Returns (loadavg, control_seconds) observed when
+    proceeding. Time spent here (sleeps + control runs) is accounted in
+    _GATE_SLEPT so wall-clock-derived metrics exclude it — gate waits
     are host hygiene, not engine cost."""
     t0 = time.monotonic()
     while True:
         la = os.getloadavg()[0]
-        if la <= LOAD_MAX or time.monotonic() - t0 > LOAD_WAIT_S:
-            _GATE_SLEPT[0] += time.monotonic() - t0
-            return la
+        expired = time.monotonic() - t0 > LOAD_WAIT_S
+        if la <= LOAD_MAX or expired:
+            ctrl = _control_burst()
+            if ctrl / _ctrl_floor() <= CTRL_MAX or expired:
+                _GATE_SLEPT[0] += time.monotonic() - t0
+                return la, ctrl
         time.sleep(2.0)
 
 
 def _timed_reps(name: str, fn, reps: int = 2, max_reps: int = 4):
-    """best-of timing with the load gate: aim for `reps` CLEAN reps
-    (started below LOAD_MAX), up to max_reps total. Returns
-    (best_seconds, last_result) and records per-rep loadavg + attempts
-    under _LOAD_META[name]."""
+    """best-of timing with the load+steal gate: aim for `reps` CLEAN
+    reps (loadavg below LOAD_MAX AND control slowdown below CTRL_MAX
+    both before and after the rep), up to max_reps total. Returns
+    (best_seconds, last_result); per-rep loadavg and raw control times
+    land in _LOAD_META[name] for _finalize_load_meta to turn into
+    slowdown factors once the whole run's control floor is known."""
     times: list[float] = []
     loads: list[float] = []
+    ctrls: list[float] = []   # gate-time (pre-rep) control per rep
+    posts: list[float] = []   # post-rep control (informational)
     result = None
     clean = 0
     for _ in range(max_reps):
-        la = _wait_low_load()
+        la, c_before = _wait_clean()
         t0 = time.perf_counter()
         result = fn()
         times.append(time.perf_counter() - t0)
+        t1 = time.perf_counter()
+        # the post-rep control is RECORDED but does not classify the
+        # rep: right after a heavy job the JVM runs multi-second
+        # parallel GC over the Arrow buffers, which reads as a fake
+        # 10-80x "steal" even on an idle host (measured; a pure-CPU
+        # 32-process burst shows none of it). Co-tenant steal windows
+        # last minutes while reps last seconds, so the PRE-rep control
+        # — taken while our JVM is quiesced — is the honest
+        # classifier, and a steal window opening mid-rep is caught by
+        # the next rep's gate. Quiesce + min-of-3 damps the GC tail.
+        time.sleep(0.3)
+        posts.append(_control_burst())
+        _GATE_SLEPT[0] += time.perf_counter() - t1
         loads.append(round(la, 2))
-        if la <= LOAD_MAX:
+        ctrls.append(c_before)
+        floor = _ctrl_floor()
+        if la <= LOAD_MAX and c_before / floor <= CTRL_MAX:
             clean += 1
         if clean >= reps:
             break
-    _LOAD_META[name] = {"loadavg": loads, "attempts": len(times)}
+    _LOAD_META[name] = {"loadavg": loads, "attempts": len(times),
+                        "_times": times, "_ctrls": ctrls, "_posts": posts}
     return min(times), result
+
+
+def _finalize_load_meta() -> dict:
+    """Convert raw per-rep control times into slowdown factors against
+    the FINAL floor (fastest control anywhere in the run, calibration
+    included) and flag queries whose best rep ran in a polluted window.
+    Returns the steal_control summary block."""
+    floor = _ctrl_floor()
+    flagged = []
+    for name, meta in _LOAD_META.items():
+        t = meta.pop("_times")
+        c = meta.pop("_ctrls")
+        p = meta.pop("_posts")
+        meta["control"] = [round(x / floor, 3) for x in c]
+        meta["control_post"] = [round(x / floor, 3) for x in p]
+        best_slow = c[t.index(min(t))] / floor
+        meta["flagged"] = best_slow > CTRL_MAX
+        if meta["flagged"]:
+            flagged.append(name)
+    return {"kernel": CTRL_KERNEL_DESC,
+            "floor_sec": round(floor, 4),
+            "ctrl_max": CTRL_MAX,
+            "n_samples": len(_CTRL_TIMES),
+            "flagged_queries": flagged}
 
 
 def _new_session(cores: int):
@@ -152,6 +254,14 @@ def main() -> None:
     queries: dict[str, float] = {}
     extras: dict = {}
 
+    # seed the control floor before any timed work: 3 calibration runs
+    # (the kernel's own warmup is inside _control_time). If even these
+    # land in a stolen window, later clean-window controls simply become
+    # the floor — the final slowdown factors are computed against the
+    # whole run's minimum, so a polluted calibration cannot hide steal.
+    for _ in range(3):
+        _control_time()
+
     spark = _new_session(CPUS)
 
     # headline: distributed encode throughput. Chunk count: ≥2 waves per
@@ -209,6 +319,21 @@ def main() -> None:
     queries["encode_colocated"] = round(best, 3)
     extras["encode_colocated_tokens_per_sec"] = round(agg["tokens"] / best)
 
+    # design-point compressed size (VERDICT r5 #5): the 400k-token bench
+    # chunks pay per-chunk side-table/audition overhead that the 4M-token
+    # DESIGN chunks (SCALE.md) amortize away — encode the same staged
+    # input once at the design chunk size (untimed, one job) so the
+    # official artifact carries the bytes/token a 100 TB deployment
+    # would see, not just the bench-scale figure.
+    from tbl_spark.encode import encode_chunks as _enc
+    design_parts = max(1, total_tokens // 4_000_000)
+    des = (_enc(staged, design_parts, codec_hints=co_hints)
+           .agg(F.sum("enc_bytes").alias("enc"),
+                F.sum(F.when(F.col("column") == "tokens",
+                             F.col("n_values"))).alias("tokens"))
+           .collect()[0])
+    extras["bytes_per_token_design"] = round(des["enc"] / des["tokens"], 4)
+
     # decode throughput (store-free roundtrip; the colocated decoder
     # applies because encode output keeps each part's rows contiguous)
     from tbl_spark.datagen import SPARK_SCHEMA_DDL, generate_df
@@ -242,6 +367,7 @@ def main() -> None:
         extras["scaling"] = run_scaling(
             int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", 40_000)))
 
+    steal = _finalize_load_meta()
     out = {
         "metric": "wall seconds per headline query (encode throughput in "
                   "extras: encode_tokens_per_sec, bytes_per_token)",
@@ -250,6 +376,7 @@ def main() -> None:
         "queries": queries,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "load_gate": {"max": LOAD_MAX, "per_query": _LOAD_META},
+        "steal_control": steal,
         **extras,
     }
     print(json.dumps(out))
