@@ -292,7 +292,15 @@ def with_ngram_repetition(df: DataFrame, text_col: str = "text",
     Scale shape: shuffle-free per-row JVM expressions. Each n sorts the
     doc's gram array once (O(W log W)) and scans adjacent runs — the
     same bounded pattern as the dup-line metrics; no per-doc quadratic
-    pass, no Python."""
+    pass, no Python.
+
+    Memory note (VERDICT r5): one sorted gram array per requested n is
+    materialized as a real (dropped) row column, so a row transiently
+    holds ~|top_ns ∪ dup_ns| string copies of its text (~6x at the
+    defaults) inside its task. Bounded per task and irrelevant at
+    normal doc lengths, but for corpora with multi-megaword outlier
+    docs either trim `top_ns`/`dup_ns` or pre-split giant docs — a
+    10^6-word doc costs ~6 x tens of MB while its row is live."""
     words = f"regexp_extract_all({text_col}, '\\\\S+', 0)"
     _w = "_ngr_words"
     out = df.withColumn(_w, F.expr(words))
