@@ -317,14 +317,14 @@ def _template_parts(arr: pa.Array):
     pass, then arrow casts."""
     try:
         ex = pc.extract_regex(arr, _TEMPLATE_PATTERN)
-    except pa.ArrowInvalid:
-        return None
-    if ex.null_count:          # at least one value didn't match
-        return None
-    digits = pc.struct_field(ex, "d")
-    return (pc.struct_field(ex, "p"),
-            np.asarray(pc.cast(digits, pa.int64())),
-            np.asarray(pc.utf8_length(digits), dtype=np.int64))
+        if ex.null_count:      # at least one value didn't match
+            return None
+        digits = pc.struct_field(ex, "d")
+        return (pc.struct_field(ex, "p"),
+                np.asarray(pc.cast(digits, pa.int64())),
+                np.asarray(pc.utf8_length(digits), dtype=np.int64))
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+        return None  # e.g. forced onto a binary array
 
 
 def _template_build(arr: pa.Array, dtype_code: DType, n: int,

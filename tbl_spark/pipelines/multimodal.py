@@ -166,19 +166,22 @@ def _decode_png(payload: bytes) -> np.ndarray | None:
     import struct
     import zlib
     pos, idat, meta, palette = len(_PNG_MAGIC), [], None, None
-    while pos + 8 <= len(payload):
-        (length,) = struct.unpack(">I", payload[pos:pos + 4])
-        tag = payload[pos + 4:pos + 8]
-        data = payload[pos + 8:pos + 8 + length]
-        if tag == b"IHDR":
-            meta = struct.unpack(">IIBBBBB", data)
-        elif tag == b"PLTE":
-            palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
-        elif tag == b"IDAT":
-            idat.append(data)
-        elif tag == b"IEND":
-            break
-        pos += 12 + length  # len + tag + data + crc
+    try:
+        while pos + 8 <= len(payload):
+            (length,) = struct.unpack(">I", payload[pos:pos + 4])
+            tag = payload[pos + 4:pos + 8]
+            data = payload[pos + 8:pos + 8 + length]
+            if tag == b"IHDR":
+                meta = struct.unpack(">IIBBBBB", data)
+            elif tag == b"PLTE":
+                palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
+            elif tag == b"IDAT":
+                idat.append(data)
+            elif tag == b"IEND":
+                break
+            pos += 12 + length  # len + tag + data + crc
+    except (struct.error, ValueError) as e:  # truncated / garbled chunks
+        raise ValueError(f"corrupt PNG chunk stream: {e}") from e
     if meta is None or not idat:
         raise ValueError("corrupt PNG: missing IHDR or IDAT")
     w, h, depth, ctype, comp, filt, interlace = meta

@@ -141,3 +141,34 @@ def test_decimal128_roundtrip_property(ints):
             assert valid is not None and not valid[i]
         else:
             assert got[i] == decimal.Decimal(v)
+
+
+@given(
+    prefixes=st.lists(
+        st.text(alphabet=st.characters(blacklist_categories=("Cs",),
+                                       max_codepoint=0x2FF),
+                max_size=8),
+        min_size=1, max_size=5),
+    picks=st.lists(st.tuples(st.integers(0, 4),
+                             st.integers(0, 10**17),
+                             st.integers(1, 18)),
+                   min_size=1, max_size=60),
+)
+@settings(max_examples=60, deadline=None)
+def test_str_template_property_roundtrip(prefixes, picks):
+    """Any '<prefix><zero-padded digits>' corpus round-trips bit-exactly
+    through the forced template codec (width >= natural digit count)."""
+    import pyarrow as pa
+    from tbl_spark.codecs import decode_array, encode_array
+    from tbl_spark.codecs.format import Codec
+    vals = []
+    for pi, num, width in picks:
+        p = prefixes[pi % len(prefixes)]
+        w = max(width, len(str(num)))
+        if w > 18:          # the codec's declared digit-run bound
+            num, w = num % (10 ** 18), 18
+        vals.append(f"{p}{num:0{w}d}")
+    blob = encode_array(pa.array(vals, type=pa.large_string()),
+                        codec=Codec.STR_TEMPLATE)
+    out, _ = decode_array(blob)
+    assert out.cast(pa.large_string()).to_pylist() == vals

@@ -479,3 +479,22 @@ def test_rans_lane_cap_1024():
     L, _k, _sb = struct.unpack_from("<IIQ", core, 0)
     assert L <= 1024
     assert (rans.decode(core, len(codes), freqs) == codes).all()
+
+
+def test_png_truncated_chunk_is_clean_valueerror():
+    from tbl_spark.pipelines.multimodal import _decode_png
+    # magic + a chunk header whose IHDR body is cut short
+    bad = b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + b"\x00\x01"
+    with pytest.raises(ValueError, match="corrupt PNG"):
+        _decode_png(bad)
+
+
+def test_template_forced_on_binary_falls_back():
+    import pyarrow as pa
+    from tbl_spark.codecs import decode_array, encode_array
+    from tbl_spark.codecs.format import Codec
+    vals = [b"\x00\xffid-1", b"\x07raw2"] * 20
+    blob = encode_array(pa.array(vals, type=pa.large_binary()),
+                        codec=Codec.STR_TEMPLATE)
+    out, _ = decode_array(blob)
+    assert out.cast(pa.large_binary()).to_pylist() == vals
