@@ -114,8 +114,10 @@ def _wait_clean() -> tuple[float, float]:
 
 def _timed_reps(name: str, fn, reps: int = 2, max_reps: int = 4):
     """best-of timing with the load+steal gate: aim for `reps` CLEAN
-    reps (loadavg below LOAD_MAX AND control slowdown below CTRL_MAX
-    both before and after the rep), up to max_reps total. Returns
+    reps — loadavg below LOAD_MAX AND the PRE-rep control slowdown
+    below CTRL_MAX (the post-rep control is recorded as informational
+    `control_post` only; see the in-loop comment) — up to max_reps
+    total. Returns
     (best_seconds, last_result); per-rep loadavg and raw control times
     land in _LOAD_META[name] for _finalize_load_meta to turn into
     slowdown factors once the whole run's control floor is known."""

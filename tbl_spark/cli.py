@@ -692,8 +692,16 @@ def main(argv: list[str] | None = None) -> int:
             out = dd.simhash_dedup(df, text_col=args.text_col,
                                    id_col=args.id_col)
         elif m == "paragraph":
+            # shells deliver '\n' as backslash+n — interpret the usual
+            # escapes so --par-sep '\n\n' means blank line, not the
+            # four literal characters
+            try:
+                sep = args.par_sep.encode("utf-8").decode("unicode_escape")
+            except UnicodeDecodeError:
+                print(f"bad --par-sep {args.par_sep!r}", file=sys.stderr)
+                return 1
             out = dd.paragraph_dedup(df, text_col=args.text_col,
-                                     id_col=args.id_col, sep=args.par_sep)
+                                     id_col=args.id_col, sep=sep)
         else:  # substring / substring-stats
             toks = _ensure_tokens(df, args.tokens_col, args.text_col)
             fn = (dd.substring_dup_stats if m == "substring-stats"
@@ -788,6 +796,12 @@ def main(argv: list[str] | None = None) -> int:
             if args.rate:
                 print("--temperature and --rate are mutually exclusive "
                       "(temperature derives the per-stratum rates)",
+                      file=sys.stderr)
+                return 1
+            if args.temperature <= 0:
+                print(f"--temperature must be > 0 (got "
+                      f"{args.temperature}); T=1 keeps natural "
+                      "proportions, T>1 flattens toward uniform",
                       file=sys.stderr)
                 return 1
             out = temperature_sample(df, args.strata_col, args.key_col,

@@ -335,14 +335,19 @@ def _template_build(arr: pa.Array, dtype_code: DType, n: int,
     codec is bit-identical like every other, it just exploits that a
     typical id column is a tiny prefix alphabet plus a near-dense (and,
     under clustered encode, sorted → delta-tiny) counter."""
-    # cheap decline before the full-column regex: ids are short (skip
-    # document-length text columns outright) and a 64-value probe must
-    # match wall-to-wall — non-id columns exit here at probe cost
+    # cheap declines before any regex: length check first (so document-
+    # length text columns never pay a 64-document RE2 scan), then a
+    # 64-value probe that must match wall-to-wall
     probe = arr.slice(0, min(64, len(arr)))
-    if len(probe) == 0 or _template_parts(probe) is None:
+    if len(probe) == 0:
         return None
-    avg_len = pc.sum(pc.utf8_length(probe)).as_py() / len(probe)
-    if avg_len > 256:
+    try:
+        avg_len = pc.sum(pc.utf8_length(probe)).as_py() / len(probe)
+    except pa.ArrowNotImplementedError:
+        return None            # binary array — not a template candidate
+    if avg_len is None or avg_len > 256:
+        return None
+    if _template_parts(probe) is None:
         return None
     parts = _template_parts(arr)
     if parts is None:
@@ -429,17 +434,23 @@ def _encode_string(arr: pa.Array, dtype_code: DType, codec: Codec | None,
                 t = _template_build(arr, dtype_code, n, valid, try_zstd)
                 if t is not None:
                     return t
-                # this chunk broke the template shape — re-audition now
+                # this chunk broke the template shape — drop the stale
+                # choice and FALL THROUGH to the audition below. (Not a
+                # recursive _encode_string call: arr is already
+                # null-FILLED here, so recursing would recompute
+                # valid=None and silently encode nulls as '' — the
+                # captured `valid` closure the audition's build paths
+                # use is the only copy of the null mask.)
                 del _str_cache[cache_key]
-                return _encode_string(arr, dtype_code, None, try_zstd,
-                                      cache_key=cache_key)
-            if entry["choice"] == "fsst":
+            elif entry["choice"] == "fsst":
                 payload, merges = strings.fsst_encode_full(
                     corpus, entry["merges"])
                 entry["merges"] = merges
                 if payload is not None:
                     return build(Codec.FSST, payload)
-            return build(Codec.STR_RAW, corpus)
+                return build(Codec.STR_RAW, corpus)
+            else:
+                return build(Codec.STR_RAW, corpus)
         # audition
         choice, merges = "raw", []
         if n >= 16:

@@ -693,15 +693,22 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text",
     paragraph was a duplicate come back with empty text (kept as rows —
     dropping whole docs is exact_dedup's job); NULL-text docs stay NULL
     with n_pars_removed = 0."""
+    # sep is a LITERAL separator on both sides: the split side quotes it
+    # with \Q...\E (Java regex Pattern.quote) so a sep like '|' or '. '
+    # splits on the exact characters instead of being interpreted as a
+    # regex, matching the literal array_join on the rebuild side (r6;
+    # previously the two sides disagreed for regex metacharacters)
+    sep_rx = f"\\Q{sep}\\E"
+    if "\\E" in sep:
+        raise ValueError(r"separator may not contain the '\E' sequence")
     pars = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_par"))
+        F.posexplode(F.split(F.col(text_col), sep_rx))
+        .alias("_pos", "_par"))
     w = Window.partitionBy(F.xxhash64("_par"), "_par") \
         .orderBy(id_col, "_pos")
     kept = (pars.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1))
-    # NOTE sep is used as a split REGEX and a join LITERAL — pass only
-    # regex-literal separators ('\n\n', '\n')
     rebuilt = (kept.groupBy(id_col)
                .agg(F.array_join(F.expr(
                    "transform(sort_array(collect_list("
@@ -711,7 +718,7 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text",
     # carry only the tiny derived columns through the rebuild join —
     # the original text column must not cross this shuffle
     slim = (df.withColumn("_n_pars",
-                          F.size(F.split(F.col(text_col), sep)))
+                          F.size(F.split(F.col(text_col), sep_rx)))
             .withColumn("_had_text", F.col(text_col).isNotNull())
             .drop(text_col))
     return (slim.join(rebuilt, id_col, "left")

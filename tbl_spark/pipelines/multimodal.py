@@ -194,8 +194,11 @@ def _decode_png(payload: bytes) -> np.ndarray | None:
             "supported by the pure-numpy decoder (only 8-bit "
             "non-interlaced); install PIL for exotic variants")
     ch = _PNG_CHANNELS[ctype]
-    px = _png_unfilter(zlib.decompress(b"".join(idat)),
-                       h, w * ch, ch).reshape(h, w, ch)
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:    # intact framing, garbled deflate stream
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
+    px = _png_unfilter(raw, h, w * ch, ch).reshape(h, w, ch)
     if ctype == 3:
         if palette is None:
             raise ValueError("corrupt PNG: palette image without PLTE")

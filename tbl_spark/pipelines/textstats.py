@@ -110,7 +110,17 @@ def with_gopher_quality(df: DataFrame, text_col: str = "text",
     # Catalyst does not reliably CSE regexp_extract_all across the
     # several word-based signal columns, so deriving them all from one
     # tokenization pays the per-row regex cost once (ADVICE r5);
-    # with_gopher_gate reuses the same column via _keep_words
+    # with_gopher_gate reuses the same column via _keep_words.
+    # The _gq_* names are reserved scratch columns: refuse input that
+    # already carries them rather than silently overwrite-and-drop
+    # user data (same contract as with_part_id's reserved column).
+    reserved = [c for c in ("_gq_words", "_gq_sorted_lines")
+                if c in df.columns]
+    if reserved:
+        raise ValueError(
+            f"input schema already contains the reserved gopher scratch "
+            f"column(s) {reserved}; rename them before calling "
+            f"with_gopher_quality/with_gopher_gate")
     words = "_gq_words"
     n_lines = F.expr(f"size({lines})")
     n_words = F.expr(f"size({words})")

@@ -498,3 +498,91 @@ def test_template_forced_on_binary_falls_back():
                         codec=Codec.STR_TEMPLATE)
     out, _ = decode_array(blob)
     assert out.cast(pa.large_binary()).to_pylist() == vals
+
+
+# -- 9. review-pass closures ---------------------------------------------------
+
+def test_template_cached_choice_preserves_null_mask():
+    """A NULL past the 64-value probe breaks the cached template shape;
+    the fallback re-audition must keep the validity mask (the bug was a
+    recursion with the null-FILLED array -> NULLs decoded as '')."""
+    import pyarrow as pa
+    from tbl_spark.codecs import decode_array, encode_array
+    from tbl_spark.codecs.core import _str_cache
+    _str_cache.pop("idcol", None)
+    clean = pa.array([f"w-{i:09d}" for i in range(200)],
+                     type=pa.large_string())
+    b1 = encode_array(clean, cache_key="idcol")
+    assert _str_cache["idcol"]["choice"] == "template"
+    vals = [f"w-{i:09d}" for i in range(200)]
+    vals[150] = None  # past the probe window
+    dirty = pa.array(vals, type=pa.large_string())
+    b2 = encode_array(dirty, cache_key="idcol")
+    out, valid = decode_array(b2)
+    assert valid is not None and not valid[150]
+    got = out.cast(pa.large_string()).to_pylist()
+    assert got[:150] == vals[:150] and got[151:] == vals[151:]
+    _str_cache.pop("idcol", None)
+    # round-trip b1 too
+    o1, _ = decode_array(b1)
+    assert o1.cast(pa.large_string()).to_pylist() == clean.to_pylist()
+
+
+def test_paragraph_dedup_literal_metachar_sep(spark):
+    from tbl_spark.pipelines.dedup import paragraph_dedup
+    df = spark.createDataFrame(
+        [(1, "aaa|bbb|ccc"), (2, "bbb|ddd")],
+        "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in
+           paragraph_dedup(df, sep="|").collect()}
+    assert out[1]["text"] == "aaa|bbb|ccc"
+    assert out[2]["text"] == "ddd" and out[2]["n_pars_removed"] == 1
+
+
+def test_cli_par_sep_unescape_and_temperature_zero(spark, sf_dir,
+                                                   tmp_path, capsys):
+    from tbl_spark.cli import main
+    src = str(tmp_path / "ps_in")
+    spark.createDataFrame(
+        [(1, "A\n\nB"), (2, "B\n\nC")],
+        "doc_id bigint, text string").write.parquet(src)
+    out = str(tmp_path / "ps_out")
+    # shell-style escaped separator
+    rc = main(["dedup", src, "--method", "paragraph",
+               "--par-sep", r"\n\n", "--output", out, "--yes"])
+    assert rc == 0
+    res = {r["doc_id"]: r["text"]
+           for r in spark.read.parquet(out).collect()}
+    assert res == {1: "A\n\nB", 2: "C"}
+    rc = main(["sample", _docs_path(sf_dir), "--strata-col", "source",
+               "--temperature", "0"])
+    assert rc == 1
+    assert "must be > 0" in capsys.readouterr().err
+
+
+def test_temperature_sample_rejects_bad_params(spark, sf_dir):
+    from tbl_spark.pipelines.sampling import temperature_sample
+    docs = _docs(spark, sf_dir)
+    with pytest.raises(ValueError, match="temperature"):
+        temperature_sample(docs, "source", "doc_id", temperature=0)
+    with pytest.raises(ValueError, match="scale"):
+        temperature_sample(docs, "source", "doc_id", scale=2.0)
+
+
+def test_png_corrupt_idat_clean_valueerror():
+    from tbl_spark.pipelines.multimodal import _decode_png
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    bad = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+           + _chunk(b"IDAT", b"\x00garbage-not-deflate")
+           + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="IDAT"):
+        _decode_png(bad)
+
+
+def test_gopher_reserved_scratch_column_rejected(spark):
+    from tbl_spark.pipelines.textstats import with_gopher_quality
+    df = spark.createDataFrame([(1, "some text", "boom")],
+                               "doc_id bigint, text string, "
+                               "_gq_words string")
+    with pytest.raises(ValueError, match="_gq_words"):
+        with_gopher_quality(df)
