@@ -1035,12 +1035,23 @@ def encode_to_store(df: DataFrame, store: ChunkStore, num_parts: int,
     else:
         hints = {}
 
+    # clustered encode (r6, mirrors encode_chunks): chunk-internal row
+    # order is shuffle residue, so sorting by the salt key is free
+    # correctness-wise and makes id/source columns run/delta-
+    # compressible (and the committed chunk bytes deterministic)
+    sortable = {f.name for f in df.schema.fields
+                if f.dataType.typeName() not in ("array", "map", "struct")}
+    sort_keys = [(c, "ascending") for c in salt_cols
+                 if c in sortable] or None
+
     def encode_commit(key: tuple, tbl: pa.Table) -> pa.Table:
         if hints:
             from .codecs.core import seed_choice_cache
             seed_choice_cache(hints)
         part_id = key[0].as_py()
         t0 = time.perf_counter()
+        if sort_keys:
+            tbl = tbl.sort_by(sort_keys)
         chunk_tbl = encode_table(part_id, tbl, spark_types)
         ms = (time.perf_counter() - t0) * 1000.0
         cols = {

@@ -586,3 +586,24 @@ def test_gopher_reserved_scratch_column_rejected(spark):
                                "_gq_words string")
     with pytest.raises(ValueError, match="_gq_words"):
         with_gopher_quality(df)
+
+
+def test_store_encode_clusters_and_picks_template(spark, tmp_path):
+    """encode_to_store inherits the clustered encode: each chunk sorts
+    by the salt key, so doc_id lands in str_template and source RLEs
+    into runs — and the decode stays row-set bit-equal."""
+    import pyspark.sql.functions as F
+    from tbl_spark.datagen import SPARK_SCHEMA_DDL, generate_df
+    from tbl_spark.store import ChunkStore, decode_from_store, \
+        encode_to_store
+    df = generate_df(spark, 4000, 4)
+    store = ChunkStore(str(tmp_path / "cl_store"))
+    encode_to_store(df, store, 2)
+    codecs = {r["column"]: r["codec"] for r in
+              store.read_chunks(spark).select("column", "codec")
+              .distinct().collect()}
+    assert codecs["doc_id"].startswith("str_template")
+    dec = decode_from_store(store, spark, SPARK_SCHEMA_DDL)
+    a = dec.select("doc_id", F.hash("tokens").alias("h"))
+    b = df.select("doc_id", F.hash("tokens").alias("h"))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
