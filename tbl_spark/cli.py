@@ -136,6 +136,11 @@ def build_parser() -> argparse.ArgumentParser:
     enc.add_argument("--num-parts", type=int, default=None)
     enc.add_argument("--tokens-per-chunk", type=int, default=None)
     enc.add_argument("--no-resume", action="store_true")
+    enc.add_argument("--no-cluster", action="store_true",
+                     help="salted mode: skip the per-chunk sort by the "
+                          "salt key (clustering costs <1% encode wall "
+                          "and shrinks id/source columns; disable only "
+                          "to preserve arrival order inside chunks)")
     enc.add_argument("--colocated", action="store_true",
                      help="zero-shuffle encode: cut chunks inside each "
                           "scan task instead of salted repartition (use "
@@ -694,14 +699,18 @@ def main(argv: list[str] | None = None) -> int:
         elif m == "paragraph":
             # shells deliver '\n' as backslash+n — interpret the usual
             # escapes so --par-sep '\n\n' means blank line, not the
-            # four literal characters
+            # four literal characters. latin-1 + backslashreplace keeps
+            # non-ASCII separators ('¶', CJK markers) intact through
+            # the unicode_escape pass (utf-8 would mojibake them)
             try:
-                sep = args.par_sep.encode("utf-8").decode("unicode_escape")
-            except UnicodeDecodeError:
-                print(f"bad --par-sep {args.par_sep!r}", file=sys.stderr)
+                sep = (args.par_sep.encode("latin-1", "backslashreplace")
+                       .decode("unicode_escape"))
+                out = dd.paragraph_dedup(df, text_col=args.text_col,
+                                         id_col=args.id_col, sep=sep)
+            except (UnicodeDecodeError, ValueError) as e:
+                print(f"bad --par-sep {args.par_sep!r}: {e}",
+                      file=sys.stderr)
                 return 1
-            out = dd.paragraph_dedup(df, text_col=args.text_col,
-                                     id_col=args.id_col, sep=sep)
         else:  # substring / substring-stats
             toks = _ensure_tokens(df, args.tokens_col, args.text_col)
             fn = (dd.substring_dup_stats if m == "substring-stats"
@@ -798,16 +807,17 @@ def main(argv: list[str] | None = None) -> int:
                       "(temperature derives the per-stratum rates)",
                       file=sys.stderr)
                 return 1
-            if args.temperature <= 0:
-                print(f"--temperature must be > 0 (got "
-                      f"{args.temperature}); T=1 keeps natural "
-                      "proportions, T>1 flattens toward uniform",
-                      file=sys.stderr)
+            # parameter validation lives in temperature_sample (one
+            # source for the messages); surface it as a clean CLI error
+            try:
+                out = temperature_sample(df, args.strata_col,
+                                         args.key_col,
+                                         temperature=args.temperature,
+                                         weight_col=args.weight_col,
+                                         scale=args.scale)
+            except ValueError as e:
+                print(f"sample: {e}", file=sys.stderr)
                 return 1
-            out = temperature_sample(df, args.strata_col, args.key_col,
-                                     temperature=args.temperature,
-                                     weight_col=args.weight_col,
-                                     scale=args.scale)
             return _emit_result(out, args, files)
         rates: dict[str, float] = {}
         for spec_s in args.rate:
@@ -937,7 +947,8 @@ def main(argv: list[str] | None = None) -> int:
                 kw["tokens_per_chunk"] = args.tokens_per_chunk
             num_parts = plan_num_parts(int(total), **kw)
         summary = encode_to_store(df, ChunkStore(args.store), num_parts,
-                                  resume=not args.no_resume)
+                                  resume=not args.no_resume,
+                                  cluster=not args.no_cluster)
         print(json.dumps(summary))
         return 0
 

@@ -66,12 +66,13 @@ def temperature_sample(df: DataFrame, strata_col: str, key_col: str,
     algebra via windows over that #strata-row frame, and a broadcast
     join back — the corpus itself is never shuffled."""
     from pyspark.sql import Window
-    if not temperature > 0:
+    if not temperature > 0:   # 'not >' also rejects NaN
         raise ValueError(
             f"temperature must be > 0 (got {temperature}); T=1 keeps "
             "natural proportions, T>1 flattens toward uniform")
-    if not 0 < scale <= 1:
-        raise ValueError(f"scale must be in (0, 1] (got {scale}) — a "
+    if not scale > 0:
+        raise ValueError(f"scale must be > 0 (got {scale}); values > 1 "
+                         "saturate at each stratum's full size — a "
                          "filter-based sampler cannot upsample")
     w = (F.count("*") if weight_col is None
          else F.sum(weight_col)).cast("double")

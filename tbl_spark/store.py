@@ -989,7 +989,8 @@ def encode_to_store(df: DataFrame, store: ChunkStore, num_parts: int,
                     resume: bool = True,
                     salt_cols: tuple[str, ...] | None = None,
                     driver_audition: bool = True,
-                    codec_hints: dict[str, int] | None = None) -> dict:
+                    codec_hints: dict[str, int] | None = None,
+                    cluster: bool = True) -> dict:
     """Run the resumable encode job; returns run summary.
 
     The encode UDF writes + commits each chunk on the executor, then emits
@@ -1035,14 +1036,19 @@ def encode_to_store(df: DataFrame, store: ChunkStore, num_parts: int,
     else:
         hints = {}
 
-    # clustered encode (r6, mirrors encode_chunks): chunk-internal row
-    # order is shuffle residue, so sorting by the salt key is free
-    # correctness-wise and makes id/source columns run/delta-
-    # compressible (and the committed chunk bytes deterministic)
-    sortable = {f.name for f in df.schema.fields
-                if f.dataType.typeName() not in ("array", "map", "struct")}
-    sort_keys = [(c, "ascending") for c in salt_cols
-                 if c in sortable] or None
+    # clustered encode (r6, mirrors encode_chunks' cluster=True): chunk-
+    # internal row order is shuffle residue, so sorting by the salt key
+    # is free correctness-wise and makes id/source columns run/delta-
+    # compressible. Committed chunk bytes become deterministic when the
+    # salt key is unique per row (the default (source, doc_id) is) —
+    # rows TYING on the key keep their nondeterministic arrival order.
+    sort_keys = None
+    if cluster:
+        sortable = {f.name for f in df.schema.fields
+                    if f.dataType.typeName() not in
+                    ("array", "map", "struct")}
+        sort_keys = [(c, "ascending") for c in salt_cols
+                     if c in sortable] or None
 
     def encode_commit(key: tuple, tbl: pa.Table) -> pa.Table:
         if hints:

@@ -565,8 +565,11 @@ def test_temperature_sample_rejects_bad_params(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     with pytest.raises(ValueError, match="temperature"):
         temperature_sample(docs, "source", "doc_id", temperature=0)
+    with pytest.raises(ValueError, match="temperature"):
+        temperature_sample(docs, "source", "doc_id",
+                           temperature=float("nan"))
     with pytest.raises(ValueError, match="scale"):
-        temperature_sample(docs, "source", "doc_id", scale=2.0)
+        temperature_sample(docs, "source", "doc_id", scale=0.0)
 
 
 def test_png_corrupt_idat_clean_valueerror():
@@ -607,3 +610,30 @@ def test_store_encode_clusters_and_picks_template(spark, tmp_path):
     a = dec.select("doc_id", F.hash("tokens").alias("h"))
     b = df.select("doc_id", F.hash("tokens").alias("h"))
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_cli_par_sep_non_ascii_and_scale_errors(spark, sf_dir, tmp_path,
+                                                capsys):
+    from tbl_spark.cli import main
+    src = str(tmp_path / "pu_in")
+    spark.createDataFrame(
+        [(1, "A¶B"), (2, "B¶C")], "doc_id bigint, text string") \
+        .write.parquet(src)
+    out = str(tmp_path / "pu_out")
+    rc = main(["dedup", src, "--method", "paragraph",
+               "--par-sep", "¶", "--output", out, "--yes"])
+    assert rc == 0
+    res = {r["doc_id"]: r["text"]
+           for r in spark.read.parquet(out).collect()}
+    assert res == {1: "A¶B", 2: "C"}
+    # library ValueError surfaces as a clean CLI error, not a traceback
+    rc = main(["sample", _docs_path(sf_dir), "--strata-col", "source",
+               "--temperature", "2", "--scale", "0"])
+    assert rc == 1
+    assert "scale must be > 0" in capsys.readouterr().err
+    # scale > 1 saturates instead of raising (review-pass regression)
+    from tbl_spark.pipelines.sampling import temperature_sample
+    docs = _docs(spark, sf_dir)
+    n_full = temperature_sample(docs, "source", "doc_id",
+                                scale=5.0).count()
+    assert n_full > 0
