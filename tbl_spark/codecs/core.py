@@ -327,6 +327,24 @@ def _template_parts(arr: pa.Array):
         return None  # e.g. forced onto a binary array
 
 
+def _template_probe_ok(arr: pa.Array) -> bool:
+    """Cheap template candidacy check: length gate first (so document-
+    length text columns never pay a 64-document RE2 scan), then a
+    64-value probe that must match wall-to-wall. Microseconds on a
+    decline — cheap enough to run per chunk even against a cached
+    non-template choice."""
+    probe = arr.slice(0, min(64, len(arr)))
+    if len(probe) == 0:
+        return False
+    try:
+        avg_len = pc.sum(pc.utf8_length(probe)).as_py() / len(probe)
+    except pa.ArrowNotImplementedError:
+        return False           # binary array — not a template candidate
+    if avg_len is None or avg_len > 256:
+        return False
+    return _template_parts(probe) is not None
+
+
 def _template_build(arr: pa.Array, dtype_code: DType, n: int,
                     valid, try_zstd: bool) -> bytes | None:
     """STR_TEMPLATE blob: frame(prefix_string_blob, numbers_blob,
@@ -335,19 +353,7 @@ def _template_build(arr: pa.Array, dtype_code: DType, n: int,
     codec is bit-identical like every other, it just exploits that a
     typical id column is a tiny prefix alphabet plus a near-dense (and,
     under clustered encode, sorted → delta-tiny) counter."""
-    # cheap declines before any regex: length check first (so document-
-    # length text columns never pay a 64-document RE2 scan), then a
-    # 64-value probe that must match wall-to-wall
-    probe = arr.slice(0, min(64, len(arr)))
-    if len(probe) == 0:
-        return None
-    try:
-        avg_len = pc.sum(pc.utf8_length(probe)).as_py() / len(probe)
-    except pa.ArrowNotImplementedError:
-        return None            # binary array — not a template candidate
-    if avg_len is None or avg_len > 256:
-        return None
-    if _template_parts(probe) is None:
+    if not _template_probe_ok(arr):
         return None
     parts = _template_parts(arr)
     if parts is None:
@@ -426,6 +432,16 @@ def _encode_string(arr: pa.Array, dtype_code: DType, codec: Codec | None,
     if codec is None:
         # cached choice (worker-local): skip the dict probe / FSST build
         entry = _str_cache.get(cache_key) if cache_key else None
+        # stale-dataset escape hatch (r6): a cached fsst/raw choice from
+        # a previously-encoded same-named column must not suppress the
+        # template codec on a column that now matches it — the probe is
+        # microseconds, and template beats fsst by 3-5x on id columns.
+        # (A cached 'dict' stays: repeats legitimately beat template.)
+        if (entry is not None and entry["choice"] in ("fsst", "raw")
+                and not entry.get("no_template")
+                and dtype_code == DType.STR and _template_probe_ok(arr)):
+            del _str_cache[cache_key]
+            entry = None
         if entry is not None and entry["uses"] < _REAUDIT_EVERY:
             entry["uses"] += 1
             if entry["choice"] == "dict":
@@ -462,17 +478,25 @@ def _encode_string(arr: pa.Array, dtype_code: DType, codec: Codec | None,
                                              "merges": [], "uses": 0}
                 return build_dict()
         cands = [("raw", build(Codec.STR_RAW, corpus))]
+        tmpl_tried = False
         if dtype_code == DType.STR:
             t = _template_build(arr, dtype_code, n, valid, try_zstd)
             if t is not None:
+                tmpl_tried = True
                 cands.append(("template", t))
         fsst_payload, merges = strings.fsst_encode_full(corpus)
         if fsst_payload is not None:
             cands.append(("fsst", build(Codec.FSST, fsst_payload)))
         choice, best = min(cands, key=lambda t: len(t[1]))
         if cache_key:
+            # no_template marks "a template candidate was BUILT for this
+            # data and lost on size" — it stops the stale-dataset escape
+            # hatch above from re-auditioning every chunk of a column
+            # whose values match the probe but compress better as fsst
             _str_cache[cache_key] = {"choice": choice, "merges": merges,
-                                     "uses": 0}
+                                     "uses": 0,
+                                     "no_template": tmpl_tried
+                                     and choice != "template"}
         return best
     raise ValueError(f"not a string codec: {codec}")
 
@@ -765,13 +789,20 @@ def pick_int_codec(values: np.ndarray) -> int | None:
 
 def seed_choice_cache(hints: dict[str, int]) -> None:
     """Pre-populate the worker-local codec-choice cache from driver-side
-    audition hints ({cache_key: codec enum}). setdefault only: a worker
-    that already auditioned keeps its own (fresher) choice, and the
-    normal re-audit cadence (_REAUDIT_EVERY) still tracks drift — a
-    stale or wrong hint costs compression ratio, never correctness
-    (payload fallback + the RAW(+zstd) guard are unchanged)."""
+    audition hints ({cache_key: codec enum}).
+
+    When a cached entry AGREES with the hint it is kept (its use count
+    keeps driving the normal _REAUDIT_EVERY drift cadence). When it
+    DISAGREES, the hint wins (r6): a long-lived worker that previously
+    encoded a different dataset whose columns share names would
+    otherwise reuse that dataset's choices for up to _REAUDIT_EVERY
+    chunks — the hint was auditioned on THIS dataset and is the fresher
+    signal. A wrong choice still only costs compression ratio, never
+    correctness (payload fallback + the RAW(+zstd) guard)."""
     for key, codec in hints.items():
-        _choice_cache.setdefault(key, [Codec(codec), 0])
+        cur = _choice_cache.get(key)
+        if cur is None or cur[0] != Codec(codec):
+            _choice_cache[key] = [Codec(codec), 0]
 
 
 def _reheader(blob: bytes, dtype_code: DType, valid: np.ndarray | None,

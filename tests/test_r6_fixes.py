@@ -637,3 +637,34 @@ def test_cli_par_sep_non_ascii_and_scale_errors(spark, sf_dir, tmp_path,
     n_full = temperature_sample(docs, "source", "doc_id",
                                 scale=5.0).count()
     assert n_full > 0
+
+
+def test_stale_worker_caches_self_correct():
+    """A long-lived worker that encoded a DIFFERENT dataset with the
+    same column names must not impose its choices on this one: int
+    hints override mismatched cached entries, and a cached fsst choice
+    yields to the template probe (the design-size gate regressed in
+    full-suite runs through exactly this staleness)."""
+    import pyarrow as pa
+    from tbl_spark.codecs import decode_array, encode_array
+    from tbl_spark.codecs.core import (_choice_cache, _str_cache,
+                                       blob_codec, seed_choice_cache)
+    from tbl_spark.codecs.format import Codec
+    # string side: poison with a stale fsst choice
+    _str_cache["doc_id"] = {"choice": "fsst", "merges": [], "uses": 0}
+    ids = pa.array([f"w-{i:09d}" for i in range(3000)],
+                   type=pa.large_string())
+    blob = encode_array(ids, cache_key="doc_id")
+    assert blob_codec(blob).startswith("str_template")
+    out, _ = decode_array(blob)
+    assert out.cast(pa.large_string()).to_pylist() == ids.to_pylist()
+    _str_cache.pop("doc_id", None)
+    # int side: a seeded hint replaces a DISAGREEING stale entry
+    _choice_cache["n_tok"] = [Codec.CONST, 3]
+    seed_choice_cache({"n_tok": int(Codec.RANS)})
+    assert _choice_cache["n_tok"][0] == Codec.RANS
+    # ...but an agreeing entry keeps its re-audit counter
+    _choice_cache["n_tok"] = [Codec.RANS, 7]
+    seed_choice_cache({"n_tok": int(Codec.RANS)})
+    assert _choice_cache["n_tok"][1] == 7
+    _choice_cache.pop("n_tok", None)
