@@ -327,22 +327,32 @@ def _template_parts(arr: pa.Array):
         return None  # e.g. forced onto a binary array
 
 
-def _template_probe_ok(arr: pa.Array) -> bool:
+def _template_probe_fp(arr: pa.Array) -> frozenset | None:
     """Cheap template candidacy check: length gate first (so document-
     length text columns never pay a 64-document RE2 scan), then a
-    64-value probe that must match wall-to-wall. Microseconds on a
-    decline — cheap enough to run per chunk even against a cached
-    non-template choice."""
+    64-value probe that must match wall-to-wall. Returns None on a
+    decline, else a FINGERPRINT of the probe (the distinct prefixes) —
+    chunks of the same dataset share it, a different dataset under the
+    same column name almost never does, which is what lets a cached
+    "template lost here" verdict stay scoped to the data that produced
+    it. Microseconds on a decline."""
     probe = arr.slice(0, min(64, len(arr)))
     if len(probe) == 0:
-        return False
+        return None
     try:
         avg_len = pc.sum(pc.utf8_length(probe)).as_py() / len(probe)
     except pa.ArrowNotImplementedError:
-        return False           # binary array — not a template candidate
+        return None            # binary array — not a template candidate
     if avg_len is None or avg_len > 256:
-        return False
-    return _template_parts(probe) is not None
+        return None
+    parts = _template_parts(probe)
+    if parts is None:
+        return None
+    return frozenset(parts[0].to_pylist())
+
+
+def _template_probe_ok(arr: pa.Array) -> bool:
+    return _template_probe_fp(arr) is not None
 
 
 def _template_build(arr: pa.Array, dtype_code: DType, n: int,
@@ -432,16 +442,29 @@ def _encode_string(arr: pa.Array, dtype_code: DType, codec: Codec | None,
     if codec is None:
         # cached choice (worker-local): skip the dict probe / FSST build
         entry = _str_cache.get(cache_key) if cache_key else None
-        # stale-dataset escape hatch (r6): a cached fsst/raw choice from
-        # a previously-encoded same-named column must not suppress the
-        # template codec on a column that now matches it — the probe is
-        # microseconds, and template beats fsst by 3-5x on id columns.
-        # (A cached 'dict' stays: repeats legitimately beat template.)
-        if (entry is not None and entry["choice"] in ("fsst", "raw")
-                and not entry.get("no_template")
-                and dtype_code == DType.STR and _template_probe_ok(arr)):
-            del _str_cache[cache_key]
-            entry = None
+        # stale-dataset escape hatches (r6): a choice cached while
+        # encoding a previously-seen same-named column must not suppress
+        # the right codec for THIS one. Both probes are microseconds.
+        if entry is not None and dtype_code == DType.STR:
+            # fsst/raw must yield to the template codec on id-shaped
+            # data (template beats fsst 3-5x there); no_template_fp
+            # records the probe fingerprint of data where template was
+            # already built and LOST on size — only that same data
+            # shape keeps the cached choice without a re-audition
+            if entry["choice"] in ("fsst", "raw"):
+                fp = _template_probe_fp(arr)
+                if fp is not None and fp != entry.get("no_template_fp"):
+                    del _str_cache[cache_key]
+                    entry = None
+            # a cached 'dict' premised on repeats is pathological on an
+            # all-distinct column (the dictionary becomes a full copy);
+            # re-audition when a probe shows no repeats at all
+            elif entry["choice"] == "dict" and len(arr) >= 16:
+                dprobe = arr.slice(0, min(64, len(arr)))
+                if len(dprobe.dictionary_encode().dictionary) \
+                        == len(dprobe):
+                    del _str_cache[cache_key]
+                    entry = None
         if entry is not None and entry["uses"] < _REAUDIT_EVERY:
             entry["uses"] += 1
             if entry["choice"] == "dict":
@@ -478,25 +501,29 @@ def _encode_string(arr: pa.Array, dtype_code: DType, codec: Codec | None,
                                              "merges": [], "uses": 0}
                 return build_dict()
         cands = [("raw", build(Codec.STR_RAW, corpus))]
-        tmpl_tried = False
+        tmpl_fp = None
         if dtype_code == DType.STR:
-            t = _template_build(arr, dtype_code, n, valid, try_zstd)
-            if t is not None:
-                tmpl_tried = True
-                cands.append(("template", t))
+            tmpl_fp = _template_probe_fp(arr)
+            if tmpl_fp is not None:
+                t = _template_build(arr, dtype_code, n, valid, try_zstd)
+                if t is not None:
+                    cands.append(("template", t))
         fsst_payload, merges = strings.fsst_encode_full(corpus)
         if fsst_payload is not None:
             cands.append(("fsst", build(Codec.FSST, fsst_payload)))
         choice, best = min(cands, key=lambda t: len(t[1]))
         if cache_key:
-            # no_template marks "a template candidate was BUILT for this
-            # data and lost on size" — it stops the stale-dataset escape
-            # hatch above from re-auditioning every chunk of a column
-            # whose values match the probe but compress better as fsst
+            # no_template_fp marks "a template candidate was BUILT for
+            # data with this probe fingerprint and lost on size" — it
+            # stops the stale-dataset escape hatch above from
+            # re-auditioning every chunk of THAT column, while a
+            # different dataset (different fingerprint) under the same
+            # name still re-audits immediately
             _str_cache[cache_key] = {"choice": choice, "merges": merges,
                                      "uses": 0,
-                                     "no_template": tmpl_tried
-                                     and choice != "template"}
+                                     "no_template_fp":
+                                     tmpl_fp if choice != "template"
+                                     else None}
         return best
     raise ValueError(f"not a string codec: {codec}")
 

@@ -569,10 +569,16 @@ def test_pick_int_codec_and_seed_cache():
     core._choice_cache.pop("hinted_col", None)
     core.seed_choice_cache({"hinted_col": codec})
     assert core._choice_cache["hinted_col"][0] == Codec(codec)
-    # setdefault semantics: an existing (worker-own) choice is kept
+    # r6 semantics: a DISAGREEING cached choice (stale — e.g. from a
+    # previously-encoded dataset sharing the column name) is replaced
+    # by the hint, which was auditioned on the current dataset...
     core._choice_cache["hinted_col"] = [Codec.RAW, 3]
     core.seed_choice_cache({"hinted_col": codec})
-    assert core._choice_cache["hinted_col"] == [Codec.RAW, 3]
+    assert core._choice_cache["hinted_col"] == [Codec(codec), 0]
+    # ...while an AGREEING one keeps its re-audit counter
+    core._choice_cache["hinted_col"] = [Codec(codec), 5]
+    core.seed_choice_cache({"hinted_col": codec})
+    assert core._choice_cache["hinted_col"] == [Codec(codec), 5]
     core._choice_cache.pop("hinted_col", None)
 
 
