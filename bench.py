@@ -41,17 +41,33 @@ BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", 60_000))
 # so a tighter bar would mostly gate on ourselves; the control kernel —
 # which runs while our JVM is idle — is the signal that actually
 # separates co-tenant steal from self-load.
+# r7 (VERDICT r6 #1): the CPU control fits partly in cache and catches
+# whole-core steal but NOT host DRAM-bandwidth contention — the r6
+# artifact recorded a memory-bound encode 1.7x inflated with every CPU
+# control clean. A SECOND control therefore runs in every burst: a
+# preallocated streaming triad whose 768 MB working set defeats any
+# cache and whose out= writes keep the allocator out of the timed
+# region, so its wall time IS the guest-observable streaming bandwidth.
+# Reps gate on both; per-rep `bandwidth` slowdowns and `flagged_bw`
+# land in the JSON next to the CPU control's fields.
 LOAD_MAX = float(os.environ.get("SPARK_GRAFT_LOAD_MAX", "6.0"))
 LOAD_WAIT_S = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "60"))
 CTRL_MAX = float(os.environ.get("SPARK_GRAFT_CTRL_MAX", "1.25"))
+BW_MAX = float(os.environ.get("SPARK_GRAFT_BW_MAX", "1.35"))
 _LOAD_META: dict[str, dict] = {}
 
 _GATE_SLEPT = [0.0]   # seconds spent on gate waits + control timings
 _CTRL_TIMES: list[float] = []   # every control-kernel wall time observed
 _CTRL_BUF = None
+_BW_TIMES: list[float] = []     # every bandwidth-kernel wall time observed
+_BW_BUFS = None
 
 CTRL_KERNEL_DESC = ("numpy sin+sum over 8M float64, single-threaded "
                     "(element-wise ufunc, no BLAS thread pool)")
+BW_KERNEL_DESC = ("preallocated out= numpy triad a=b+0.5*c over 32M "
+                  "float64 (768 MB working set >> LLC, no allocation "
+                  "in the timed region) — single-threaded streaming "
+                  "DRAM bandwidth")
 
 
 def _control_time() -> float:
@@ -77,27 +93,65 @@ def _ctrl_floor() -> float:
     return min(_CTRL_TIMES)
 
 
-def _control_burst(k: int = 4, gap: float = 0.25) -> float:
-    """min over k spaced control runs (~1.3 s span). A live Spark JVM
-    emits short periodic CPU spikes (~0.5 s every couple of seconds,
-    measured on an otherwise idle session) that a SINGLE control run
-    randomly straddles; a spaced min-burst always finds a clean slot
-    between self-spikes, while genuine co-tenant steal — which lasts
-    minutes, not fractions of a second — slows every run in the burst
-    and survives the min."""
+def _bw_time() -> float:
+    """One bandwidth-kernel run (~0.1 s on an uncontended bus): a
+    STREAMING TRIAD over preallocated buffers whose working set (768 MB)
+    dwarfs any LLC, written with out= so the timed region allocates
+    nothing. This is the signal the r6 CPU control could not see
+    (VERDICT r6 #1): the sin kernel's 64 MB array partly caches and its
+    per-call 64 MB allocation makes it fault/steal-sensitive rather than
+    bus-sensitive, so a co-tenant saturating HOST DRAM bandwidth — which
+    is exactly what moves a 32-way Arrow encode — left it clean. The
+    triad reads/writes main memory wall-to-wall; bus contention slows it
+    in direct proportion."""
+    global _BW_BUFS
+    import numpy as np
+    if _BW_BUFS is None:
+        n = 32_000_000
+        b = np.arange(n, dtype=np.float64)
+        c = np.ones(n, dtype=np.float64)
+        a = np.empty_like(b)
+        np.add(b, 0.5 * c, out=a)        # first-touch warmup, untimed
+        _BW_BUFS = (a, b, c)
+    a, b, c = _BW_BUFS
+    t0 = time.perf_counter()
+    np.multiply(c, 0.5, out=a)
+    np.add(a, b, out=a)
+    dt = time.perf_counter() - t0
+    _BW_TIMES.append(dt)
+    return dt
+
+
+def _bw_floor() -> float:
+    """Fastest bandwidth-kernel run so far — the uncontended-bus floor."""
+    return min(_BW_TIMES)
+
+
+def _control_burst(k: int = 4, gap: float = 0.25) -> tuple[float, float]:
+    """(cpu_best, bw_best): min over k spaced runs of each control
+    (~1.5 s span), interleaved. A live Spark JVM emits short periodic
+    CPU spikes (~0.5 s every couple of seconds, measured on an otherwise
+    idle session) that a SINGLE control run randomly straddles; a spaced
+    min-burst always finds a clean slot between self-spikes, while
+    genuine co-tenant steal or bus contention — which lasts minutes, not
+    fractions of a second — slows every run in the burst and survives
+    the min."""
     best = _control_time()
+    best_bw = _bw_time()
     for _ in range(k - 1):
         time.sleep(gap)
         best = min(best, _control_time())
-    return best
+        best_bw = min(best_bw, _bw_time())
+    return best, best_bw
 
 
 def _wait_clean() -> tuple[float, float]:
     """Block (bounded by LOAD_WAIT_S) until the window looks clean on
-    BOTH signals: 1-min loadavg <= LOAD_MAX (guest-visible load) and a
-    fresh control-kernel run within CTRL_MAX of the running floor
-    (hypervisor steal). Returns (loadavg, control_seconds) observed when
-    proceeding. Time spent here (sleeps + control runs) is accounted in
+    ALL THREE signals: 1-min loadavg <= LOAD_MAX (guest-visible load), a
+    fresh CPU-control run within CTRL_MAX of the running floor
+    (hypervisor steal), and a fresh bandwidth-control run within BW_MAX
+    of its floor (co-tenant DRAM contention — VERDICT r6 #1). Returns
+    (loadavg, control_seconds, bw_seconds) observed when proceeding. Time spent here (sleeps + control runs) is accounted in
     _GATE_SLEPT so wall-clock-derived metrics exclude it — gate waits
     are host hygiene, not engine cost."""
     t0 = time.monotonic()
@@ -105,10 +159,11 @@ def _wait_clean() -> tuple[float, float]:
         la = os.getloadavg()[0]
         expired = time.monotonic() - t0 > LOAD_WAIT_S
         if la <= LOAD_MAX or expired:
-            ctrl = _control_burst()
-            if ctrl / _ctrl_floor() <= CTRL_MAX or expired:
+            ctrl, bw = _control_burst()
+            if (ctrl / _ctrl_floor() <= CTRL_MAX
+                    and bw / _bw_floor() <= BW_MAX) or expired:
                 _GATE_SLEPT[0] += time.monotonic() - t0
-                return la, ctrl
+                return la, ctrl, bw
         time.sleep(2.0)
 
 
@@ -123,12 +178,14 @@ def _timed_reps(name: str, fn, reps: int = 2, max_reps: int = 4):
     slowdown factors once the whole run's control floor is known."""
     times: list[float] = []
     loads: list[float] = []
-    ctrls: list[float] = []   # gate-time (pre-rep) control per rep
-    posts: list[float] = []   # post-rep control (informational)
+    ctrls: list[float] = []   # gate-time (pre-rep) CPU control per rep
+    bws: list[float] = []     # gate-time (pre-rep) bandwidth control
+    posts: list[float] = []   # post-rep CPU control (informational)
+    bw_posts: list[float] = []  # post-rep bandwidth control (informational)
     result = None
     clean = 0
     for _ in range(max_reps):
-        la, c_before = _wait_clean()
+        la, c_before, bw_before = _wait_clean()
         t0 = time.perf_counter()
         result = fn()
         times.append(time.perf_counter() - t0)
@@ -143,17 +200,21 @@ def _timed_reps(name: str, fn, reps: int = 2, max_reps: int = 4):
         # classifier, and a steal window opening mid-rep is caught by
         # the next rep's gate. Quiesce + min-of-3 damps the GC tail.
         time.sleep(0.3)
-        posts.append(_control_burst())
+        post_c, post_bw = _control_burst()
+        posts.append(post_c)
+        bw_posts.append(post_bw)
         _GATE_SLEPT[0] += time.perf_counter() - t1
         loads.append(round(la, 2))
         ctrls.append(c_before)
-        floor = _ctrl_floor()
-        if la <= LOAD_MAX and c_before / floor <= CTRL_MAX:
+        bws.append(bw_before)
+        if (la <= LOAD_MAX and c_before / _ctrl_floor() <= CTRL_MAX
+                and bw_before / _bw_floor() <= BW_MAX):
             clean += 1
         if clean >= reps:
             break
     _LOAD_META[name] = {"loadavg": loads, "attempts": len(times),
-                        "_times": times, "_ctrls": ctrls, "_posts": posts}
+                        "_times": times, "_ctrls": ctrls, "_posts": posts,
+                        "_bws": bws, "_bw_posts": bw_posts}
     return min(times), result
 
 
@@ -163,22 +224,40 @@ def _finalize_load_meta() -> dict:
     included) and flag queries whose best rep ran in a polluted window.
     Returns the steal_control summary block."""
     floor = _ctrl_floor()
+    bw_floor = _bw_floor()
     flagged = []
+    flagged_bw = []
     for name, meta in _LOAD_META.items():
         t = meta.pop("_times")
         c = meta.pop("_ctrls")
         p = meta.pop("_posts")
+        bw = meta.pop("_bws")
+        bwp = meta.pop("_bw_posts")
         meta["control"] = [round(x / floor, 3) for x in c]
         meta["control_post"] = [round(x / floor, 3) for x in p]
-        best_slow = c[t.index(min(t))] / floor
-        meta["flagged"] = best_slow > CTRL_MAX
+        meta["bandwidth"] = [round(x / bw_floor, 3) for x in bw]
+        meta["bandwidth_post"] = [round(x / bw_floor, 3) for x in bwp]
+        best = t.index(min(t))
+        meta["flagged"] = c[best] / floor > CTRL_MAX
+        # a rep can run on a clean CPU but a contended bus — flag it
+        # independently (VERDICT r6 #1: the memory-bound queries carry
+        # the error bar the CPU control cannot see)
+        meta["flagged_bw"] = bw[best] / bw_floor > BW_MAX
         if meta["flagged"]:
             flagged.append(name)
+        if meta["flagged_bw"]:
+            flagged_bw.append(name)
     return {"kernel": CTRL_KERNEL_DESC,
             "floor_sec": round(floor, 4),
             "ctrl_max": CTRL_MAX,
             "n_samples": len(_CTRL_TIMES),
-            "flagged_queries": flagged}
+            "flagged_queries": flagged,
+            "bw_kernel": BW_KERNEL_DESC,
+            "bw_floor_sec": round(bw_floor, 4),
+            "bw_floor_gb_per_sec": round(32e6 * 8 * 3 / bw_floor / 1e9, 2),
+            "bw_max": BW_MAX,
+            "bw_n_samples": len(_BW_TIMES),
+            "flagged_queries_bw": flagged_bw}
 
 
 def _new_session(cores: int):
@@ -263,6 +342,7 @@ def main() -> None:
     # whole run's minimum, so a polluted calibration cannot hide steal.
     for _ in range(3):
         _control_time()
+        _bw_time()
 
     spark = _new_session(CPUS)
 
@@ -368,6 +448,25 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_SCALING"):
         extras["scaling"] = run_scaling(
             int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", 40_000)))
+
+    # contention-free per-core anchor (VERDICT r6 #6): the same encode
+    # pipeline on local[1] — one thread cannot contend with itself for
+    # the DRAM bus, so tokens/sec/core here is comparable ACROSS bench
+    # windows without the volatile host-capacity control, and
+    # (encode_tokens_per_sec / CPUS) / this anchor is an honest
+    # parallel-efficiency figure for the run's own window. Quarter-size
+    # input (same generator, same ~400k-token chunks) keeps the single
+    # thread's wall at ~10 s instead of ~40.
+    spark1 = _new_session(1)
+    try:
+        thr1, tok1, _b1, dt1 = encode_tokens_per_sec(
+            spark1, BENCH_DOCS // 4, num_parts=max(2, CPUS // 2),
+            meta_name="encode_tokens_1core")
+        extras["encode_tokens_per_sec_1core"] = round(thr1)
+        extras["encode_tokens_1core_sec"] = round(dt1, 3)
+        extras["encode_tokens_1core_tokens"] = int(tok1)
+    finally:
+        spark1.stop()
 
     steal = _finalize_load_meta()
     out = {

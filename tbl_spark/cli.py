@@ -742,6 +742,17 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"--text-col {t!r} collides with a gopher gate "
                       "signal column; rename it first", file=sys.stderr)
                 return 1
+            # the stash name itself must be free, or the restore below
+            # produces duplicate column names (ADVICE r6) — refuse, like
+            # the text-col collision check above
+            taken = [f"_orig_{c}" for c in collide
+                     if f"_orig_{c}" in df.columns]
+            if taken:
+                print("input columns "
+                      f"{', '.join(repr(n) for n in taken)} collide "
+                      "with the gopher-gate stash names; rename them "
+                      "first", file=sys.stderr)
+                return 1
             for c in collide:
                 df = df.withColumnRenamed(c, f"_orig_{c}")
             before = set(df.columns)

@@ -381,6 +381,15 @@ def _template_decode(payload: bytes, n: int) -> pa.Array:
     prefix, _ = _decode_string(bp)
     numbers = _decode_int_blob(bn).astype(np.int64, copy=False)
     widths = _decode_int_blob(bw)
+    # the encoder never emits empty or mismatched part streams (it
+    # declines empty/non-matching arrays), so any mismatch here means a
+    # truncated or tampered blob — say so instead of an IndexError on
+    # uw[-1] or a silent misrender on a short widths stream (ADVICE r6)
+    if n == 0 or not (len(prefix) == len(numbers) == len(widths) == n):
+        raise ValueError(
+            "corrupt STR_TEMPLATE blob: part lengths "
+            f"(prefix={len(prefix)}, numbers={len(numbers)}, "
+            f"widths={len(widths)}) do not all equal n={n}")
     uw = np.unique(widths)
     num_str = pc.cast(pa.array(numbers), pa.large_string())
     if len(uw) == 1:           # the common fixed-width id: pure arrow
@@ -501,12 +510,13 @@ def _encode_string(arr: pa.Array, dtype_code: DType, codec: Codec | None,
                                              "merges": [], "uses": 0}
                 return build_dict()
         cands = [("raw", build(Codec.STR_RAW, corpus))]
-        tmpl_fp = None
+        tmpl_fp, tmpl_built = None, False
         if dtype_code == DType.STR:
             tmpl_fp = _template_probe_fp(arr)
             if tmpl_fp is not None:
                 t = _template_build(arr, dtype_code, n, valid, try_zstd)
                 if t is not None:
+                    tmpl_built = True
                     cands.append(("template", t))
         fsst_payload, merges = strings.fsst_encode_full(corpus)
         if fsst_payload is not None:
@@ -518,11 +528,17 @@ def _encode_string(arr: pa.Array, dtype_code: DType, codec: Codec | None,
             # stops the stale-dataset escape hatch above from
             # re-auditioning every chunk of THAT column, while a
             # different dataset (different fingerprint) under the same
-            # name still re-audits immediately
+            # name still re-audits immediately. When the probe passed
+            # but the full-array build DECLINED (one non-matching tail
+            # value), record None instead (ADVICE r6): later chunks of
+            # the same column that ARE fully template-shaped must
+            # re-audition, not inherit a fsst/raw verdict the template
+            # never actually lost
             _str_cache[cache_key] = {"choice": choice, "merges": merges,
                                      "uses": 0,
                                      "no_template_fp":
-                                     tmpl_fp if choice != "template"
+                                     tmpl_fp if tmpl_built
+                                     and choice != "template"
                                      else None}
         return best
     raise ValueError(f"not a string codec: {codec}")

@@ -19,11 +19,27 @@ RING_MAX = 4
 
 def _session_dead(df: DataFrame) -> bool:
     """True when the frame's SparkContext has been stopped — its cache
-    entry died with the JVM, and calling unpersist() on it would raise."""
+    entry died with the JVM, and calling unpersist() on it would raise.
+
+    Only the *expected* stopped-session signals count as dead: the
+    explicit `_jsc is None` sentinel; the attribute chain being torn
+    down (AttributeError after `SparkSession.stop()`, or an environment
+    like Spark Connect where `_jsc` never exists — there the CacheManager
+    handle is gone from this process either way); or a py4j-layer error /
+    an error naming the stopped context (the JVM gateway is gone).  Any
+    other, transient exception keeps the frame in the ring so the
+    best-effort unpersist in the eviction path still gets a chance to run
+    (ADVICE r6: classifying every error as dead silently leaked
+    still-persisted frames)."""
     try:
         return df.sparkSession.sparkContext._jsc is None
-    except Exception:
+    except AttributeError:
         return True
+    except Exception as e:  # noqa: BLE001 — classified below, not swallowed
+        if type(e).__module__.startswith("py4j"):
+            return True
+        msg = str(e).lower()
+        return "shut down" in msg or "shutdown" in msg or "stopped" in msg
 
 
 def ring_persist(df: DataFrame) -> DataFrame:
