@@ -172,3 +172,88 @@ def test_str_template_property_roundtrip(prefixes, picks):
                         codec=Codec.STR_TEMPLATE)
     out, _ = decode_array(blob)
     assert out.cast(pa.large_string()).to_pylist() == vals
+
+
+# -- r7: adversarial template grammar + cache-crossing (VERDICT r6 #8) --------
+
+@st.composite
+def template_corpora(draw):
+    """Adversarial id corpora over the template grammar: prefixes that
+    themselves end in digits (digit-run boundary ambiguity), widths with
+    and without leading zeros, values at the 18-vs-19-digit bound, the
+    occasional non-matching value (forces build-decline), empty strings,
+    and pure-digit ids (empty prefix)."""
+    kind = draw(st.sampled_from(
+        ["clean", "digit_prefix", "boundary", "mixed_widths",
+         "with_breaker", "pure_digits"]))
+    n = draw(st.integers(1, 80))
+    rng = np.random.default_rng(draw(st.integers(0, 2**31)))
+    base = draw(st.sampled_from(["web-", "a1b2-", "", "x", "00pre"]))
+    vals = []
+    for i in range(n):
+        if kind == "clean":
+            vals.append(f"{base}{int(rng.integers(0, 10**9)):09d}")
+        elif kind == "digit_prefix":
+            # prefix ends in digits: the regex split point is ambiguous
+            # to a human but must round-trip exactly regardless
+            vals.append(f"{base}7{int(rng.integers(0, 10**6)):0{draw(st.integers(1, 12))}d}")
+        elif kind == "boundary":
+            w = draw(st.sampled_from([17, 18, 19, 20]))
+            vals.append(base + "9" * w)
+        elif kind == "mixed_widths":
+            w = int(rng.integers(1, 19))
+            vals.append(f"{base}{int(rng.integers(0, 10**min(w, 15))):0{w}d}")
+        elif kind == "with_breaker":
+            if i == n // 2:
+                vals.append(base + "no-digits-tail!")
+            else:
+                vals.append(f"{base}{int(rng.integers(0, 10**6)):06d}")
+        else:  # pure_digits — empty prefix
+            vals.append(f"{int(rng.integers(0, 10**12)):0{draw(st.integers(1, 14))}d}")
+    return vals
+
+
+@given(template_corpora(), st.booleans())
+@settings(max_examples=80, deadline=None)
+def test_template_grammar_auto_and_forced_roundtrip(vals, force):
+    """Both the forced codec and the full auto-audition path must
+    round-trip every adversarial corpus bit-exactly (the forced path
+    may legally fall back to raw when the build declines)."""
+    import pyarrow as pa
+    from tbl_spark.codecs import decode_array, encode_array
+    from tbl_spark.codecs.format import Codec
+    arr = pa.array(vals, type=pa.large_string())
+    blob = encode_array(arr, codec=Codec.STR_TEMPLATE if force else None)
+    out, _ = decode_array(blob)
+    assert out.cast(pa.large_string()).to_pylist() == vals
+
+
+@given(st.lists(st.tuples(template_corpora(), st.booleans()),
+                min_size=2, max_size=4))
+@settings(max_examples=30, deadline=None)
+def test_template_cache_crossing_chunks_roundtrip(chunks):
+    """Chunks of DIFFERENT datasets arriving under one cache key (the
+    reused-worker scenario that produced r6's subtlest bug): every chunk
+    must round-trip exactly no matter what choice the previous chunk
+    cached, including probe-pass/build-decline chunks that must not
+    poison the fingerprint for later template-shaped chunks."""
+    import pyarrow as pa
+    from tbl_spark.codecs import decode_array, encode_array
+    from tbl_spark.codecs.core import _str_cache
+    key = "prop_cache_cross"
+    _str_cache.pop(key, None)
+    try:
+        for vals, add_nulls in chunks:
+            if add_nulls and len(vals) > 70:
+                vals = list(vals)
+                vals[70] = None   # null past the 64-value probe window
+            arr = pa.array(vals, type=pa.large_string())
+            out, valid = decode_array(encode_array(arr, cache_key=key))
+            got = out.cast(pa.large_string()).to_pylist()
+            for i, v in enumerate(vals):
+                if v is None:
+                    assert valid is not None and not valid[i]
+                else:
+                    assert got[i] == v, (i, v)
+    finally:
+        _str_cache.pop(key, None)
