@@ -55,6 +55,7 @@ class Codec(enum.IntEnum):
     DEC128 = 12  # decimal128 as two auto-encoded uint64 word planes
     DELTA_NESTED = 13  # first value + recursively auto-encoded deltas
     STR_TEMPLATE = 14  # '<prefix><digits>' ids: prefix dict + int + width
+    RANS_SHARED = 15  # rANS against a shared table stored once per run
 
 
 class DType(enum.IntEnum):

@@ -55,11 +55,19 @@ def quantize_freqs(counts: np.ndarray) -> np.ndarray:
     return f
 
 
-def encode(codes: np.ndarray, K: int, n_lanes: int = 4096
+def encode(codes: np.ndarray, K: int, n_lanes: int = 4096,
+           freqs: np.ndarray | None = None
            ) -> tuple[bytes, np.ndarray] | None:
     """codes: int64 array of symbols in [0, K). Returns (payload_core,
     freqs) or None when ineligible. payload_core excludes the freq/unique
-    tables (the caller frames those)."""
+    tables (the caller frames those).
+
+    `freqs`: an externally-fixed quantized table (len K, every slot ≥ 1,
+    sums to M) — the shared-dictionary-page path (RANS_SHARED): many
+    chunks encode against ONE table stored once, so the per-chunk table
+    cost disappears. The caller owns table validity; every symbol that
+    appears in `codes` must have freq ≥ 1 (a Laplace-smoothed dense
+    table guarantees this for any in-range symbol)."""
     n = len(codes)
     if n == 0 or K > MAX_ALPHABET or K < 2:
         return None
@@ -76,8 +84,13 @@ def encode(codes: np.ndarray, K: int, n_lanes: int = 4096
     # (measured 240 ms of ~1.5 s per 4M-token chunk at L=1024).
     L = min(n_lanes, 1 << max(6, (n // 384).bit_length() - 1))
     L = max(64, min(L, 1024))
-    counts = np.bincount(codes, minlength=K)
-    f = quantize_freqs(counts)
+    if freqs is None:
+        counts = np.bincount(codes, minlength=K)
+        f = quantize_freqs(counts)
+    else:
+        f = np.asarray(freqs, dtype=np.int64)
+        if len(f) != K:
+            raise ValueError("fixed freqs length != K")
     cum = np.zeros(K + 1, dtype=np.int64)
     np.cumsum(f, out=cum[1:])
 

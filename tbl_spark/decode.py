@@ -20,6 +20,50 @@ from .codecs import decode_array
 CHUNK_PART_COL = "part_id"
 
 
+def _resolve_shared_tables(chunk_df: DataFrame,
+                           shared_tables: dict | None) -> dict[int, bytes]:
+    """Shared rANS tables for a decode, in priority order: the explicit
+    param (store metadata path), the `tbl_shared_tables` attribute the
+    encode functions attach to their result DataFrame (the in-flight
+    roundtrip path — free), else a collect of the sentinel chunk rows
+    (cross-session readers of persisted chunk parquet; a tiny pushed-
+    filter scan there, but on an UN-materialized in-flight chunk DF it
+    recomputes the encode — pass the tables explicitly in that case)."""
+    if shared_tables is not None:
+        return dict(shared_tables)
+    attr = getattr(chunk_df, "tbl_shared_tables", None)
+    if attr is not None:
+        return dict(attr)
+    from pyspark.sql import functions as F
+    from .codecs.core import shared_table_fp
+    from .encode import RANS_TABLE_CODEC
+    rows = (chunk_df.filter(F.col("codec") == RANS_TABLE_CODEC)
+            .select("blob").collect())
+    out: dict[int, bytes] = {}
+    for r in rows:
+        b = bytes(r[0])
+        out[shared_table_fp(b)] = b
+    return out
+
+
+def _register_tables(tables: dict[int, bytes]) -> None:
+    if tables:
+        from .codecs.core import register_shared_table
+        for b in tables.values():
+            register_shared_table(b)
+
+
+def _drop_sentinel_rows(tbl: pa.Table) -> pa.Table:
+    """Remove shared-table sentinel rows (codec='rans_table') before
+    decoding — they carry no data rows."""
+    import pyarrow.compute as pc
+    from .encode import RANS_TABLE_CODEC
+    mask = pc.not_equal(tbl.column("codec"), RANS_TABLE_CODEC)
+    if bool(pc.all(mask).as_py()):
+        return tbl
+    return tbl.filter(mask)
+
+
 def _apply_mask(arr: pa.Array, valid: np.ndarray | None) -> pa.Array:
     if valid is None or valid.all():
         return arr
@@ -56,7 +100,8 @@ def decode_table(chunk_tbl: pa.Table,
 
 
 def decode_chunks_colocated(chunk_df: DataFrame, output_ddl: str,
-                            target_partitions: int | None = None
+                            target_partitions: int | None = None,
+                            shared_tables: dict[int, bytes] | None = None
                             ) -> DataFrame:
     """Zero-shuffle decode for chunk stores: when every input file holds
     exactly one part's rows (ChunkStore's layout), rows of a part are
@@ -72,6 +117,7 @@ def decode_chunks_colocated(chunk_df: DataFrame, output_ddl: str,
     cache: coalesce also narrows the parallelism of whatever computes
     the chunks (e.g. an in-flight encode stage)."""
     from pyspark.sql.types import StructType
+    tables = _resolve_shared_tables(chunk_df, shared_tables)
     if target_partitions is not None:
         chunk_df = chunk_df.coalesce(target_partitions)
     schema = StructType.fromDDL(output_ddl) if isinstance(output_ddl, str) \
@@ -79,9 +125,10 @@ def decode_chunks_colocated(chunk_df: DataFrame, output_ddl: str,
     column_order = [f.name for f in schema.fields]
 
     def run(batches):
+        _register_tables(tables)
         pending: pa.Table | None = None
         for batch in batches:
-            tbl = pa.Table.from_batches([batch])
+            tbl = _drop_sentinel_rows(pa.Table.from_batches([batch]))
             if pending is not None:
                 tbl = pa.concat_tables([pending, tbl])
                 pending = None
@@ -102,15 +149,25 @@ def decode_chunks_colocated(chunk_df: DataFrame, output_ddl: str,
     return chunk_df.mapInArrow(run, schema)
 
 
-def decode_chunks(chunk_df: DataFrame, output_ddl: str) -> DataFrame:
+def decode_chunks(chunk_df: DataFrame, output_ddl: str,
+                  shared_tables: dict[int, bytes] | None = None
+                  ) -> DataFrame:
     """chunk DataFrame → reconstructed DataFrame with schema output_ddl."""
     from pyspark.sql.types import StructType
     spark = chunk_df.sparkSession
+    tables = _resolve_shared_tables(chunk_df, shared_tables)
     schema = StructType.fromDDL(output_ddl) if isinstance(output_ddl, str) \
         else output_ddl
     column_order = [f.name for f in schema.fields]
+    empty = pa.schema([
+        (f.name, arrow_type_of_ddl(f.dataType.simpleString()))
+        for f in schema.fields]).empty_table()
 
     def decode_group(key: tuple, tbl: pa.Table) -> pa.Table:
+        _register_tables(tables)
+        tbl = _drop_sentinel_rows(tbl)
+        if tbl.num_rows == 0:  # a group of only sentinel rows (part -1)
+            return empty
         return decode_table(tbl, column_order)
 
     _ = spark

@@ -114,10 +114,21 @@ def audition_codec_hints(df: DataFrame,
     Two-phase sampling: `sample_rows` rows cover list columns (each row
     carries hundreds of values), then SCALAR numeric columns — which
     need >= 2^16 values before the audition fires — get their own wider
-    sample of just those columns (a few MB, column-pruned scan)."""
-    from .codecs.core import pick_int_codec
+    sample of just those columns (a few MB, column-pruned scan).
+
+    When rANS wins a column, the audition additionally builds a SHARED
+    frequency table from a wider sample of that column (r7, the
+    dictionary-page analog — see codecs/core.py build_shared_table) and
+    the hint value becomes the table BLOB instead of the codec enum:
+    seed_choice_cache registers it and chunks encode RANS_SHARED cores
+    against it, eliminating the per-chunk side-table cost (0.0535
+    B/token at bench-size 400k-token chunks). Table quality scales with
+    sample size (measured 1.1308 -> 1.1167 B/token going 250k -> 1.6M
+    sample values), so the table sample is wider than the choice
+    sample."""
+    from .codecs.core import Codec, build_shared_table, pick_int_codec
     sample = df.limit(sample_rows).toArrow()
-    hints: dict[str, int] = {}
+    hints: dict[str, int | bytes] = {}
     scalar_num: list[str] = []
     for name in sample.column_names:
         if name == PART_COL:
@@ -141,16 +152,61 @@ def audition_codec_hints(df: DataFrame,
         codec = pick_int_codec(values.to_numpy(zero_copy_only=False))
         if codec is not None:
             hints[key] = codec
+            if codec == Codec.RANS:
+                # wider column-pruned sample just for the shared table
+                from .codecs.core import _primitive_np
+                wide = (df.select(name).limit(4 * sample_rows)
+                        .toArrow().column(name).combine_chunks())
+                wv = to_codec_input(wide).flatten()
+                if not wv.null_count:
+                    blob = build_shared_table(
+                        _primitive_np(to_codec_input(wv)))
+                    if blob is not None:
+                        hints[key] = blob
     if scalar_num:
         wide = df.select(*scalar_num).limit(1 << 17).toArrow()
         for name in scalar_num:
             arr = to_codec_input(wide.column(name).combine_chunks())
             if arr.null_count:
                 arr = arr.drop_null()
-            codec = pick_int_codec(arr.to_numpy(zero_copy_only=False))
+            values_np = arr.to_numpy(zero_copy_only=False)
+            codec = pick_int_codec(values_np)
             if codec is not None:
                 hints[name] = codec
+                if codec == Codec.RANS:
+                    blob = build_shared_table(values_np)
+                    if blob is not None:
+                        hints[name] = blob
     return hints
+
+
+# sentinel chunk rows carrying shared rANS tables (r7): codec marks them,
+# part_id -1 never collides (salted ids are pmod >= 0, colocated ids are
+# 63-bit positive hashes), and the column field holds the BASE column name
+# so per-column stats rollups fold the table's bytes into its column
+# (n_rows/n_values/logical_bytes stay 0 — only enc_bytes counts, which is
+# exactly the honest accounting: the table is part of the compressed size).
+RANS_TABLE_CODEC = "rans_table"
+
+
+def _attach_shared_tables(encoded: DataFrame, spark,
+                          hints: dict) -> DataFrame:
+    """Union one sentinel chunk row per shared table and attach the
+    table dict to the returned DataFrame object (`tbl_shared_tables`)
+    for the in-flight decode path (decode.py reads it back; chunk rows
+    persisted to parquet keep the tables via the sentinel rows)."""
+    from .codecs.core import shared_table_fp
+    blobs = {k: bytes(v) for k, v in hints.items()
+             if isinstance(v, (bytes, bytearray))}
+    tables = {shared_table_fp(b): b for b in blobs.values()}
+    if blobs:
+        rows = [(-1, key.split(".")[0], RANS_TABLE_CODEC, b,
+                 0, 0, 0, len(b), "", 0.0, 0)
+                for key, b in sorted(blobs.items())]
+        sdf = spark.createDataFrame(rows, CHUNK_SCHEMA_DDL)
+        encoded = encoded.unionAll(sdf)
+    encoded.tbl_shared_tables = tables
+    return encoded
 
 
 # helper columns for the zero-shuffle path (projected, never encoded)
@@ -205,7 +261,8 @@ def encode_chunks_colocated(
                                              has_tok, token_col):
             yield from encode_table(pid, tbl, spark_types).to_batches()
 
-    return src.mapInArrow(run, CHUNK_SCHEMA_DDL)
+    return _attach_shared_tables(src.mapInArrow(run, CHUNK_SCHEMA_DDL),
+                                 df.sparkSession, hints)
 
 
 def cut_colocated_chunks(batches, tokens_per_chunk: int, has_tok: bool,
@@ -306,4 +363,5 @@ def encode_chunks(df: DataFrame, num_parts: int,
             tbl = tbl.sort_by(sort_keys)
         return encode_table(key[0].as_py(), tbl, spark_types)
 
-    return df.groupBy(PART_COL).applyInArrow(encode_group, CHUNK_SCHEMA_DDL)
+    out = df.groupBy(PART_COL).applyInArrow(encode_group, CHUNK_SCHEMA_DDL)
+    return _attach_shared_tables(out, df.sparkSession, hints)

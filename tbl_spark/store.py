@@ -159,6 +159,44 @@ class ChunkStore:
             json.dump(meta, f)
         os.replace(tmp, self.meta_path)
 
+    # -- shared rANS tables sidecar (r7) ------------------------------------
+    # Kept OUT of store.json: that file is the pinned chunk-assignment
+    # contract compared key-by-key on resume, while tables ACCUMULATE —
+    # a resumed run's fresh audition sample may build a slightly
+    # different table, and chunks from both runs coexist, each blob
+    # naming its table by content fingerprint.
+
+    @property
+    def shared_tables_path(self) -> str:
+        return os.path.join(self.root, "shared_tables.json")
+
+    def write_shared_tables(self, blobs) -> None:
+        """Merge table blobs into the sidecar (atomic tmp+rename)."""
+        import base64
+
+        from .codecs.core import shared_table_fp
+        cur = self._read_shared_tables_raw()
+        for b in blobs:
+            b = bytes(b)
+            cur[f"{shared_table_fp(b):016x}"] = \
+                base64.b64encode(b).decode("ascii")
+        token = uuid.uuid4().hex[:8]
+        tmp = os.path.join(self.staging_dir, f"shared_tables.{token}.json")
+        with open(tmp, "w") as f:
+            json.dump(cur, f)
+        os.replace(tmp, self.shared_tables_path)
+
+    def _read_shared_tables_raw(self) -> dict:
+        if not os.path.exists(self.shared_tables_path):
+            return {}
+        with open(self.shared_tables_path) as f:
+            return json.load(f)
+
+    def read_shared_tables(self) -> dict[int, bytes]:
+        import base64
+        return {int(fp, 16): base64.b64decode(b64)
+                for fp, b64 in self._read_shared_tables_raw().items()}
+
     def check_or_init_meta(self, meta: dict) -> None:
         """Pin the store's chunk-assignment contract on first encode;
         fail fast if ANY pinned key differs on a later run (each key is
@@ -1035,6 +1073,10 @@ def encode_to_store(df: DataFrame, store: ChunkStore, num_parts: int,
         hints = audition_codec_hints(df.drop(PART_COL))
     else:
         hints = {}
+    tbl_blobs = [v for v in hints.values() if isinstance(v, (bytes,
+                                                             bytearray))]
+    if tbl_blobs:  # persist shared tables BEFORE any chunk references them
+        store.write_shared_tables(tbl_blobs)
 
     # clustered encode (r6, mirrors encode_chunks' cluster=True): chunk-
     # internal row order is shuffle residue, so sorting by the salt key
@@ -1182,6 +1224,10 @@ def encode_to_store_colocated(df: DataFrame, store: ChunkStore,
         hints = audition_codec_hints(df)
     else:
         hints = {}
+    tbl_blobs = [v for v in hints.values() if isinstance(v, (bytes,
+                                                             bytearray))]
+    if tbl_blobs:  # persist shared tables BEFORE any chunk references them
+        store.write_shared_tables(tbl_blobs)
 
     def run(batches):
         if hints:
@@ -1345,8 +1391,9 @@ def decode_from_store(store: ChunkStore, spark: SparkSession,
     cores = spark.sparkContext.defaultParallelism
     n_parts = chunks.rdd.getNumPartitions()
     target = cores if n_parts > 2 * cores else None
-    decoded = decode_chunks_colocated(chunks, output_ddl,
-                                      target_partitions=target)
+    decoded = decode_chunks_colocated(
+        chunks, output_ddl, target_partitions=target,
+        shared_tables=store.read_shared_tables())
     if predicates:
         # exact filters on the decoded rows: zone pruning only skipped
         # chunks that could not match; surviving chunks still carry

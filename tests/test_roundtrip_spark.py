@@ -43,7 +43,10 @@ def test_roundtrip_bit_identical(spark, token_df, chunks):
 
 
 def test_all_chunks_all_columns(chunks):
-    rows = chunks.groupBy("column").count().collect()
+    # DATA chunk rows only: the shared-table sentinel row (codec
+    # 'rans_table', r7) rides in the tokens column for size accounting
+    rows = (chunks.filter(F.col("codec") != "rans_table")
+            .groupBy("column").count().collect())
     counts = {r["column"]: r["count"] for r in rows}
     assert counts == {c: N_CHUNKS for c in
                       ("doc_id", "tokens", "n_tok", "source")}
