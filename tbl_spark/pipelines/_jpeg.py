@@ -1,0 +1,384 @@
+"""Pure-numpy baseline JPEG decoder (ITU-T T.81, a public spec).
+
+Closes VERDICT r6 #4 the way RFC 2083 closed PNG: the dominant web image
+format decodes without PIL. Scope — baseline and extended *sequential*
+Huffman DCT (SOF0/SOF1), 8-bit samples, grayscale or 3-component YCbCr
+(JFIF) with arbitrary integer sampling factors (4:4:4, 4:2:2, 4:2:0,
+4:1:1, …), restart intervals, 8- and 16-bit quantization tables, one
+interleaved scan (or a single-component scan for grayscale frames).
+Progressive (SOF2), arithmetic coding, lossless/hierarchical modes,
+12-bit precision, multi-scan baseline and CMYK raise
+NotImplementedError so those payloads still fall through to the PIL
+gate; structurally broken payloads raise ValueError (the corrupt-input
+contract shared with `_decode_png`).
+
+Execution shape mirrors the rest of the repo: the inherently sequential
+part (Huffman symbol stream) is a tight Python loop over precomputed
+numpy artifacts — a flat 2^16-entry code lookup per Huffman table and a
+per-restart-segment array of 16-bit bit-windows, so each symbol costs
+two array reads — while everything batchable (dequantize, de-zigzag,
+IDCT over all blocks at once via two 8x8 matrix contractions, plane
+assembly, chroma upsample, YCbCr→RGB) is whole-array numpy. The
+bit-window array costs 4 bytes per scan *bit* (32x the entropy-coded
+byte size) per restart segment; scans are at most a few MB so the peak
+is bounded, and restart intervals shrink it further.
+
+Reference behavior parity: tbl's media columns are opaque bytes
+(`types.rs`); decode lives in this repo's pipeline tier only.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# zigzag scan order (T.81 Figure 5): ZIGZAG[k] = natural index of the
+# k-th coefficient in zigzag order
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+_POW16 = (1 << np.arange(15, -1, -1)).astype(np.uint32)
+
+# 8x8 IDCT basis with the c(u) normalization folded in:
+# px = M.T @ C @ M reconstructs spatial samples from natural-order
+# coefficients (T.81 A.3.3)
+_x = np.arange(8)
+_M = 0.5 * np.cos((2 * _x[None, :] + 1) * _x[:, None] * np.pi / 16)
+_M[0] *= 1.0 / np.sqrt(2.0)
+
+
+class _Huff:
+    """Flat 16-bit-peek Huffman decode table: canonical codes from the
+    DHT (bits, huffval) spec fill lookup ranges so decode is two array
+    reads per symbol (T.81 F.2.2.3 without the per-bit loop)."""
+
+    __slots__ = ("sym", "ln")
+
+    def __init__(self, counts: bytes, symbols: bytes):
+        self.sym = np.zeros(1 << 16, dtype=np.uint8)
+        self.ln = np.zeros(1 << 16, dtype=np.uint8)
+        code, k = 0, 0
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                lo = code << (16 - length)
+                hi = lo + (1 << (16 - length))
+                if hi > (1 << 16) or k >= len(symbols):
+                    raise ValueError("corrupt JPEG: overfull Huffman table")
+                self.sym[lo:hi] = symbols[k]
+                self.ln[lo:hi] = length
+                code += 1
+                k += 1
+            code <<= 1
+
+
+def _bit_windows(seg: bytes) -> tuple[np.ndarray, int]:
+    """One entropy-coded (destuffed) restart segment → (win, nbits):
+    win[i] is the 16-bit big-endian window starting at bit i, all
+    precomputed vectorized so the decode loop's peek/receive are O(1)
+    array reads. win has nbits+1 entries (the tail windows read the
+    zero padding — a decode that needs them is a truncation, surfaced
+    by the loop's bounds checks)."""
+    bits = np.unpackbits(np.frombuffer(seg, dtype=np.uint8))
+    nbits = len(bits)
+    padded = np.concatenate([bits, np.zeros(16, np.uint8)])
+    w = np.lib.stride_tricks.sliding_window_view(padded, 16)
+    return (w[:nbits + 1] @ _POW16).astype(np.uint32), nbits
+
+
+def _split_scan(buf: bytes, start: int) -> tuple[list[bytes], int]:
+    """Entropy-coded data from `start` to the next real marker: split on
+    RSTn boundaries and undo 0xFF00 byte stuffing in each segment.
+    Returns (segments, position of the terminating marker's 0xFF)."""
+    segs, seg_start, pos = [], start, start
+    while True:
+        ff = buf.find(b"\xff", pos)
+        if ff < 0 or ff + 1 >= len(buf):
+            raise ValueError("corrupt JPEG: scan runs past end of data")
+        nxt = buf[ff + 1]
+        if nxt == 0x00:                 # stuffed data byte
+            pos = ff + 2
+            continue
+        if 0xD0 <= nxt <= 0xD7:         # RSTn: segment boundary
+            segs.append(buf[seg_start:ff].replace(b"\xff\x00", b"\xff"))
+            seg_start = pos = ff + 2
+            continue
+        segs.append(buf[seg_start:ff].replace(b"\xff\x00", b"\xff"))
+        return segs, ff
+
+
+def _idct_blocks(coefs_zz: np.ndarray, qtable_zz: np.ndarray) -> np.ndarray:
+    """(nb, 64) zigzag-order quantized coefficients + zigzag-order quant
+    table → (nb, 8, 8) uint8 samples. Dequant, de-zigzag, IDCT and level
+    shift are one batched pass over every block of a component."""
+    nat = np.zeros_like(coefs_zz, dtype=np.float64)
+    nat[:, ZIGZAG] = coefs_zz * qtable_zz.astype(np.int64)
+    c = nat.reshape(-1, 8, 8)
+    # two batched GEMMs (BLAS) instead of einsum: px = M.T @ C @ M
+    px = (_M.T @ c) @ _M
+    np.round(px, out=px)
+    px += 128.0
+    np.clip(px, 0, 255, out=px)
+    return px.astype(np.uint8)
+
+
+def _assemble_plane(blocks: np.ndarray, mcus_y: int, mcus_x: int,
+                    v: int, h: int) -> np.ndarray:
+    """MCU-ordered (nb, 8, 8) blocks of one component → its sample
+    plane (mcus_y*v*8, mcus_x*h*8)."""
+    a = blocks.reshape(mcus_y, mcus_x, v, h, 8, 8)
+    return a.transpose(0, 2, 4, 1, 3, 5).reshape(mcus_y * v * 8,
+                                                 mcus_x * h * 8)
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray
+                  ) -> np.ndarray:
+    """JFIF full-range YCbCr → RGB (ITU-T T.871 §7)."""
+    yf = y.astype(np.float64)
+    cbf = cb.astype(np.float64)
+    cbf -= 128.0
+    crf = cr.astype(np.float64)
+    crf -= 128.0
+    rgb = np.empty(y.shape + (3,), dtype=np.float64)
+    np.multiply(crf, 1.402, out=rgb[..., 0])
+    rgb[..., 0] += yf
+    np.multiply(cbf, -0.344136, out=rgb[..., 1])
+    rgb[..., 1] -= 0.714136 * crf
+    rgb[..., 1] += yf
+    np.multiply(cbf, 1.772, out=rgb[..., 2])
+    rgb[..., 2] += yf
+    np.round(rgb, out=rgb)
+    np.clip(rgb, 0, 255, out=rgb)
+    return rgb.astype(np.uint8)
+
+
+_SOF_UNSUPPORTED = {
+    0xC2: "progressive DCT", 0xC3: "lossless sequential",
+    0xC5: "differential sequential", 0xC6: "differential progressive",
+    0xC7: "differential lossless", 0xC9: "arithmetic sequential",
+    0xCA: "arithmetic progressive", 0xCB: "arithmetic lossless",
+    0xCD: "differential arithmetic sequential",
+    0xCE: "differential arithmetic progressive",
+    0xCF: "differential arithmetic lossless",
+}
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray | None:
+    """Baseline-JPEG payload → (H, W, 3) uint8 RGB, or None when the
+    payload is not JPEG at all (no SOI magic — other formats fall
+    through to their own decoders)."""
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    qtables: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _Huff] = {}
+    huff_ac: dict[int, _Huff] = {}
+    frame = None            # (H, W, [(comp_id, h, v, tq), ...])
+    restart_interval = 0
+    pos = 2
+    scan = None
+    while scan is None:
+        if pos + 4 > len(payload):
+            raise ValueError("corrupt JPEG: ran out of markers before SOS")
+        if payload[pos] != 0xFF:
+            raise ValueError("corrupt JPEG: expected marker, got data")
+        marker = payload[pos + 1]
+        if marker == 0xFF:              # fill byte
+            pos += 1
+            continue
+        if marker == 0xD9:              # EOI before any scan
+            raise ValueError("corrupt JPEG: EOI before SOS")
+        (seglen,) = struct.unpack(">H", payload[pos + 2:pos + 4])
+        body = payload[pos + 4:pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("corrupt JPEG: truncated segment")
+        if marker == 0xDB:              # DQT (possibly several tables)
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0x0F
+                off += 1
+                n = 64 * (2 if pq else 1)
+                if off + n > len(body):
+                    raise ValueError("corrupt JPEG: truncated DQT")
+                dt = ">64H" if pq else "64B"
+                qtables[tq] = np.array(
+                    struct.unpack(dt, body[off:off + n]), dtype=np.int64)
+                off += n
+        elif marker == 0xC4:            # DHT (possibly several tables)
+            off = 0
+            while off + 17 <= len(body):
+                tc, th = body[off] >> 4, body[off] & 0x0F
+                counts = body[off + 1:off + 17]
+                nsym = sum(counts)
+                symbols = body[off + 17:off + 17 + nsym]
+                if len(symbols) != nsym:
+                    raise ValueError("corrupt JPEG: truncated DHT")
+                (huff_ac if tc else huff_dc)[th] = _Huff(counts, symbols)
+                off += 17 + nsym
+        elif marker in (0xC0, 0xC1):    # SOF0/1: (extended) sequential
+            prec, hh, ww, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise NotImplementedError(
+                    f"JPEG sample precision {prec} not supported by the "
+                    "pure-numpy decoder (8-bit only); install PIL")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = struct.unpack(
+                    ">BBB", body[6 + 3 * i:9 + 3 * i])
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            if nc not in (1, 3):
+                raise NotImplementedError(
+                    f"JPEG with {nc} components (CMYK/unknown) not "
+                    "supported by the pure-numpy decoder; install PIL")
+            frame = (hh, ww, comps)
+        elif marker in _SOF_UNSUPPORTED:
+            raise NotImplementedError(
+                f"JPEG {_SOF_UNSUPPORTED[marker]} (SOF{marker - 0xC0}) "
+                "not supported by the pure-numpy decoder (baseline "
+                "sequential Huffman only); install PIL")
+        elif marker == 0xDD:            # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:            # SOS
+            ns = body[0]
+            scan_comps = []
+            for i in range(ns):
+                cs, tt = body[1 + 2 * i], body[2 + 2 * i]
+                scan_comps.append((cs, tt >> 4, tt & 0x0F))
+            scan = (scan_comps, pos + 2 + seglen)
+        # APPn / COM / anything else with a length: skip
+        pos += 2 + seglen
+
+    if frame is None:
+        raise ValueError("corrupt JPEG: SOS before SOF")
+    H, W, comps = frame
+    if H == 0 or W == 0:
+        raise NotImplementedError(
+            "JPEG with DNL-deferred dimensions not supported")
+    scan_comps, data_start = scan
+    if len(scan_comps) != len(comps):
+        raise NotImplementedError(
+            "multi-scan baseline JPEG (non-interleaved component scans) "
+            "not supported by the pure-numpy decoder; install PIL")
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
+        raise ValueError("corrupt JPEG: sampling factors out of range")
+    interleaved = len(comps) > 1
+    if interleaved:
+        mcus_x = -(-W // (8 * hmax))
+        mcus_y = -(-H // (8 * vmax))
+    else:
+        # single-component scan: MCU = one block, no subsampling grid
+        comps = [(comps[0][0], 1, 1, comps[0][3])]
+        hmax = vmax = 1
+        mcus_x = -(-W // 8)
+        mcus_y = -(-H // 8)
+    n_mcus = mcus_x * mcus_y
+
+    by_id = {c[0]: c for c in comps}
+    order = []                          # scan-ordered component specs
+    for cs, td, ta in scan_comps:
+        if cs not in by_id:
+            raise ValueError("corrupt JPEG: scan names unknown component")
+        cid, h, v, tq = by_id[cs]
+        if tq not in qtables:
+            raise ValueError("corrupt JPEG: missing quantization table")
+        if td not in huff_dc or ta not in huff_ac:
+            raise ValueError("corrupt JPEG: missing Huffman table")
+        order.append((h, v, qtables[tq], huff_dc[td], huff_ac[ta]))
+
+    segs, _end = _split_scan(payload, data_start)
+    mcus_per_seg = restart_interval if restart_interval else n_mcus
+    coefs = [np.zeros((n_mcus * h * v, 64), dtype=np.int64)
+             for h, v, _q, _d, _a in order]
+
+    # the one sequential loop: Huffman symbols + magnitude bits, with
+    # the bit-reader inlined (local bindings; ~2x over method calls —
+    # each symbol is two array reads + integer ops)
+    tabs = [(int(h * v), hdc.sym, hdc.ln, hac.sym, hac.ln, co)
+            for (h, v, _q, hdc, hac), co in zip(order, coefs)]
+    mcu = 0
+    for seg in segs:
+        if mcu >= n_mcus:
+            break
+        win, nbits = _bit_windows(seg)
+        pos = 0
+        preds = [0] * len(order)
+        seg_end = min(n_mcus, mcu + mcus_per_seg)
+        try:
+            while mcu < seg_end:
+                for ci, (nb, dsym, dln, asym, aln, co) in enumerate(tabs):
+                    base = mcu * nb
+                    pred = preds[ci]
+                    for b in range(nb):
+                        row = co[base + b]
+                        w = win[pos]
+                        s = int(dsym[w])
+                        ln = int(dln[w])
+                        if ln == 0:
+                            raise ValueError(
+                                "corrupt JPEG: invalid Huffman code")
+                        pos += ln
+                        if s:
+                            if s > 11:
+                                raise ValueError(
+                                    "corrupt JPEG: DC size > 11")
+                            v = int(win[pos]) >> (16 - s)
+                            pos += s
+                            if v < (1 << (s - 1)):
+                                v -= (1 << s) - 1
+                            pred += v
+                        row[0] = pred
+                        k = 1
+                        while k < 64:
+                            w = win[pos]
+                            rs = int(asym[w])
+                            ln = int(aln[w])
+                            if ln == 0:
+                                raise ValueError(
+                                    "corrupt JPEG: invalid Huffman code")
+                            pos += ln
+                            s = rs & 0x0F
+                            if s == 0:
+                                if rs != 0xF0:      # EOB
+                                    break
+                                k += 16             # ZRL
+                                continue
+                            k += rs >> 4
+                            if k > 63:
+                                raise ValueError(
+                                    "corrupt JPEG: AC index past "
+                                    "block end")
+                            v = int(win[pos]) >> (16 - s)
+                            pos += s
+                            if v < (1 << (s - 1)):
+                                v -= (1 << s) - 1
+                            row[k] = v
+                            k += 1
+                    preds[ci] = pred
+                if pos > nbits:
+                    raise ValueError(
+                        "corrupt JPEG: entropy stream exhausted")
+                mcu += 1
+        except IndexError:
+            raise ValueError(
+                "corrupt JPEG: entropy stream exhausted") from None
+    if mcu < n_mcus:
+        raise ValueError("corrupt JPEG: scan ended before the last MCU")
+
+    planes = []
+    for ci, (h, v, q, _d, _a) in enumerate(order):
+        blocks = _idct_blocks(coefs[ci], q)
+        plane = _assemble_plane(blocks, mcus_y, mcus_x, v, h)
+        # map image coordinates through the component's sampling ratio
+        yi = np.arange(H) * v // vmax
+        xi = np.arange(W) * h // hmax
+        planes.append(plane[yi][:, xi])
+    if len(planes) == 1:
+        return np.ascontiguousarray(
+            np.repeat(planes[0][:, :, None], 3, axis=2))
+    return _ycbcr_to_rgb(planes[0], planes[1], planes[2])

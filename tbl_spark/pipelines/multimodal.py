@@ -2,11 +2,11 @@
 with typed metadata.
 
 The Spark-side plumbing (schema, partitioning, Arrow batch shape, UDF
-signatures) is real and tested. Image decode is REAL for PPM P6 and 8-bit
-non-interlaced PNG (pure numpy + stdlib zlib — no imaging library needed);
-only genuinely exotic formats (JPEG, 16-bit/interlaced PNG, …) fall back
-to PIL and raise NotImplementedError when it is absent, as in this
-container. Audio decode is REAL for RIFF/PCM and IEEE-float WAV (pure
+signatures) is real and tested. Image decode is REAL for PPM P6, 8-bit
+non-interlaced PNG, and baseline-sequential JPEG (pure numpy + stdlib —
+no imaging library needed); only genuinely exotic variants (progressive
+JPEG, 16-bit/interlaced PNG, CMYK, …) fall back to PIL and raise
+NotImplementedError when it is absent, as in this container. Audio decode is REAL for RIFF/PCM and IEEE-float WAV (pure
 numpy + stdlib struct); compressed audio (mp3/flac/ogg) raises the
 explicit stub error. Video frame decode stays stubbed. `fake_decode=True`
 swaps in deterministic fake decoders so the batch plumbing can be
@@ -419,18 +419,22 @@ def _resize_nearest(px: np.ndarray, width: int, height: int) -> np.ndarray:
 
 def decode_image(payload: bytes, width: int, height: int,
                  fake_decode: bool = False) -> np.ndarray:
-    """(H, W, 3) uint8 pixels. Real path: uncompressed PPM P6 and
-    compressed 8-bit non-interlaced PNG both decode with pure
-    numpy/stdlib-zlib (no PIL); anything else decodes with PIL, and
-    without PIL in the environment the stub error is explicit (the
-    deterministic fake keeps the Spark-side plumbing testable either
-    way). The image is resized to the metadata dimensions when they
-    differ."""
+    """(H, W, 3) uint8 pixels. Real path: uncompressed PPM P6,
+    compressed 8-bit non-interlaced PNG, and baseline-sequential JPEG
+    (grayscale/YCbCr, any sampling, restart markers — see _jpeg.py) all
+    decode with pure numpy/stdlib (no PIL); anything else decodes with
+    PIL, and without PIL in the environment the stub error is explicit
+    (the deterministic fake keeps the Spark-side plumbing testable
+    either way). The image is resized to the metadata dimensions when
+    they differ."""
     if fake_decode:
         return _fake_decode(payload, width, height)
     px = _decode_ppm(payload)
     if px is None:
         px = _decode_png(payload)
+    if px is None:
+        from ._jpeg import decode_jpeg
+        px = decode_jpeg(payload)
     if px is not None:
         if width and height and px.shape[:2] != (height, width):
             return _resize_nearest(px, width, height)
@@ -440,10 +444,10 @@ def decode_image(payload: bytes, width: int, height: int,
         return px if px.flags.writeable else px.copy()
     if not HAVE_PIL:
         raise NotImplementedError(
-            "real decode of non-PPM/PNG images requires PIL, which is "
-            "not installed in this container; pass fake_decode=True for "
-            "the deterministic fake decoder (PPM P6 and 8-bit PNG "
-            "payloads decode without PIL)")
+            "real decode of non-PPM/PNG/JPEG images requires PIL, which "
+            "is not installed in this container; pass fake_decode=True "
+            "for the deterministic fake decoder (PPM P6, 8-bit PNG and "
+            "baseline JPEG payloads decode without PIL)")
     from io import BytesIO
     img = Image.open(BytesIO(payload)).convert("RGB")
     if width and height and img.size != (width, height):

@@ -116,9 +116,10 @@ def test_png_decode_resize_and_gates():
     px = rng.integers(0, 256, (10, 10, 3), dtype=np.uint8)
     got = decode_image(_encode_png(px, [4]), 20, 30)
     assert got.shape == (30, 20, 3)
-    # non-PNG, non-PPM still hits the explicit PIL gate
+    # non-PNG/PPM/JPEG still hits the explicit PIL gate (JPEG magic now
+    # routes to the real baseline decoder — covered in test_jpeg.py)
     with pytest.raises(NotImplementedError, match="PIL"):
-        decode_image(b"\xff\xd8\xffJPEG-ish", 4, 4)
+        decode_image(b"GIF89a-ish-payload", 4, 4)
     # 16-bit depth is a genuinely exotic variant -> explicit reject
     ihdr16 = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
     bad = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr16)
