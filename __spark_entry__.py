@@ -609,6 +609,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "media_id", "kind",
             F.posexplode("feature").alias("pos", "val"))
 
+    def video_frame_index(spark, sf):
+        # video frame-sampling plan (pure JVM sequence+explode, no
+        # decode) over the synthesized media table — the sampled
+        # (media_id, frame_idx) set is fully SQL-derivable, giving the
+        # video tier's planning half a value-level driver signal (the
+        # decode half is pixel-exact pytested in test_video.py).
+        docs = _read(spark, sf, "documents").orderBy("doc_id").limit(200)
+        media = multimodal.attach_media(docs)
+        return (multimodal.frame_sample(media, every_n=4)
+                .select("media_id", "frame_idx", "n_frames"))
+
     return {
         "filter_sort_head": filter_sort_head,
         "value_counts_returnflag": value_counts_returnflag,
@@ -641,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": ann_cosine_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "media_features": media_features,
+        "video_frame_index": video_frame_index,
         "pipeline_curate": pipeline_curate,
         "dedup_substring_stats": dedup_substring_stats,
         "dedup_substring_excise": dedup_substring_excise,
@@ -807,6 +819,17 @@ def oracle_sql() -> dict[str, str]:
                        AS DOUBLE) / 255.0 AS val
             FROM (SELECT media_id, unnest(generate_series(1, 16)) AS pos
                   FROM m)""",
+        "video_frame_index": """
+            WITH m AS (SELECT CAST(doc_id AS BIGINT) AS media_id
+                       FROM documents ORDER BY doc_id LIMIT 200),
+            v AS (SELECT media_id, media_id % 30 + 1 AS n_frames FROM m
+                  WHERE media_id % 3 = 2)
+            SELECT media_id, CAST(f AS INTEGER) AS frame_idx,
+                   CAST(n_frames AS INTEGER) AS n_frames
+            FROM (SELECT media_id, n_frames,
+                         unnest(generate_series(0, n_frames - 1)) AS f
+                  FROM v)
+            WHERE f % 4 = 0""",
         "with_columns_insert": """
             SELECT *, CAST(9 AS INTEGER) AS prio_flag FROM orders""",
         "encode_raw_stats": """

@@ -1,0 +1,311 @@
+"""Pure-numpy/stdlib video decode: MJPEG-in-AVI and YUV4MPEG2.
+
+Closes the last fake-only media tier (VERDICT r6 "What's missing" #3,
+video half) the way PPM/PNG/JPEG closed images and RIFF/WAV closed
+audio: two public container formats decode with no video library.
+
+- **AVI + MJPEG** (Microsoft RIFF AVI, OpenDML): the container is a
+  RIFF chunk walk (same discipline as `_decode_wav`); each video frame
+  chunk (`00dc`/`00db`) is a baseline JPEG decoded by
+  `_jpeg.decode_jpeg`. Frames that follow the MJPEG convention of
+  omitting DHT segments decode against the ITU-T T.81 Annex K typical
+  tables (`default_huffman=True`). Frame *seeking* is metadata-only:
+  the `idx1` index (or, absent one, a header-only chunk walk that skips
+  payloads) locates every frame, so sampling k of N frames costs k JPEG
+  decodes + one O(N) header scan — never N decodes. That is the scale
+  contract `frame_sample_decoded` relies on at corpus size.
+- **YUV4MPEG2** (`.y4m`, the mjpegtools interchange format): plain-text
+  header + uncompressed planar frames. C420*/C422/C444/Cmono
+  colorspaces; frame payloads are fixed-size so seeking is O(1) after
+  the header parse. YCbCr -> RGB uses the BT.601 limited-range
+  fixed-point recipe (298/409/100/208/516 >> 8), integer-deterministic
+  so tests can assert pixel-exactness.
+
+Reference behavior parity: tbl stores media as opaque bytes
+(`types.rs`); decode lives in this repo's pipeline tier only.
+Compressed codecs inside AVI other than MJPEG, and every non-AVI/y4m
+container (mp4, mkv, webm — their codecs genuinely need a video
+library), raise NotImplementedError so callers fall through to the
+explicit stub gate. Structurally broken payloads raise ValueError (the
+corrupt-input contract shared with `_decode_png`/`_decode_wav`).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from ._jpeg import decode_jpeg
+
+# ---------------------------------------------------------------------------
+# RIFF AVI (MJPEG)
+
+
+def _riff_chunks(buf: bytes, pos: int, end: int):
+    """Yield (fourcc, body_start, body_size) for each chunk in a RIFF
+    span; validates sizes so a truncated container surfaces as
+    ValueError, not a silent short read."""
+    while pos + 8 <= end:
+        tag = buf[pos:pos + 4]
+        (size,) = struct.unpack("<I", buf[pos + 4:pos + 8])
+        if pos + 8 + size > end:
+            raise ValueError(f"corrupt AVI: chunk {tag!r} truncated")
+        yield tag, pos + 8, size
+        pos += 8 + size + (size & 1)          # word-aligned
+
+
+def _is_video_ckid(tag: bytes) -> bool:
+    # '##dc' compressed / '##db' uncompressed frame of stream ##
+    return (len(tag) == 4 and tag[:2].isdigit()
+            and tag[2:] in (b"dc", b"db"))
+
+
+def _parse_avi(payload: bytes) -> dict | None:
+    """AVI container walk → {'frames': [(start, size), ...], 'width',
+    'height', 'fps', 'handler'} without touching any frame payload.
+    Returns None when the payload is not RIFF/AVI at all."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"AVI ":
+        return None
+    width = height = 0
+    fps = 0.0
+    handler = b""
+    movi_pos = None                     # position of the 'movi' fourcc
+    movi_end = None
+    idx1 = None
+    for tag, body, size in _riff_chunks(payload, 12, len(payload)):
+        if tag == b"LIST":
+            kind = payload[body:body + 4]
+            if kind == b"hdrl":
+                for t2, b2, s2 in _riff_chunks(payload, body + 4,
+                                               body + size):
+                    if t2 == b"avih" and s2 >= 40:
+                        (usec_pf,) = struct.unpack(
+                            "<I", payload[b2:b2 + 4])
+                        width, height = struct.unpack(
+                            "<II", payload[b2 + 32:b2 + 40])
+                        if usec_pf:
+                            fps = 1e6 / usec_pf
+                    elif t2 == b"LIST" and payload[b2:b2 + 4] == b"strl":
+                        for t3, b3, s3 in _riff_chunks(payload, b2 + 4,
+                                                       b2 + s2):
+                            if t3 == b"strh" and s3 >= 8 \
+                                    and payload[b3:b3 + 4] == b"vids":
+                                handler = payload[b3 + 4:b3 + 8]
+            elif kind == b"movi":
+                movi_pos = body
+                movi_end = body + size
+        elif tag == b"idx1":
+            idx1 = (body, size)
+    if movi_pos is None:
+        raise ValueError("corrupt AVI: no movi list")
+
+    frames: list[tuple[int, int]] = []
+    if idx1 is not None:
+        body, size = idx1
+        n = size // 16
+        raw = np.frombuffer(payload, dtype=np.uint8,
+                            count=n * 16, offset=body).reshape(n, 16)
+        offs = raw[:, 8:12].copy().view("<u4").ravel()
+        sizes = raw[:, 12:16].copy().view("<u4").ravel()
+        # dwOffset is conventionally relative to the 'movi' fourcc;
+        # some muxers write absolute file offsets — detect on entry 0
+        # by checking which base lands on the chunk's own fourcc
+        base = movi_pos
+        for i in range(n):
+            ckid = raw[i, 0:4].tobytes()
+            if not _is_video_ckid(ckid):
+                continue
+            off = int(offs[i])
+            if payload[base + off:base + off + 4] != ckid:
+                if payload[off:off + 4] == ckid:       # absolute form
+                    base = 0
+                elif not frames:
+                    # unusable index — fall back to the chunk walk
+                    frames = []
+                    idx1 = None
+                    break
+                else:
+                    raise ValueError("corrupt AVI: idx1 entry does not "
+                                     "point at its chunk")
+            start = base + off + 8
+            sz = int(sizes[i])
+            if start + sz > len(payload):
+                raise ValueError("corrupt AVI: idx1 frame truncated")
+            frames.append((start, sz))
+    if idx1 is None:
+        def _walk(pos: int, end: int) -> None:
+            for t, b, s in _riff_chunks(payload, pos, end):
+                if t == b"LIST":                       # 'rec ' grouping
+                    _walk(b + 4, b + s)
+                elif _is_video_ckid(t):
+                    frames.append((b, s))
+        _walk(movi_pos + 4, movi_end)
+    return {"frames": frames, "width": width, "height": height,
+            "fps": fps, "handler": handler}
+
+
+# ---------------------------------------------------------------------------
+# YUV4MPEG2
+
+
+_Y4M_CHROMA = {
+    # name -> (x_shift, y_shift) of the chroma planes vs luma
+    b"420": (1, 1), b"420jpeg": (1, 1), b"420mpeg2": (1, 1),
+    b"420paldv": (1, 1), b"422": (1, 0), b"444": (0, 0),
+    b"mono": None,
+}
+
+
+def _parse_y4m(payload: bytes) -> dict | None:
+    """YUV4MPEG2 header parse → {'width', 'height', 'fps', 'chroma',
+    'frame_size', 'frames': [(start, header_len)]}. Frame payloads are
+    fixed-size; the scan only reads each FRAME marker line."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        return None
+    nl = payload.find(b"\n")
+    if nl < 0:
+        raise ValueError("corrupt y4m: unterminated stream header")
+    w = h = 0
+    fps = 0.0
+    chroma = b"420jpeg"                 # spec default
+    for tok in payload[9:nl].split():
+        k, v = tok[:1], tok[1:]
+        if k == b"W":
+            w = int(v)
+        elif k == b"H":
+            h = int(v)
+        elif k == b"F":
+            num, den = v.split(b":")
+            fps = int(num) / int(den) if int(den) else 0.0
+        elif k == b"C":
+            chroma = v
+    if w <= 0 or h <= 0:
+        raise ValueError("corrupt y4m: missing W/H")
+    if chroma not in _Y4M_CHROMA:
+        raise NotImplementedError(
+            f"y4m colorspace {chroma.decode(errors='replace')} not "
+            "supported (420*/422/444/mono)")
+    sub = _Y4M_CHROMA[chroma]
+    if sub is None:
+        frame_size = w * h
+    else:
+        xs, ys = sub
+        if (w % (1 << xs)) or (h % (1 << ys)):
+            raise ValueError("corrupt y4m: dimensions not divisible by "
+                             "the chroma subsampling")
+        frame_size = w * h + 2 * ((w >> xs) * (h >> ys))
+    frames: list[tuple[int, int]] = []
+    pos = nl + 1
+    while pos < len(payload):
+        if payload[pos:pos + 5] != b"FRAME":
+            raise ValueError("corrupt y4m: missing FRAME marker")
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or fnl + 1 + frame_size > len(payload):
+            raise ValueError("corrupt y4m: truncated frame")
+        frames.append((fnl + 1, frame_size))
+        pos = fnl + 1 + frame_size
+    return {"width": w, "height": h, "fps": fps, "chroma": chroma,
+            "frames": frames}
+
+
+def _bt601_to_rgb(y: np.ndarray, cb: np.ndarray,
+                  cr: np.ndarray) -> np.ndarray:
+    """BT.601 limited-range YCbCr → RGB, the standard integer
+    fixed-point recipe (r = (298(Y-16) + 409(Cr-128) + 128) >> 8, …) —
+    bit-deterministic across platforms."""
+    c = y.astype(np.int32) - 16
+    d = cb.astype(np.int32) - 128
+    e = cr.astype(np.int32) - 128
+    r = (298 * c + 409 * e + 128) >> 8
+    g = (298 * c - 100 * d - 208 * e + 128) >> 8
+    b = (298 * c + 516 * d + 128) >> 8
+    rgb = np.stack([r, g, b], axis=-1)
+    np.clip(rgb, 0, 255, out=rgb)
+    return rgb.astype(np.uint8)
+
+
+def _y4m_frame(payload: bytes, meta: dict, start: int) -> np.ndarray:
+    w, h = meta["width"], meta["height"]
+    sub = _Y4M_CHROMA[meta["chroma"]]
+    y = np.frombuffer(payload, np.uint8, w * h, start).reshape(h, w)
+    if sub is None:
+        # mono: gray replicated, still through the BT.601 range expand
+        mid = np.full((h, w), 128, np.uint8)
+        return _bt601_to_rgb(y, mid, mid)
+    xs, ys = sub
+    cw, ch = w >> xs, h >> ys
+    off = start + w * h
+    cb = np.frombuffer(payload, np.uint8, cw * ch, off).reshape(ch, cw)
+    cr = np.frombuffer(payload, np.uint8, cw * ch,
+                       off + cw * ch).reshape(ch, cw)
+    if xs or ys:
+        # nearest-neighbor chroma upsample via the sampling-ratio map
+        # (same convention as _jpeg's plane assembly)
+        yi = np.arange(h) >> ys
+        xi = np.arange(w) >> xs
+        cb = cb[yi][:, xi]
+        cr = cr[yi][:, xi]
+    return _bt601_to_rgb(y, cb, cr)
+
+
+# ---------------------------------------------------------------------------
+# public surface
+
+
+def probe_video(payload: bytes) -> dict | None:
+    """Metadata-only probe: {'format', 'n_frames', 'width', 'height',
+    'fps'} with zero frame decodes, or None when the payload is neither
+    AVI nor y4m (other containers fall through to the caller's stub
+    gate). This is what lets frame sampling plan WHICH frames to decode
+    without decoding any."""
+    avi = _parse_avi(payload)
+    if avi is not None:
+        return {"format": "avi", "n_frames": len(avi["frames"]),
+                "width": avi["width"], "height": avi["height"],
+                "fps": avi["fps"]}
+    y4m = _parse_y4m(payload)
+    if y4m is not None:
+        return {"format": "y4m", "n_frames": len(y4m["frames"]),
+                "width": y4m["width"], "height": y4m["height"],
+                "fps": y4m["fps"]}
+    return None
+
+
+def decode_video_frames(payload: bytes,
+                        indices: list[int] | None = None
+                        ) -> tuple[list[int], list[np.ndarray]] | None:
+    """Decode selected frames → (indices, [(H, W, 3) uint8, ...]).
+
+    `indices=None` decodes every frame. Only the requested frames are
+    decoded — container indexes (AVI idx1 / y4m fixed-size frames) make
+    the seek metadata-only. Returns None when the payload is neither
+    AVI nor y4m; raises NotImplementedError for AVI with a non-MJPEG
+    codec and ValueError for corrupt structure."""
+    avi = _parse_avi(payload)
+    if avi is not None:
+        frames = avi["frames"]
+        idxs = list(range(len(frames))) if indices is None else \
+            [i for i in indices if 0 <= i < len(frames)]
+        out = []
+        for i in idxs:
+            start, size = frames[i]
+            px = decode_jpeg(payload[start:start + size],
+                             default_huffman=True)
+            if px is None:
+                hid = avi["handler"].decode(errors="replace") or "?"
+                raise NotImplementedError(
+                    f"AVI stream codec {hid!r} is not MJPEG — decoding "
+                    "it needs a video library, which is not installed "
+                    "in this container")
+            out.append(px)
+        return idxs, out
+    y4m = _parse_y4m(payload)
+    if y4m is not None:
+        frames = y4m["frames"]
+        idxs = list(range(len(frames))) if indices is None else \
+            [i for i in indices if 0 <= i < len(frames)]
+        return idxs, [_y4m_frame(payload, y4m, frames[i][0])
+                      for i in idxs]
+    return None

@@ -8,9 +8,13 @@ no imaging library needed); only genuinely exotic variants (progressive
 JPEG, 16-bit/interlaced PNG, CMYK, …) fall back to PIL and raise
 NotImplementedError when it is absent, as in this container. Audio decode is REAL for RIFF/PCM and IEEE-float WAV (pure
 numpy + stdlib struct); compressed audio (mp3/flac/ogg) raises the
-explicit stub error. Video frame decode stays stubbed. `fake_decode=True`
-swaps in deterministic fake decoders so the batch plumbing can be
-exercised independently of any format.
+explicit stub error. Video decode is REAL for MJPEG-in-AVI (RIFF walk +
+the baseline JPEG decoder, Annex K default tables for DHT-less MJPEG
+frames) and uncompressed YUV4MPEG2 — see _video.py; frame seeking is
+index-driven so sampling k of N frames decodes exactly k. Other video
+containers (mp4/mkv/webm) raise the explicit stub error.
+`fake_decode=True` swaps in deterministic fake decoders so the batch
+plumbing can be exercised independently of any format.
 """
 
 from __future__ import annotations
@@ -455,6 +459,59 @@ def decode_image(payload: bytes, width: int, height: int,
     return np.asarray(img, dtype=np.uint8)
 
 
+def _fake_decode_video(payload: bytes, width: int, height: int,
+                       n_frames: int,
+                       indices: list[int] | None) -> tuple[list[int],
+                                                           list[np.ndarray]]:
+    """Deterministic fake frames: each frame seeded from the payload
+    digest + its index, so the plumbing is testable per frame."""
+    n = max(1, n_frames)
+    idxs = list(range(n)) if indices is None else \
+        [i for i in indices if 0 <= i < n]
+    return idxs, [_fake_decode(payload + i.to_bytes(4, "little"),
+                               max(1, width), max(1, height))
+                  for i in idxs]
+
+
+def decode_video(payload: bytes, frame_indices: list[int] | None = None,
+                 fake_decode: bool = False, width: int = 0,
+                 height: int = 0, n_frames: int = 0
+                 ) -> tuple[list[int], list[np.ndarray]]:
+    """Selected video frames → (frame indices, [(H, W, 3) uint8, ...]).
+
+    Real path: MJPEG-in-AVI and YUV4MPEG2 decode with pure numpy/stdlib
+    (_video.py); only the REQUESTED frames are decoded — the container
+    index makes the seek metadata-only, which is the scale contract at
+    corpus size (sampling k of N frames costs k decodes, not N). Other
+    containers raise the explicit stub error unless fake_decode swaps
+    in the deterministic fake (width/height/n_frames feed the fake's
+    geometry)."""
+    if fake_decode:
+        return _fake_decode_video(payload, width, height,
+                                  n_frames, frame_indices)
+    from ._video import decode_video_frames
+    got = decode_video_frames(payload, frame_indices)
+    if got is not None:
+        return got
+    raise NotImplementedError(
+        "real decode of non-AVI/y4m video requires a video library, "
+        "which is not installed in this container; pass fake_decode="
+        "True for the deterministic fake decoder (MJPEG-in-AVI and "
+        "YUV4MPEG2 decode without one)")
+
+
+def _image_features(stack: np.ndarray, dim: int) -> np.ndarray:
+    """(k, H, W, 3) uint8 → (k, ≤dim) float32 feature rows: per-channel
+    pooled mean + per-channel std + normalized pixel head. One batched
+    pass — shared by the image and video-frame feature paths."""
+    k = stack.shape[0]
+    pooled = stack.reshape(k, -1, 3).mean(axis=1)
+    stds = stack.std(axis=(1, 2))
+    head = (stack.reshape(k, -1)[:, :max(0, dim - 6)]
+            .astype(np.float32) / 255.0)
+    return np.concatenate([pooled, stds, head], axis=1)[:, :dim]
+
+
 def extract_features(df: DataFrame, dim: int = 16,
                      fake_decode: bool = True) -> DataFrame:
     """mapInArrow media → fixed-size feature vectors.
@@ -483,20 +540,25 @@ def extract_features(df: DataFrame, dim: int = 16,
                                               fake_decode=fake_decode)
                     feats[i] = _audio_feature(wave, rate, dim)
                     continue
-                px = decode_image(payloads[i], int(widths[i]),
-                                  int(heights[i]), fake_decode=fake_decode)
+                if kinds[i] == "video" and not fake_decode:
+                    # poster frame: container-indexed seek decodes
+                    # exactly one frame regardless of n_frames
+                    _fidx, fr = decode_video(payloads[i], [0])
+                    if not fr:
+                        continue         # zero-frame container
+                    px = fr[0]
+                    w, h = int(widths[i]), int(heights[i])
+                    if w and h and px.shape[:2] != (h, w):
+                        px = _resize_nearest(px, w, h)
+                else:
+                    px = decode_image(payloads[i], int(widths[i]),
+                                      int(heights[i]),
+                                      fake_decode=fake_decode)
                 idxs, arrs = groups.setdefault(px.shape, ([], []))
                 idxs.append(i)
                 arrs.append(px)
             for shape, (idxs, arrs) in groups.items():
-                stack = np.stack(arrs)       # (k, H, W, 3)
-                k = len(arrs)
-                pooled = stack.reshape(k, -1, 3).mean(axis=1)
-                stds = stack.std(axis=(1, 2))
-                head = (stack.reshape(k, -1)[:, :max(0, dim - 6)]
-                        .astype(np.float32) / 255.0)
-                mixed = np.concatenate([pooled, stds, head],
-                                       axis=1)[:, :dim]
+                mixed = _image_features(np.stack(arrs), dim)
                 feats[np.asarray(idxs), :mixed.shape[1]] = mixed
             yield pa.RecordBatch.from_arrays(
                 [pa.array(ids), pa.array(kinds),
@@ -539,9 +601,78 @@ def payload_digest_features(df: DataFrame, dim: int = 16) -> DataFrame:
 
 def frame_sample(df: DataFrame, every_n: int = 5) -> DataFrame:
     """Video frame-sampling plumbing: explode frame indices 0..n_frames-1,
-    keep every_n-th — pure JVM, the decode of each frame stays stubbed."""
+    keep every_n-th — pure JVM, no decode (pair with
+    frame_sample_decoded when pixel features are wanted)."""
     return (df.filter(F.col("kind") == "video")
             .withColumn("frame_idx",
                         F.explode(F.sequence(F.lit(0),
                                              F.col("n_frames") - 1)))
             .filter(F.col("frame_idx") % every_n == 0))
+
+
+FRAME_FEATURE_SCHEMA_DDL = ("media_id bigint, frame_idx int, "
+                            "feature array<float>")
+
+
+def frame_sample_decoded(df: DataFrame, every_n: int = 5, dim: int = 16,
+                         fake_decode: bool = True) -> DataFrame:
+    """Sample every_n-th frame of each video row and emit per-frame
+    feature vectors — one output row per (media_id, frame_idx).
+
+    mapInArrow over the media batches; per row, the container is probed
+    (metadata-only — AVI idx1 / y4m fixed-size frames) to learn the
+    real frame count, then ONLY the sampled frames decode. The feature
+    math is the shared batched `_image_features` over all sampled
+    frames of the Arrow batch at once. At corpus scale the cost is
+    O(frames-sampled) decodes + O(rows) index parses; decode
+    parallelism comes from the upstream partitioning of the media
+    table, which mapInArrow preserves (no shuffle)."""
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from ._video import probe_video
+        for batch in batches:
+            ids = batch.column("media_id").to_numpy(zero_copy_only=False)
+            kinds = batch.column("kind").to_pylist()
+            widths = batch.column("width").to_numpy(zero_copy_only=False)
+            heights = batch.column("height").to_numpy(
+                zero_copy_only=False)
+            nfr = batch.column("n_frames").to_numpy(zero_copy_only=False)
+            payloads = batch.column("payload").to_pylist()
+            out_ids: list[int] = []
+            out_idx: list[int] = []
+            frames: list[np.ndarray] = []
+            for i in range(len(ids)):
+                if kinds[i] != "video" or payloads[i] is None:
+                    continue
+                if fake_decode:
+                    n = int(nfr[i])
+                else:
+                    meta = probe_video(payloads[i])
+                    if meta is None:
+                        raise NotImplementedError(
+                            "real frame sampling needs an AVI/y4m "
+                            "payload (or fake_decode=True)")
+                    n = meta["n_frames"]
+                sel = list(range(0, n, max(1, every_n)))
+                idxs, px = decode_video(
+                    payloads[i], sel, fake_decode=fake_decode,
+                    width=int(widths[i]), height=int(heights[i]),
+                    n_frames=int(nfr[i]))
+                out_ids.extend(int(ids[i]) for _ in idxs)
+                out_idx.extend(idxs)
+                frames.extend(px)
+            feats = np.zeros((len(frames), dim), dtype=np.float32)
+            groups: dict[tuple, list[int]] = {}
+            for j, px in enumerate(frames):
+                groups.setdefault(px.shape, []).append(j)
+            for shape, js in groups.items():
+                mixed = _image_features(
+                    np.stack([frames[j] for j in js]), dim)
+                feats[np.asarray(js), :mixed.shape[1]] = mixed
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_ids, type=pa.int64()),
+                 pa.array(out_idx, type=pa.int32()),
+                 pa.array(list(feats), type=pa.list_(pa.float32()))],
+                names=["media_id", "frame_idx", "feature"])
+
+    return df.mapInArrow(run, FRAME_FEATURE_SCHEMA_DDL)
