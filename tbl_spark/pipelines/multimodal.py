@@ -2,11 +2,12 @@
 with typed metadata.
 
 The Spark-side plumbing (schema, partitioning, Arrow batch shape, UDF
-signatures) is real and tested. Image decode is REAL for PPM P6, 8-bit
-non-interlaced PNG, and baseline-sequential JPEG (pure numpy + stdlib —
-no imaging library needed); only genuinely exotic variants (progressive
-JPEG, 16-bit/interlaced PNG, CMYK, …) fall back to PIL and raise
-NotImplementedError when it is absent, as in this container. Audio decode is REAL for RIFF/PCM and IEEE-float WAV (pure
+signatures) is real and tested. Image decode is REAL for PPM P6, every
+legal PNG IHDR shape (depths 1-16, all color types, Adam7), and
+baseline-sequential JPEG (pure numpy + stdlib — no imaging library
+needed); only genuinely exotic variants (progressive JPEG, CMYK, GIF,
+…) fall back to PIL and raise NotImplementedError when it is absent,
+as in this container. Audio decode is REAL for RIFF/PCM and IEEE-float WAV (pure
 numpy + stdlib struct); compressed audio (mp3/flac/ogg) raises the
 explicit stub error. Video decode is REAL for MJPEG-in-AVI (RIFF walk +
 the baseline JPEG decoder, Annex K default tables for DHT-less MJPEG
@@ -101,8 +102,13 @@ def _decode_ppm(payload: bytes) -> np.ndarray | None:
 
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
-# PNG color types (RFC 2083 §4.1.1) → samples per pixel
+# PNG color types (RFC 2083 §4.1.1) → samples per pixel, legal depths
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+               4: (8, 16), 6: (8, 16)}
+# Adam7 interlace pass grid (RFC 2083 §2.6): (x0, y0, dx, dy)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
 
 def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
@@ -212,17 +218,36 @@ def _png_unfilter_wavefront(filters: np.ndarray, data: np.ndarray,
     return out
 
 
+def _png_samples(rows: np.ndarray, w_p: int, ch: int,
+                 depth: int) -> np.ndarray:
+    """(h_p, stride) unfiltered scanline bytes → (h_p, w_p, ch) uint8
+    samples. 16-bit samples scale to 8 with exact round-to-nearest
+    (v/257); sub-byte depths (gray/palette) unpack to their raw 0..2^d-1
+    values — the gray range expansion happens at channel-mapping time."""
+    h_p = rows.shape[0]
+    if depth == 8:
+        return rows.reshape(h_p, w_p, ch)
+    if depth == 16:
+        pair = rows.reshape(h_p, w_p, ch, 2).astype(np.uint32)
+        v = (pair[..., 0] << 8) | pair[..., 1]       # big-endian
+        return ((v * 255 + 32767) // 65535).astype(np.uint8)
+    bits = np.unpackbits(rows, axis=1)[:, :w_p * depth]
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (bits.reshape(h_p, w_p, depth) @ weights).reshape(
+        h_p, w_p, 1).astype(np.uint8)
+
+
 def _decode_png(payload: bytes) -> np.ndarray | None:
     """Pure-Python/numpy PNG decode (RFC 2083, public format): chunk
     walk → zlib-inflate the IDAT stream → per-scanline unfilter →
-    channel mapping. Covers the common web corpus shapes — 8-bit
-    grayscale (0), RGB (2), palette (3), gray+alpha (4) and RGBA (6),
-    non-interlaced; alpha is dropped (the pipeline's feature contract is
-    (H, W, 3) RGB). Returns None when the payload is not PNG at all (so
-    other formats fall through to their own decoders) and raises
-    NotImplementedError for the genuinely exotic PNG variants (16-bit,
-    sub-byte palette depths, Adam7 interlace) — VERDICT r5 #2 narrows
-    the PIL gate to those."""
+    channel mapping. Covers every legal IHDR shape — grayscale (0),
+    RGB (2), palette (3), gray+alpha (4), RGBA (6) at depths
+    1/2/4/8/16 where the spec allows them, interlace 0 and Adam7 (each
+    of the 7 passes unfilters as its own sub-image, then scatters into
+    the frame via strided assignment). Alpha is dropped (the pipeline's
+    feature contract is (H, W, 3) RGB). Returns None when the payload
+    is not PNG at all (so other formats fall through to their own
+    decoders); corrupt structure raises ValueError."""
     if not payload.startswith(_PNG_MAGIC):
         return None
     import struct
@@ -247,20 +272,43 @@ def _decode_png(payload: bytes) -> np.ndarray | None:
     if meta is None or not idat:
         raise ValueError("corrupt PNG: missing IHDR or IDAT")
     w, h, depth, ctype, comp, filt, interlace = meta
-    if comp != 0 or filt != 0 or ctype not in _PNG_CHANNELS:
+    if comp != 0 or filt != 0 or ctype not in _PNG_CHANNELS \
+            or interlace not in (0, 1):
         raise ValueError(f"corrupt PNG header (comp={comp} filt={filt} "
-                         f"color={ctype})")
-    if depth != 8 or interlace != 0:
-        raise NotImplementedError(
-            f"PNG bit depth {depth} / interlace {interlace} not "
-            "supported by the pure-numpy decoder (only 8-bit "
-            "non-interlaced); install PIL for exotic variants")
+                         f"color={ctype} interlace={interlace})")
+    if depth not in _PNG_DEPTHS[ctype]:
+        raise ValueError(f"corrupt PNG header: bit depth {depth} is not "
+                         f"legal for color type {ctype}")
     ch = _PNG_CHANNELS[ctype]
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as e:    # intact framing, garbled deflate stream
         raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
-    px = _png_unfilter(raw, h, w * ch, ch).reshape(h, w, ch)
+    bpp = max(1, (ch * depth) // 8)
+
+    def _consume(pos: int, w_p: int, h_p: int) -> tuple[np.ndarray, int]:
+        stride = (w_p * ch * depth + 7) // 8
+        need = h_p * (1 + stride)
+        if len(raw) - pos < need:
+            raise ValueError("corrupt PNG: IDAT shorter than the "
+                             "scanline layout requires")
+        rows = _png_unfilter(raw[pos:pos + need], h_p, stride, bpp)
+        return _png_samples(rows, w_p, ch, depth), pos + need
+
+    if interlace == 0:
+        px, _ = _consume(0, w, h)
+    else:
+        px = np.zeros((h, w, ch), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            w_p = (w - x0 + dx - 1) // dx
+            h_p = (h - y0 + dy - 1) // dy
+            if w_p <= 0 or h_p <= 0:
+                continue          # pass absent for this geometry
+            sub, pos = _consume(pos, w_p, h_p)
+            px[y0::dy, x0::dx] = sub
+    if ctype == 0 and depth < 8:
+        px = px * np.uint8(255 // ((1 << depth) - 1))   # range expand
     if ctype == 3:
         if palette is None:
             raise ValueError("corrupt PNG: palette image without PLTE")
@@ -423,14 +471,14 @@ def _resize_nearest(px: np.ndarray, width: int, height: int) -> np.ndarray:
 
 def decode_image(payload: bytes, width: int, height: int,
                  fake_decode: bool = False) -> np.ndarray:
-    """(H, W, 3) uint8 pixels. Real path: uncompressed PPM P6,
-    compressed 8-bit non-interlaced PNG, and baseline-sequential JPEG
-    (grayscale/YCbCr, any sampling, restart markers — see _jpeg.py) all
-    decode with pure numpy/stdlib (no PIL); anything else decodes with
-    PIL, and without PIL in the environment the stub error is explicit
-    (the deterministic fake keeps the Spark-side plumbing testable
-    either way). The image is resized to the metadata dimensions when
-    they differ."""
+    """(H, W, 3) uint8 pixels. Real path: uncompressed PPM P6, any
+    legal PNG (depths 1-16, all color types, Adam7 interlace), and
+    baseline-sequential JPEG (grayscale/YCbCr, any sampling, restart
+    markers — see _jpeg.py) all decode with pure numpy/stdlib (no PIL);
+    anything else decodes with PIL, and without PIL in the environment
+    the stub error is explicit (the deterministic fake keeps the
+    Spark-side plumbing testable either way). The image is resized to
+    the metadata dimensions when they differ."""
     if fake_decode:
         return _fake_decode(payload, width, height)
     px = _decode_ppm(payload)

@@ -120,13 +120,21 @@ def test_png_decode_resize_and_gates():
     # routes to the real baseline decoder — covered in test_jpeg.py)
     with pytest.raises(NotImplementedError, match="PIL"):
         decode_image(b"GIF89a-ish-payload", 4, 4)
-    # 16-bit depth is a genuinely exotic variant -> explicit reject
+    # 16-bit RGB decodes for real now (test_png_exotic.py covers values)
+    # but an IDAT shorter than the 16-bit scanline layout is corrupt
     ihdr16 = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
     bad = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr16)
            + _chunk(b"IDAT", zlib.compress(b"\0" * 64))
            + _chunk(b"IEND", b""))
-    with pytest.raises(NotImplementedError, match="bit depth"):
+    with pytest.raises(ValueError, match="IDAT shorter"):
         _decode_png(bad)
+    # an illegal depth/color combination is corrupt, not exotic
+    ihdr_bad = struct.pack(">IIBBBBB", 4, 4, 4, 2, 0, 0, 0)
+    bad2 = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr_bad)
+            + _chunk(b"IDAT", zlib.compress(b"\0" * 64))
+            + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="not.*legal"):
+        _decode_png(bad2)
 
 
 def test_png_real_path_in_map_in_arrow(spark):
