@@ -402,6 +402,144 @@ def _decode_wav(payload: bytes) -> tuple[np.ndarray, int] | None:
     return samples, int(rate)
 
 
+def _f80_to_float(b: bytes) -> float:
+    """80-bit IEEE 754 extended-precision big-endian → float (the
+    sampleRate field of an AIFF COMM chunk): 1 sign, 15 exponent
+    (bias 16383), 64-bit mantissa with explicit integer bit."""
+    import struct
+    (se,) = struct.unpack(">H", b[:2])
+    (mant,) = struct.unpack(">Q", b[2:10])
+    sign = -1.0 if se & 0x8000 else 1.0
+    exp = se & 0x7FFF
+    if exp == 0 and mant == 0:
+        return 0.0
+    return sign * mant * 2.0 ** (exp - 16383 - 63)
+
+
+_AIFF_DTYPES = {8: np.dtype(np.int8), 16: np.dtype(">i2"),
+                32: np.dtype(">i4")}
+
+
+def _decode_aiff(payload: bytes) -> tuple[np.ndarray, int] | None:
+    """Pure numpy + stdlib decoder for AIFF PCM (EA IFF 85 / Apple, a
+    public big-endian sibling of WAV). Returns (samples (n_frames,
+    n_channels) native signed dtype, rate); None when the payload is
+    not FORM/AIFF; ValueError on corrupt structure; NotImplementedError
+    for AIFF-C compressed codecs."""
+    if len(payload) < 12 or payload[:4] != b"FORM" \
+            or payload[8:12] not in (b"AIFF", b"AIFC"):
+        return None
+    import struct
+    is_aifc = payload[8:12] == b"AIFC"
+    pos, comm, data = 12, None, None
+    while pos + 8 <= len(payload):
+        tag = payload[pos:pos + 4]
+        (size,) = struct.unpack(">I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(f"corrupt AIFF: chunk {tag!r} truncated")
+        if tag == b"COMM":
+            if size < 18:
+                raise ValueError("corrupt AIFF: COMM chunk too short")
+            n_ch, _frames, bits = struct.unpack(">HIH", body[:8])
+            rate = _f80_to_float(body[8:18])
+            if is_aifc:
+                ctype = body[18:22]
+                if ctype not in (b"NONE", b"sowt"):
+                    raise NotImplementedError(
+                        f"AIFF-C compression {ctype!r} not supported by "
+                        "the pure-numpy decoder (PCM only)")
+                comm = (n_ch, bits, rate, ctype == b"sowt")
+            else:
+                comm = (n_ch, bits, rate, False)
+        elif tag == b"SSND":
+            if size < 8:
+                raise ValueError("corrupt AIFF: SSND chunk too short")
+            (off,) = struct.unpack(">I", body[:4])
+            data = body[8 + off:]
+        pos += 8 + size + (size & 1)          # chunks are word-aligned
+    if comm is None or data is None:
+        raise ValueError("corrupt AIFF: missing COMM or SSND chunk")
+    n_ch, bits, rate, little = comm
+    if n_ch < 1 or rate <= 0:
+        raise ValueError(f"corrupt AIFF header (channels={n_ch} "
+                         f"rate={rate})")
+    if bits in _AIFF_DTYPES:
+        dt = _AIFF_DTYPES[bits]
+        if little:                            # AIFC 'sowt' byte order
+            dt = dt.newbyteorder("<")
+        frames = len(data) // (dt.itemsize * n_ch)
+        samples = np.frombuffer(data, dtype=dt,
+                                count=frames * n_ch).reshape(-1, n_ch)
+    elif bits == 24:
+        frames = len(data) // (3 * n_ch)
+        raw = np.frombuffer(data, dtype=np.uint8,
+                            count=frames * n_ch * 3).reshape(-1, 3)
+        if little:
+            raw = raw[:, ::-1]
+        x = (raw[:, 2].astype(np.int32)
+             | raw[:, 1].astype(np.int32) << 8
+             | raw[:, 0].astype(np.int32) << 16)
+        samples = ((x ^ 0x800000) - 0x800000).reshape(-1, n_ch)
+    else:
+        raise NotImplementedError(
+            f"AIFF {bits}-bit samples not supported by the pure-numpy "
+            "decoder (8/16/24/32-bit PCM only)")
+    return samples, int(round(rate))
+
+
+def _mulaw_to_linear(u: np.ndarray) -> np.ndarray:
+    """G.711 µ-law bytes → int16 linear PCM (the public decode formula:
+    invert, split exponent/mantissa, expand around the +33 bias)."""
+    u = (~u) & 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = (((mant.astype(np.int32) << 1) + 33) << exp) - 33
+    return np.where(sign, -mag, mag).astype(np.int16) * 4
+
+
+_AU_PCM = {2: np.dtype(np.int8), 3: np.dtype(">i2"), 5: np.dtype(">i4"),
+           6: np.dtype(">f4"), 7: np.dtype(">f8")}
+
+
+def _decode_au(payload: bytes) -> tuple[np.ndarray, int] | None:
+    """Pure numpy decoder for Sun/NeXT .au audio (public format:
+    24-byte big-endian header + samples). PCM 8/16/32-bit, IEEE float
+    32/64, and G.711 µ-law (decoded to int16 linear). Returns None when
+    the payload has no .snd magic."""
+    if len(payload) < 24 or payload[:4] != b".snd":
+        return None
+    import struct
+    off, size, enc, rate, n_ch = struct.unpack(">IIIII", payload[4:24])
+    if off < 24 or n_ch < 1 or rate < 1:
+        raise ValueError(f"corrupt AU header (offset={off} "
+                         f"channels={n_ch} rate={rate})")
+    data = payload[off:off + size] if size != 0xFFFFFFFF else payload[off:]
+    if enc == 1:                              # µ-law
+        frames = len(data) // n_ch
+        u = np.frombuffer(data, np.uint8, frames * n_ch)
+        samples = _mulaw_to_linear(u).reshape(-1, n_ch)
+    elif enc in _AU_PCM:
+        dt = _AU_PCM[enc]
+        frames = len(data) // (dt.itemsize * n_ch)
+        samples = np.frombuffer(data, dtype=dt,
+                                count=frames * n_ch).reshape(-1, n_ch)
+    elif enc == 4:                            # 24-bit big-endian PCM
+        frames = len(data) // (3 * n_ch)
+        raw = np.frombuffer(data, np.uint8,
+                            frames * n_ch * 3).reshape(-1, 3)
+        x = (raw[:, 2].astype(np.int32)
+             | raw[:, 1].astype(np.int32) << 8
+             | raw[:, 0].astype(np.int32) << 16)
+        samples = ((x ^ 0x800000) - 0x800000).reshape(-1, n_ch)
+    else:
+        raise NotImplementedError(
+            f"AU encoding {enc} not supported by the pure-numpy "
+            "decoder (PCM, IEEE float and G.711 mu-law only)")
+    return samples, int(rate)
+
+
 def _fake_decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
     """Deterministic fake waveform seeded from the payload digest —
     keeps the audio batch plumbing testable for formats whose real
@@ -415,31 +553,34 @@ def _fake_decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
 def decode_audio(payload: bytes,
                  fake_decode: bool = False) -> tuple[np.ndarray, int]:
     """(samples (n_frames, n_channels) native dtype, sample_rate).
-    RIFF/PCM and IEEE-float WAV decode with pure numpy/stdlib; other
-    containers (mp3, flac, ogg — their codecs need real audio libs)
-    raise the explicit stub error unless fake_decode swaps in the
-    deterministic fake."""
+    RIFF/PCM and IEEE-float WAV, AIFF/AIFF-C PCM, and Sun .au
+    (PCM/float/µ-law) decode with pure numpy/stdlib; other containers
+    (mp3, flac, ogg — their codecs need real audio libs) raise the
+    explicit stub error unless fake_decode swaps in the deterministic
+    fake."""
     if fake_decode:
         return _fake_decode_audio(payload)
-    got = _decode_wav(payload)
-    if got is not None:
-        return got
+    for dec in (_decode_wav, _decode_aiff, _decode_au):
+        got = dec(payload)
+        if got is not None:
+            return got
     raise NotImplementedError(
-        "real decode of non-WAV audio requires an audio library, which "
-        "is not installed in this container; pass fake_decode=True for "
-        "the deterministic fake decoder (RIFF/PCM WAV decodes without "
-        "one)")
+        "real decode of non-WAV/AIFF/AU audio requires an audio "
+        "library, which is not installed in this container; pass "
+        "fake_decode=True for the deterministic fake decoder")
 
 
 def _audio_normalize(samples: np.ndarray) -> np.ndarray:
-    """Native-dtype samples → float32 in [-1, 1), mixed down to mono."""
+    """Native-dtype samples → float32 in [-1, 1), mixed down to mono.
+    Scales by dtype KIND and width (not identity) so the big-endian
+    AIFF/AU dtypes and signed 8-bit normalize like their little-endian
+    WAV counterparts."""
     x = samples.astype(np.float32)
-    if samples.dtype == np.uint8:          # 8-bit PCM is unsigned
+    dt = samples.dtype
+    if dt == np.uint8:                     # 8-bit WAV PCM is unsigned
         x = (x - 128.0) / 128.0
-    elif samples.dtype == np.int16:
-        x = x / 32768.0
-    elif samples.dtype == np.int32:
-        x = x / 2147483648.0
+    elif dt.kind == "i":
+        x = x / float(1 << (8 * dt.itemsize - 1))
     return x.mean(axis=1)                  # mono mix for the stats
 
 

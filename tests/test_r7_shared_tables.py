@@ -306,3 +306,25 @@ def test_shared_tables_cut_tokens_column_size(spark, token_df):
     # ~47 KB = 0.058 B/token here; larger at bench chunk sizes where
     # per-chunk tables are ~21 KB)
     assert e_solo - e_shared > 30_000, (e_solo, e_shared)
+
+
+def test_bench_size_bytes_per_token_gate(spark):
+    """VERDICT r6 #7 bar: bench-chunk (400k-token) compressed size
+    <= 1.15 B/token — the shared rANS tables amortize the per-chunk
+    side-table cost that kept the bench geometry at 1.1761."""
+    import pyspark.sql.functions as F
+
+    from tbl_spark.datagen import generate_df
+    from tbl_spark.encode import encode_chunks
+
+    df = generate_df(spark, 4_000, 8).cache()
+    total = df.agg(F.sum("n_tok")).collect()[0][0]
+    parts = max(1, int(total) // 400_000)
+    agg = (encode_chunks(df, parts)
+           .agg(F.sum("enc_bytes").alias("enc"),
+                F.sum(F.when(F.col("column") == "tokens",
+                             F.col("n_values"))).alias("tokens"))
+           .collect()[0])
+    df.unpersist()
+    bpt = agg["enc"] / agg["tokens"]
+    assert bpt <= 1.15, f"bench bytes/token {bpt:.4f} > 1.15"
