@@ -1,13 +1,14 @@
 """Pure-numpy baseline JPEG decoder (ITU-T T.81, a public spec).
 
 Closes VERDICT r6 #4 the way RFC 2083 closed PNG: the dominant web image
-format decodes without PIL. Scope — baseline and extended *sequential*
-Huffman DCT (SOF0/SOF1), 8-bit samples, grayscale or 3-component YCbCr
-(JFIF) with arbitrary integer sampling factors (4:4:4, 4:2:2, 4:2:0,
-4:1:1, …), restart intervals, 8- and 16-bit quantization tables, one
-interleaved scan (or a single-component scan for grayscale frames).
-Progressive (SOF2), arithmetic coding, lossless/hierarchical modes,
-12-bit precision, multi-scan baseline and CMYK raise
+format decodes without PIL. Scope — baseline and extended sequential
+Huffman DCT (SOF0/SOF1, one interleaved scan or per-component
+multi-scan) AND full progressive (SOF2, T.81 Annex G: spectral
+selection, successive approximation with DC/AC refinement scans, EOBn
+runs), 8-bit samples, grayscale or 3-component YCbCr (JFIF) with
+arbitrary integer sampling factors (4:4:4, 4:2:2, 4:2:0, 4:1:1, …),
+restart intervals, 8- and 16-bit quantization tables. Arithmetic
+coding, lossless/hierarchical modes, 12-bit precision and CMYK raise
 NotImplementedError so those payloads still fall through to the PIL
 gate; structurally broken payloads raise ValueError (the corrupt-input
 contract shared with `_decode_png`).
@@ -126,13 +127,13 @@ def _idct_blocks(coefs_zz: np.ndarray, qtable_zz: np.ndarray) -> np.ndarray:
     return px.astype(np.uint8)
 
 
-def _assemble_plane(blocks: np.ndarray, mcus_y: int, mcus_x: int,
-                    v: int, h: int) -> np.ndarray:
-    """MCU-ordered (nb, 8, 8) blocks of one component → its sample
-    plane (mcus_y*v*8, mcus_x*h*8)."""
-    a = blocks.reshape(mcus_y, mcus_x, v, h, 8, 8)
-    return a.transpose(0, 2, 4, 1, 3, 5).reshape(mcus_y * v * 8,
-                                                 mcus_x * h * 8)
+def _assemble_plane(blocks: np.ndarray, bh: int, bw: int) -> np.ndarray:
+    """Row-major block-grid (bh*bw, 8, 8) blocks of one component → its
+    sample plane (bh*8, bw*8). Coefficients are stored in the padded
+    raster block grid (not MCU order) so interleaved and
+    non-interleaved scans write to the same layout."""
+    a = blocks.reshape(bh, bw, 8, 8)
+    return a.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
 
 
 def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray
@@ -224,8 +225,10 @@ def _std_huff(tc: int, th: int) -> _Huff:
     return tab
 
 
+
+
 _SOF_UNSUPPORTED = {
-    0xC2: "progressive DCT", 0xC3: "lossless sequential",
+    0xC3: "lossless sequential",
     0xC5: "differential sequential", 0xC6: "differential progressive",
     0xC7: "differential lossless", 0xC9: "arithmetic sequential",
     0xCA: "arithmetic progressive", 0xCB: "arithmetic lossless",
@@ -235,33 +238,259 @@ _SOF_UNSUPPORTED = {
 }
 
 
+def _decode_scan(segs, comps, n_units, units_per_seg, Ss, Se, Ah, Al,
+                 mode):
+    """Entropy-decode one scan into the components' coefficient grids.
+
+    comps: list of (coef (n_blocks, 64) int32, didx (n_units, nb) int64
+    padded-grid block indices, dc (_Huff | None), ac (_Huff | None)).
+    mode: 'seq' (sequential: DC diff + AC with per-block EOB, Al
+    ignored per baseline practice), 'dc_first' / 'dc_refine' /
+    'ac_first' / 'ac_refine' (progressive, T.81 G.1.2). Restart
+    boundaries (the `segs` list) reset DC predictors and the EOB run.
+
+    The loops are the repo's one sequential hot path: per symbol, two
+    array reads against the flat Huffman lookups plus a 16-bit window
+    read (see _bit_windows)."""
+    unit = 0
+    for seg in segs:
+        if unit >= n_units:
+            break
+        win, nbits = _bit_windows(seg)
+        pos = 0
+        preds = [0] * len(comps)
+        eobrun = 0
+        seg_end = min(n_units, unit + units_per_seg)
+        try:
+            while unit < seg_end:
+                for ci, (co, didx, dc, ac) in enumerate(comps):
+                    row_ids = didx[unit]
+                    if mode == "seq":
+                        dsym, dln = dc.sym, dc.ln
+                        asym, aln = ac.sym, ac.ln
+                        pred = preds[ci]
+                        for idx in row_ids:
+                            row = co[idx]
+                            w = win[pos]
+                            s = int(dsym[w])
+                            ln = int(dln[w])
+                            if ln == 0:
+                                raise ValueError(
+                                    "corrupt JPEG: invalid Huffman code")
+                            pos += ln
+                            if s:
+                                if s > 11:
+                                    raise ValueError(
+                                        "corrupt JPEG: DC size > 11")
+                                v = int(win[pos]) >> (16 - s)
+                                pos += s
+                                if v < (1 << (s - 1)):
+                                    v -= (1 << s) - 1
+                                pred += v
+                            row[0] = pred
+                            k = 1
+                            while k < 64:
+                                w = win[pos]
+                                rs = int(asym[w])
+                                ln = int(aln[w])
+                                if ln == 0:
+                                    raise ValueError(
+                                        "corrupt JPEG: invalid Huffman "
+                                        "code")
+                                pos += ln
+                                s = rs & 0x0F
+                                if s == 0:
+                                    if rs != 0xF0:      # EOB
+                                        break
+                                    k += 16             # ZRL
+                                    continue
+                                k += rs >> 4
+                                if k > 63:
+                                    raise ValueError(
+                                        "corrupt JPEG: AC index past "
+                                        "block end")
+                                v = int(win[pos]) >> (16 - s)
+                                pos += s
+                                if v < (1 << (s - 1)):
+                                    v -= (1 << s) - 1
+                                row[k] = v
+                                k += 1
+                        preds[ci] = pred
+                    elif mode == "dc_first":
+                        dsym, dln = dc.sym, dc.ln
+                        pred = preds[ci]
+                        for idx in row_ids:
+                            w = win[pos]
+                            s = int(dsym[w])
+                            ln = int(dln[w])
+                            if ln == 0:
+                                raise ValueError(
+                                    "corrupt JPEG: invalid Huffman code")
+                            pos += ln
+                            if s:
+                                if s > 11:
+                                    raise ValueError(
+                                        "corrupt JPEG: DC size > 11")
+                                v = int(win[pos]) >> (16 - s)
+                                pos += s
+                                if v < (1 << (s - 1)):
+                                    v -= (1 << s) - 1
+                                pred += v
+                            co[idx, 0] = pred << Al
+                        preds[ci] = pred
+                    elif mode == "dc_refine":
+                        for idx in row_ids:
+                            if int(win[pos]) >> 15:
+                                co[idx, 0] |= 1 << Al
+                            pos += 1
+                    elif mode == "ac_first":
+                        asym, aln = ac.sym, ac.ln
+                        row = co[row_ids[0]]
+                        if eobrun:
+                            eobrun -= 1
+                        else:
+                            k = Ss
+                            while k <= Se:
+                                w = win[pos]
+                                rs = int(asym[w])
+                                ln = int(aln[w])
+                                if ln == 0:
+                                    raise ValueError(
+                                        "corrupt JPEG: invalid Huffman "
+                                        "code")
+                                pos += ln
+                                s = rs & 0x0F
+                                r = rs >> 4
+                                if s == 0:
+                                    if r == 15:
+                                        k += 16         # ZRL
+                                        continue
+                                    eobrun = (1 << r) - 1
+                                    if r:
+                                        eobrun += int(win[pos]) >> (16 - r)
+                                        pos += r
+                                    break
+                                k += r
+                                if k > Se:
+                                    raise ValueError(
+                                        "corrupt JPEG: AC index past "
+                                        "band end")
+                                v = int(win[pos]) >> (16 - s)
+                                pos += s
+                                if v < (1 << (s - 1)):
+                                    v -= (1 << s) - 1
+                                row[k] = v << Al
+                                k += 1
+                    else:                       # ac_refine (G.1.2.3)
+                        asym, aln = ac.sym, ac.ln
+                        row = co[row_ids[0]]
+                        p1 = 1 << Al
+                        m1 = -1 << Al
+                        k = Ss
+                        if eobrun == 0:
+                            while k <= Se:
+                                w = win[pos]
+                                rs = int(asym[w])
+                                ln = int(aln[w])
+                                if ln == 0:
+                                    raise ValueError(
+                                        "corrupt JPEG: invalid Huffman "
+                                        "code")
+                                pos += ln
+                                s = rs & 0x0F
+                                r = rs >> 4
+                                val = 0
+                                if s == 0:
+                                    if r != 15:         # EOBn
+                                        eobrun = 1 << r
+                                        if r:
+                                            eobrun += (int(win[pos])
+                                                       >> (16 - r))
+                                            pos += r
+                                        break
+                                    # ZRL: skip 16 zero-history slots
+                                else:
+                                    if s != 1:
+                                        raise ValueError(
+                                            "corrupt JPEG: AC "
+                                            "refinement size != 1")
+                                    val = p1 if int(win[pos]) >> 15 \
+                                        else m1
+                                    pos += 1
+                                while k <= Se:
+                                    c = int(row[k])
+                                    if c:
+                                        if int(win[pos]) >> 15:
+                                            if not (c & p1):
+                                                row[k] = c + (
+                                                    p1 if c >= 0 else m1)
+                                        pos += 1
+                                    else:
+                                        if r == 0:
+                                            break
+                                        r -= 1
+                                    k += 1
+                                if val and k <= Se:
+                                    row[k] = val
+                                k += 1
+                        if eobrun:
+                            while k <= Se:
+                                c = int(row[k])
+                                if c:
+                                    if int(win[pos]) >> 15:
+                                        if not (c & p1):
+                                            row[k] = c + (
+                                                p1 if c >= 0 else m1)
+                                    pos += 1
+                                k += 1
+                            eobrun -= 1
+                if pos > nbits:
+                    raise ValueError(
+                        "corrupt JPEG: entropy stream exhausted")
+                unit += 1
+        except IndexError:
+            raise ValueError(
+                "corrupt JPEG: entropy stream exhausted") from None
+    if unit < n_units:
+        raise ValueError("corrupt JPEG: scan ended before the last unit")
+
+
 def decode_jpeg(payload: bytes,
                 default_huffman: bool = False) -> np.ndarray | None:
-    """Baseline-JPEG payload → (H, W, 3) uint8 RGB, or None when the
-    payload is not JPEG at all (no SOI magic — other formats fall
-    through to their own decoders). `default_huffman=True` supplies
-    the T.81 Annex K typical tables for any table slot 0/1 no DHT
-    defined — the MJPEG-in-AVI convention (_video.py)."""
+    """JPEG payload → (H, W, 3) uint8 RGB, or None when the payload is
+    not JPEG at all (no SOI magic — other formats fall through to their
+    own decoders). Covers baseline and extended sequential (SOF0/1,
+    interleaved or per-component multi-scan) and full progressive
+    (SOF2: spectral selection + successive approximation, T.81 Annex
+    G). `default_huffman=True` supplies the T.81 Annex K typical
+    tables for any table slot 0/1 no DHT defined — the MJPEG-in-AVI
+    convention (_video.py). 12-bit precision, arithmetic coding,
+    lossless/hierarchical modes and CMYK stay behind the explicit
+    NotImplementedError gate."""
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         return None
     qtables: dict[int, np.ndarray] = {}
     huff_dc: dict[int, _Huff] = {}
     huff_ac: dict[int, _Huff] = {}
-    frame = None            # (H, W, [(comp_id, h, v, tq), ...])
+    frame = None            # (H, W, [(comp_id, h, v, tq)], progressive)
+    geom = None             # per-component grid geometry after SOF
+    coefs: list[np.ndarray] = []
     restart_interval = 0
+    n_scans = 0
     pos = 2
-    scan = None
-    while scan is None:
-        if pos + 4 > len(payload):
-            raise ValueError("corrupt JPEG: ran out of markers before SOS")
+    while True:
+        if pos + 2 > len(payload):
+            raise ValueError("corrupt JPEG: ran out of data before EOI")
         if payload[pos] != 0xFF:
             raise ValueError("corrupt JPEG: expected marker, got data")
         marker = payload[pos + 1]
         if marker == 0xFF:              # fill byte
             pos += 1
             continue
-        if marker == 0xD9:              # EOI before any scan
-            raise ValueError("corrupt JPEG: EOI before SOS")
+        if marker == 0xD9:              # EOI
+            break
+        if pos + 4 > len(payload):
+            raise ValueError("corrupt JPEG: truncated marker segment")
         (seglen,) = struct.unpack(">H", payload[pos + 2:pos + 4])
         body = payload[pos + 4:pos + 2 + seglen]
         if len(body) != seglen - 2:
@@ -289,170 +518,139 @@ def decode_jpeg(payload: bytes,
                     raise ValueError("corrupt JPEG: truncated DHT")
                 (huff_ac if tc else huff_dc)[th] = _Huff(counts, symbols)
                 off += 17 + nsym
-        elif marker in (0xC0, 0xC1):    # SOF0/1: (extended) sequential
+        elif marker in (0xC0, 0xC1, 0xC2):   # sequential / progressive
+            if frame is not None:
+                raise ValueError("corrupt JPEG: second SOF")
             prec, hh, ww, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError(
                     f"JPEG sample precision {prec} not supported by the "
                     "pure-numpy decoder (8-bit only); install PIL")
+            if nc not in (1, 3):
+                raise NotImplementedError(
+                    f"JPEG with {nc} components (CMYK/unknown) not "
+                    "supported by the pure-numpy decoder; install PIL")
+            if hh == 0 or ww == 0:
+                raise NotImplementedError(
+                    "JPEG with DNL-deferred dimensions not supported")
             comps = []
             for i in range(nc):
                 cid, hv, tq = struct.unpack(
                     ">BBB", body[6 + 3 * i:9 + 3 * i])
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
-            if nc not in (1, 3):
-                raise NotImplementedError(
-                    f"JPEG with {nc} components (CMYK/unknown) not "
-                    "supported by the pure-numpy decoder; install PIL")
-            frame = (hh, ww, comps)
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
+                raise ValueError(
+                    "corrupt JPEG: sampling factors out of range")
+            mcus_x = -(-ww // (8 * hmax))
+            mcus_y = -(-hh // (8 * vmax))
+            geom = []
+            for cid, h, v, tq in comps:
+                bw_pad, bh_pad = mcus_x * h, mcus_y * v
+                cw = -(-ww * h // hmax)      # component sample dims
+                chh = -(-hh * v // vmax)
+                bw_t, bh_t = -(-cw // 8), -(-chh // 8)
+                # interleaved unit (MCU) -> padded raster block indices
+                m = np.arange(mcus_x * mcus_y, dtype=np.int64)
+                my, mx = m // mcus_x, m % mcus_x
+                b = np.arange(v * h, dtype=np.int64)
+                bv, bhh = b // h, b % h
+                mcu_idx = ((my[:, None] * v + bv[None, :]) * bw_pad
+                           + mx[:, None] * h + bhh[None, :])
+                # non-interleaved unit (tight-grid block) -> padded
+                u = np.arange(bw_t * bh_t, dtype=np.int64)
+                blk_idx = ((u // bw_t) * bw_pad + u % bw_t)[:, None]
+                geom.append({"h": h, "v": v, "tq": tq,
+                             "bw_pad": bw_pad, "bh_pad": bh_pad,
+                             "bw_t": bw_t, "bh_t": bh_t,
+                             "mcu_idx": mcu_idx, "blk_idx": blk_idx})
+                coefs.append(np.zeros((bw_pad * bh_pad, 64),
+                                      dtype=np.int32))
+            frame = (hh, ww, comps, marker == 0xC2,
+                     hmax, vmax, mcus_x, mcus_y)
         elif marker in _SOF_UNSUPPORTED:
             raise NotImplementedError(
                 f"JPEG {_SOF_UNSUPPORTED[marker]} (SOF{marker - 0xC0}) "
-                "not supported by the pure-numpy decoder (baseline "
-                "sequential Huffman only); install PIL")
+                "not supported by the pure-numpy decoder; install PIL")
         elif marker == 0xDD:            # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
-        elif marker == 0xDA:            # SOS
+        elif marker == 0xDA:            # SOS: decode this scan
+            if frame is None:
+                raise ValueError("corrupt JPEG: SOS before SOF")
+            hh, ww, comps, progressive, hmax, vmax, mcus_x, mcus_y = frame
             ns = body[0]
-            scan_comps = []
+            by_id = {c[0]: i for i, c in enumerate(comps)}
+            scan_cis = []
+            scan_tabs = []
             for i in range(ns):
                 cs, tt = body[1 + 2 * i], body[2 + 2 * i]
-                scan_comps.append((cs, tt >> 4, tt & 0x0F))
-            scan = (scan_comps, pos + 2 + seglen)
-        # APPn / COM / anything else with a length: skip
+                if cs not in by_id:
+                    raise ValueError(
+                        "corrupt JPEG: scan names unknown component")
+                scan_cis.append(by_id[cs])
+                scan_tabs.append((tt >> 4, tt & 0x0F))
+            Ss, Se, AhAl = body[1 + 2 * ns:4 + 2 * ns]
+            Ah, Al = AhAl >> 4, AhAl & 0x0F
+            if progressive:
+                if Ss == 0 and Se == 0:
+                    mode = "dc_refine" if Ah else "dc_first"
+                elif Ss >= 1 and Se <= 63 and Ss <= Se:
+                    if ns != 1:
+                        raise ValueError("corrupt JPEG: interleaved "
+                                         "progressive AC scan")
+                    mode = "ac_refine" if Ah else "ac_first"
+                else:
+                    raise ValueError(
+                        f"corrupt JPEG: bad spectral band {Ss}..{Se}")
+            else:
+                mode = "seq"
+                Ss, Se, Ah, Al = 0, 63, 0, 0
+            need_dc = mode in ("seq", "dc_first")
+            need_ac = mode in ("seq", "ac_first", "ac_refine")
+            scan_comps = []
+            for ci, (td, ta) in zip(scan_cis, scan_tabs):
+                if default_huffman:
+                    if need_dc and td not in huff_dc and td in (0, 1):
+                        huff_dc[td] = _std_huff(0, td)
+                    if need_ac and ta not in huff_ac and ta in (0, 1):
+                        huff_ac[ta] = _std_huff(1, ta)
+                if (need_dc and td not in huff_dc) \
+                        or (need_ac and ta not in huff_ac):
+                    raise ValueError("corrupt JPEG: missing Huffman "
+                                     "table")
+                g = geom[ci]
+                didx = g["mcu_idx"] if ns > 1 else g["blk_idx"]
+                scan_comps.append((coefs[ci], didx,
+                                   huff_dc.get(td), huff_ac.get(ta)))
+            if ns > 1:
+                n_units = mcus_x * mcus_y
+            else:
+                g = geom[scan_cis[0]]
+                n_units = g["bw_t"] * g["bh_t"]
+            segs, end = _split_scan(payload, pos + 2 + seglen)
+            _decode_scan(segs, scan_comps, n_units,
+                         restart_interval or n_units,
+                         Ss, Se, Ah, Al, mode)
+            n_scans += 1
+            pos = end
+            continue
+        # APPn / COM / DNL / anything else with a length: skip
         pos += 2 + seglen
 
-    if frame is None:
-        raise ValueError("corrupt JPEG: SOS before SOF")
-    H, W, comps = frame
-    if H == 0 or W == 0:
-        raise NotImplementedError(
-            "JPEG with DNL-deferred dimensions not supported")
-    scan_comps, data_start = scan
-    if len(scan_comps) != len(comps):
-        raise NotImplementedError(
-            "multi-scan baseline JPEG (non-interleaved component scans) "
-            "not supported by the pure-numpy decoder; install PIL")
-
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
-        raise ValueError("corrupt JPEG: sampling factors out of range")
-    interleaved = len(comps) > 1
-    if interleaved:
-        mcus_x = -(-W // (8 * hmax))
-        mcus_y = -(-H // (8 * vmax))
-    else:
-        # single-component scan: MCU = one block, no subsampling grid
-        comps = [(comps[0][0], 1, 1, comps[0][3])]
-        hmax = vmax = 1
-        mcus_x = -(-W // 8)
-        mcus_y = -(-H // 8)
-    n_mcus = mcus_x * mcus_y
-
-    by_id = {c[0]: c for c in comps}
-    order = []                          # scan-ordered component specs
-    for cs, td, ta in scan_comps:
-        if cs not in by_id:
-            raise ValueError("corrupt JPEG: scan names unknown component")
-        cid, h, v, tq = by_id[cs]
+    if frame is None or n_scans == 0:
+        raise ValueError("corrupt JPEG: no frame or no scan before EOI")
+    hh, ww, comps, _prog, hmax, vmax, mcus_x, mcus_y = frame
+    planes = []
+    for ci, (cid, h, v, tq) in enumerate(comps):
         if tq not in qtables:
             raise ValueError("corrupt JPEG: missing quantization table")
-        if default_huffman:
-            if td not in huff_dc and td in (0, 1):
-                huff_dc[td] = _std_huff(0, td)
-            if ta not in huff_ac and ta in (0, 1):
-                huff_ac[ta] = _std_huff(1, ta)
-        if td not in huff_dc or ta not in huff_ac:
-            raise ValueError("corrupt JPEG: missing Huffman table")
-        order.append((h, v, qtables[tq], huff_dc[td], huff_ac[ta]))
-
-    segs, _end = _split_scan(payload, data_start)
-    mcus_per_seg = restart_interval if restart_interval else n_mcus
-    coefs = [np.zeros((n_mcus * h * v, 64), dtype=np.int64)
-             for h, v, _q, _d, _a in order]
-
-    # the one sequential loop: Huffman symbols + magnitude bits, with
-    # the bit-reader inlined (local bindings; ~2x over method calls —
-    # each symbol is two array reads + integer ops)
-    tabs = [(int(h * v), hdc.sym, hdc.ln, hac.sym, hac.ln, co)
-            for (h, v, _q, hdc, hac), co in zip(order, coefs)]
-    mcu = 0
-    for seg in segs:
-        if mcu >= n_mcus:
-            break
-        win, nbits = _bit_windows(seg)
-        pos = 0
-        preds = [0] * len(order)
-        seg_end = min(n_mcus, mcu + mcus_per_seg)
-        try:
-            while mcu < seg_end:
-                for ci, (nb, dsym, dln, asym, aln, co) in enumerate(tabs):
-                    base = mcu * nb
-                    pred = preds[ci]
-                    for b in range(nb):
-                        row = co[base + b]
-                        w = win[pos]
-                        s = int(dsym[w])
-                        ln = int(dln[w])
-                        if ln == 0:
-                            raise ValueError(
-                                "corrupt JPEG: invalid Huffman code")
-                        pos += ln
-                        if s:
-                            if s > 11:
-                                raise ValueError(
-                                    "corrupt JPEG: DC size > 11")
-                            v = int(win[pos]) >> (16 - s)
-                            pos += s
-                            if v < (1 << (s - 1)):
-                                v -= (1 << s) - 1
-                            pred += v
-                        row[0] = pred
-                        k = 1
-                        while k < 64:
-                            w = win[pos]
-                            rs = int(asym[w])
-                            ln = int(aln[w])
-                            if ln == 0:
-                                raise ValueError(
-                                    "corrupt JPEG: invalid Huffman code")
-                            pos += ln
-                            s = rs & 0x0F
-                            if s == 0:
-                                if rs != 0xF0:      # EOB
-                                    break
-                                k += 16             # ZRL
-                                continue
-                            k += rs >> 4
-                            if k > 63:
-                                raise ValueError(
-                                    "corrupt JPEG: AC index past "
-                                    "block end")
-                            v = int(win[pos]) >> (16 - s)
-                            pos += s
-                            if v < (1 << (s - 1)):
-                                v -= (1 << s) - 1
-                            row[k] = v
-                            k += 1
-                    preds[ci] = pred
-                if pos > nbits:
-                    raise ValueError(
-                        "corrupt JPEG: entropy stream exhausted")
-                mcu += 1
-        except IndexError:
-            raise ValueError(
-                "corrupt JPEG: entropy stream exhausted") from None
-    if mcu < n_mcus:
-        raise ValueError("corrupt JPEG: scan ended before the last MCU")
-
-    planes = []
-    for ci, (h, v, q, _d, _a) in enumerate(order):
-        blocks = _idct_blocks(coefs[ci], q)
-        plane = _assemble_plane(blocks, mcus_y, mcus_x, v, h)
+        g = geom[ci]
+        blocks = _idct_blocks(coefs[ci], qtables[tq])
+        plane = _assemble_plane(blocks, g["bh_pad"], g["bw_pad"])
         # map image coordinates through the component's sampling ratio
-        yi = np.arange(H) * v // vmax
-        xi = np.arange(W) * h // hmax
+        yi = np.arange(hh) * v // vmax
+        xi = np.arange(ww) * h // hmax
         planes.append(plane[yi][:, xi])
     if len(planes) == 1:
         return np.ascontiguousarray(

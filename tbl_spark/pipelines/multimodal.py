@@ -3,13 +3,14 @@ with typed metadata.
 
 The Spark-side plumbing (schema, partitioning, Arrow batch shape, UDF
 signatures) is real and tested. Image decode is REAL for PPM P6, every
-legal PNG IHDR shape (depths 1-16, all color types, Adam7), and
-baseline-sequential JPEG (pure numpy + stdlib — no imaging library
-needed); only genuinely exotic variants (progressive JPEG, CMYK, GIF,
-…) fall back to PIL and raise NotImplementedError when it is absent,
-as in this container. Audio decode is REAL for RIFF/PCM and IEEE-float WAV (pure
-numpy + stdlib struct); compressed audio (mp3/flac/ogg) raises the
-explicit stub error. Video decode is REAL for MJPEG-in-AVI (RIFF walk +
+legal PNG IHDR shape (depths 1-16, all color types, Adam7), and JPEG —
+baseline, multi-scan sequential, AND full progressive (pure numpy +
+stdlib — no imaging library needed); only genuinely exotic variants
+(arithmetic/lossless JPEG, CMYK, GIF, …) fall back to PIL and raise
+NotImplementedError when it is absent, as in this container. Audio
+decode is REAL for RIFF/PCM and IEEE-float WAV, AIFF/AIFF-C PCM, and
+Sun .au incl. G.711 µ-law (pure numpy + stdlib struct); codec-bound
+audio (mp3/flac/ogg) raises the explicit stub error. Video decode is REAL for MJPEG-in-AVI (RIFF walk +
 the baseline JPEG decoder, Annex K default tables for DHT-less MJPEG
 frames) and uncompressed YUV4MPEG2 — see _video.py; frame seeking is
 index-driven so sampling k of N frames decodes exactly k. Other video
@@ -614,8 +615,9 @@ def decode_image(payload: bytes, width: int, height: int,
                  fake_decode: bool = False) -> np.ndarray:
     """(H, W, 3) uint8 pixels. Real path: uncompressed PPM P6, any
     legal PNG (depths 1-16, all color types, Adam7 interlace), and
-    baseline-sequential JPEG (grayscale/YCbCr, any sampling, restart
-    markers — see _jpeg.py) all decode with pure numpy/stdlib (no PIL);
+    full Huffman JPEG — baseline, multi-scan sequential, progressive
+    (grayscale/YCbCr, any sampling, restart markers — see _jpeg.py) —
+    all decode with pure numpy/stdlib (no PIL);
     anything else decodes with PIL, and without PIL in the environment
     the stub error is explicit (the deterministic fake keeps the
     Spark-side plumbing testable either way). The image is resized to

@@ -311,10 +311,16 @@ def test_progressive_and_corrupt_gates():
     q = np.ones((8, 8), dtype=np.int64)
     blocks = _rand_blocks(rng, 1, 1)
     good = encode_jpeg([(1, 1, 0, blocks)], 8, 8, {0: q})
-    # flip SOF0 -> SOF2 (progressive): explicit NotImplementedError
+    # flip SOF0 -> SOF2: progressive is REAL now (test_jpeg_progressive
+    # covers values), but a sequential-shaped scan header (Ss=0, Se=63)
+    # inside a progressive frame violates G.1 -> corrupt, not exotic
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(ValueError, match="spectral band"):
         decode_jpeg(prog)
+    # lossless mode stays behind the explicit gate
+    lossless = good.replace(b"\xff\xc0", b"\xff\xc3", 1)
+    with pytest.raises(NotImplementedError, match="lossless"):
+        decode_jpeg(lossless)
     # truncated scan: clean ValueError
     with pytest.raises(ValueError, match="corrupt JPEG"):
         decode_jpeg(good[:len(good) - 12])
