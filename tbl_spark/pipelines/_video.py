@@ -270,6 +270,12 @@ def probe_video(payload: bytes) -> dict | None:
         return {"format": "y4m", "n_frames": len(y4m["frames"]),
                 "width": y4m["width"], "height": y4m["height"],
                 "fps": y4m["fps"]}
+    from ._gif import parse_gif
+    gif = parse_gif(payload)
+    if gif is not None:                  # animated GIF as a video
+        return {"format": "gif", "n_frames": len(gif["frames"]),
+                "width": gif["width"], "height": gif["height"],
+                "fps": 0.0}
     return None
 
 
@@ -308,4 +314,5 @@ def decode_video_frames(payload: bytes,
             [i for i in indices if 0 <= i < len(frames)]
         return idxs, [_y4m_frame(payload, y4m, frames[i][0])
                       for i in idxs]
-    return None
+    from ._gif import decode_gif_frames
+    return decode_gif_frames(payload, indices)

@@ -5,15 +5,18 @@ The Spark-side plumbing (schema, partitioning, Arrow batch shape, UDF
 signatures) is real and tested. Image decode is REAL for PPM P6, every
 legal PNG IHDR shape (depths 1-16, all color types, Adam7), and JPEG —
 baseline, multi-scan sequential, AND full progressive (pure numpy +
-stdlib — no imaging library needed); only genuinely exotic variants
-(arithmetic/lossless JPEG, CMYK, GIF, …) fall back to PIL and raise
+stdlib — no imaging library needed), plus GIF87a/89a (LZW, interlace,
+animation compositing — see _gif.py); only genuinely exotic variants
+(arithmetic/lossless JPEG, CMYK, BMP, …) fall back to PIL and raise
 NotImplementedError when it is absent, as in this container. Audio
 decode is REAL for RIFF/PCM and IEEE-float WAV, AIFF/AIFF-C PCM, and
 Sun .au incl. G.711 µ-law (pure numpy + stdlib struct); codec-bound
-audio (mp3/flac/ogg) raises the explicit stub error. Video decode is REAL for MJPEG-in-AVI (RIFF walk +
-the baseline JPEG decoder, Annex K default tables for DHT-less MJPEG
-frames) and uncompressed YUV4MPEG2 — see _video.py; frame seeking is
-index-driven so sampling k of N frames decodes exactly k. Other video
+audio (mp3/flac/ogg) raises the explicit stub error. Video decode is
+REAL for MJPEG-in-AVI (RIFF walk + the JPEG decoder, Annex K default
+tables for DHT-less MJPEG frames), uncompressed YUV4MPEG2, and
+animated GIF — see _video.py / _gif.py; AVI/y4m frame seeking is
+index-driven so sampling k of N frames decodes exactly k (GIF frames
+are canvas deltas, so a seek composites from frame 0). Codec-bound
 containers (mp4/mkv/webm) raise the explicit stub error.
 `fake_decode=True` swaps in deterministic fake decoders so the batch
 plumbing can be exercised independently of any format.
@@ -630,6 +633,11 @@ def decode_image(payload: bytes, width: int, height: int,
     if px is None:
         from ._jpeg import decode_jpeg
         px = decode_jpeg(payload)
+    if px is None:
+        from ._gif import decode_gif_frames
+        got = decode_gif_frames(payload, [0])   # poster frame
+        if got is not None:
+            px = got[1][0]
     if px is not None:
         if width and height and px.shape[:2] != (height, width):
             return _resize_nearest(px, width, height)
@@ -639,10 +647,10 @@ def decode_image(payload: bytes, width: int, height: int,
         return px if px.flags.writeable else px.copy()
     if not HAVE_PIL:
         raise NotImplementedError(
-            "real decode of non-PPM/PNG/JPEG images requires PIL, which "
-            "is not installed in this container; pass fake_decode=True "
-            "for the deterministic fake decoder (PPM P6, 8-bit PNG and "
-            "baseline JPEG payloads decode without PIL)")
+            "real decode of non-PPM/PNG/JPEG/GIF images requires PIL, "
+            "which is not installed in this container; pass fake_decode="
+            "True for the deterministic fake decoder (PPM, PNG, Huffman "
+            "JPEG and GIF payloads decode without PIL)")
     from io import BytesIO
     img = Image.open(BytesIO(payload)).convert("RGB")
     if width and height and img.size != (width, height):
@@ -685,10 +693,10 @@ def decode_video(payload: bytes, frame_indices: list[int] | None = None,
     if got is not None:
         return got
     raise NotImplementedError(
-        "real decode of non-AVI/y4m video requires a video library, "
-        "which is not installed in this container; pass fake_decode="
-        "True for the deterministic fake decoder (MJPEG-in-AVI and "
-        "YUV4MPEG2 decode without one)")
+        "real decode of non-AVI/y4m/GIF video requires a video "
+        "library, which is not installed in this container; pass "
+        "fake_decode=True for the deterministic fake decoder "
+        "(MJPEG-in-AVI, YUV4MPEG2 and animated GIF decode without one)")
 
 
 def _image_features(stack: np.ndarray, dim: int) -> np.ndarray:

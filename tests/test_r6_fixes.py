@@ -116,10 +116,10 @@ def test_png_decode_resize_and_gates():
     px = rng.integers(0, 256, (10, 10, 3), dtype=np.uint8)
     got = decode_image(_encode_png(px, [4]), 20, 30)
     assert got.shape == (30, 20, 3)
-    # non-PNG/PPM/JPEG still hits the explicit PIL gate (JPEG magic now
-    # routes to the real baseline decoder — covered in test_jpeg.py)
+    # unknown magic still hits the explicit PIL gate (JPEG/GIF magic
+    # now routes to the real decoders — test_jpeg.py / test_gif.py)
     with pytest.raises(NotImplementedError, match="PIL"):
-        decode_image(b"GIF89a-ish-payload", 4, 4)
+        decode_image(b"BM-bmp-ish-payload", 4, 4)
     # 16-bit RGB decodes for real now (test_png_exotic.py covers values)
     # but an IDAT shorter than the 16-bit scanline layout is corrupt
     ihdr16 = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
