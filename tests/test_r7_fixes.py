@@ -440,3 +440,46 @@ def test_batched_image_features_values_unchanged(spark):
                                        fake_decode=False).collect()}
     for mid, want in ref.items():
         assert np.array_equal(feats[mid], want), mid
+
+
+# -- media subcommand (r7) ----------------------------------------------------
+
+def test_cli_media_features_fake(spark, sf_dir, tmp_path, capsys):
+    from tbl_spark.cli import main
+    from tbl_spark.pipelines.multimodal import attach_media
+    src = str(tmp_path / "media_src")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+    attach_media(docs).write.parquet(src)
+    rc = main(["media", src, "--dim", "4", "--csv", "-n", "5"])
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert lines[0].split(",")[:2] == ["media_id", "kind"]
+    assert len(lines) == 6
+    out = str(tmp_path / "media_out")
+    rc = main(["media", src, "--op", "digest-features", "--dim", "4",
+               "--output", out, "--yes"])
+    assert rc == 0
+    res = spark.read.parquet(out)
+    assert res.count() == 30 and "feature" in res.columns
+
+
+def test_cli_media_frame_sample_real(spark, tmp_path, capsys):
+    import sys as _sys, os as _os
+    _sys.path.insert(0, _os.path.dirname(__file__))
+    from test_video import mux_avi, _gray_jpeg_frames
+    import numpy as np
+    from tbl_spark.cli import main
+    rng = np.random.default_rng(13)
+    frames, _refs = _gray_jpeg_frames(rng, 8, 8, 6)
+    avi = mux_avi(frames, 8, 8)
+    src = str(tmp_path / "vid_src")
+    spark.createDataFrame(
+        [(1, "video", 8, 8, 6, bytearray(avi))],
+        "media_id long, kind string, width int, height int, "
+        "n_frames int, payload binary").write.parquet(src)
+    rc = main(["media", src, "--op", "frame-sample", "--every-n", "2",
+               "--real-decode", "--dim", "4", "--csv", "-n", "all"])
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert lines[0].split(",")[:2] == ["media_id", "frame_idx"]
+    assert len(lines) == 4          # frames 0, 2, 4
