@@ -209,13 +209,22 @@ def test_stream_dedup_timeout_expires_and_readmits(spark, tmp_path):
          .option("checkpointLocation", str(tmp_path / "ckpt_t")).start())
     try:
         wait_count(1)
+        t1 = time.monotonic()
         # in-window duplicate suppressed; the marker row proves the
         # batch was processed
         write_wave("w2", [("b", "alpha"), ("m1", "marker one")])
         wait_count(2)
+        in_window = time.monotonic() - t1 < 15   # 20 s timeout - slack
         ids = {r["doc_id"] for r in
                spark.sql("SELECT * FROM to_stream").collect()}
-        assert "b" not in ids and "m1" in ids
+        assert "m1" in ids
+        # only assert suppression when the duplicate provably arrived
+        # inside the state window — on a heavily loaded host the w2
+        # batch can land after the 20 s expiry, and re-admission is
+        # then the CORRECT behavior, not a bug (the r7 full-suite
+        # flake)
+        if in_window:
+            assert "b" not in ids
         # let the alpha state expire (cleanup batches keep running
         # under the fixed trigger), then re-admit
         time.sleep(25)
@@ -223,7 +232,10 @@ def test_stream_dedup_timeout_expires_and_readmits(spark, tmp_path):
         wait_count(4)
         rows = spark.sql("SELECT * FROM to_stream").collect()
         ids = {r["doc_id"] for r in rows}
-        assert "e" in ids and "b" not in ids
-        assert len([r for r in rows if r["text"] == "alpha"]) == 2
+        assert "e" in ids and "m2" in ids
+        if in_window:
+            assert "b" not in ids
+            assert len([r for r in rows
+                        if r["text"] == "alpha"]) == 2
     finally:
         q.stop()
