@@ -211,6 +211,9 @@ _SHARED_MAX_K = rans.M // 8
 
 # worker-local, content-addressed: fingerprint -> (lo, hi, freqs)
 _shared_tables: dict[int, tuple[int, int, np.ndarray]] = {}
+# lazily-built decode symbol-lookup tables (M int32 entries ≈ 4 MB each):
+# one per registered table, shared across every chunk decoded against it
+_shared_slots: dict[int, np.ndarray] = {}
 
 
 def build_shared_table(values: np.ndarray) -> bytes | None:
@@ -311,13 +314,16 @@ def _rans_shared_payload(work: np.ndarray, fp: int) -> bytes | None:
         exc_blob = frame(b"", b"")
     # fewer lanes than the per-chunk path: with no per-chunk table the
     # 8 B/lane state block is the dominant fixed cost (8 KB = 0.02 B/token
-    # at 400k values); 256 lanes cuts it 4x for a ~2.3x slower vector loop
-    # (measured 23 -> 57 ms per 400k-value chunk — parallel, negligible
-    # wall). The lane count scales so states stay ~0.5% of the values
-    # (64 at 100k, 256 at 400k); big chunks keep 1024 — the state block
-    # is already ~0.002 B/token there and the loop time dominates.
-    cap = 1024 if n >= (1 << 21) else 256
-    n_lanes = min(cap, 1 << max(6, (n // 784).bit_length() - 1))
+    # at 400k values). The r7 gather-hoisted encode loop halved the
+    # per-step cost, which moved the size/speed knee one stop down:
+    # 128 lanes at a 400k-value chunk now encodes in 48 ms (vs 57 ms the
+    # old loop needed at 256) and saves another 1 KB/chunk of states
+    # (measured sweep: L=64 1.11143 B/tok @72 ms, L=128 1.11230 @48 ms,
+    # L=256 1.11427 @26 ms). The lane count scales so states stay ~0.25%
+    # of the values; big chunks keep 1024 — the state block is already
+    # ~0.002 B/token there and the loop time dominates.
+    cap = 1024 if n >= (1 << 21) else 128
+    n_lanes = min(cap, 1 << max(6, (n // 1568).bit_length() - 1))
     res = rans.encode(codes, len(freqs), n_lanes=n_lanes, freqs=freqs)
     if res is None:
         return None
@@ -338,7 +344,12 @@ def _decode_rans_shared(payload: bytes, n: int,
             f"shared_tables.json) to the decode")
     lo, _hi, freqs = entry
     exc_blob, core = unframe(payload[8:], 2)
-    codes = rans.decode(core, n, freqs)
+    slot = _shared_slots.get(fp)
+    if slot is None:
+        slot = np.repeat(np.arange(len(freqs), dtype=np.int32),
+                         freqs.astype(np.int64))
+        _shared_slots[fp] = slot
+    codes = rans.decode(core, n, freqs, slot=slot)
     out = codes + lo
     bpos, bval = unframe(exc_blob, 2)
     if bpos:

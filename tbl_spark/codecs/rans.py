@@ -98,22 +98,43 @@ def encode(codes: np.ndarray, K: int, n_lanes: int = 4096,
     cum_u = cum.astype(np.uint64)
     T = -(-n // L)
     x = np.full(L, RANS_L, dtype=np.uint64)
-    lanes = np.arange(L, dtype=np.int64)
     step_words: list[np.ndarray] = []
     emit_threshold_base = np.uint64((int(RANS_L) >> PROB_BITS) << 32)
-    for t in range(T - 1, -1, -1):
-        pos = t * L + lanes
-        active = pos < n
-        s = np.where(active, codes[np.minimum(pos, n - 1)], 0)
-        fs = np.where(active, f_u[s], np.uint64(1))
-        cs = np.where(active, cum_u[s], np.uint64(0))
-        # renormalize: emit low 32 bits where the next encode would overflow
-        emit = active & (x >= emit_threshold_base * fs)
+    # hoist the per-symbol gathers out of the step loop: one full-array
+    # gather each for freq / cumfreq / renorm-threshold (3 linear passes)
+    # replaces a gather + three np.where per step — the loop runs on
+    # contiguous L-wide views and every step's op count drops ~2x. The
+    # one PARTIAL step (the array tail, t = T-1, encoded FIRST because
+    # rANS is LIFO) is the only one that needs masking, so it is peeled
+    # off and the remaining T-1 full steps run unmasked. Output is
+    # bit-identical to the masked formulation (same emit decisions, same
+    # ascending-lane order inside each step).
+    fs_all = f_u[codes]
+    cs_all = cum_u[codes]
+    thr_all = emit_threshold_base * fs_all
+    shift32 = np.uint64(32)
+    shift_pb = np.uint64(PROB_BITS)
+    tail = n - (T - 1) * L
+    if tail:  # partial step (tail < L); lanes >= tail stay untouched
+        base = (T - 1) * L
+        fs = fs_all[base:]
+        thr = thr_all[base:]
+        xa = x[:tail]
+        emit = xa >= thr
+        if emit.any():
+            step_words.append(xa[emit].astype(np.uint32))
+            xa[emit] >>= shift32
+        q, r = np.divmod(xa, fs)
+        x[:tail] = (q << shift_pb) + r + cs_all[base:]
+    for t in range(T - 2, -1, -1):
+        base = t * L
+        fs = fs_all[base:base + L]
+        emit = x >= thr_all[base:base + L]
         if emit.any():
             step_words.append(x[emit].astype(np.uint32))
-            x = np.where(emit, x >> np.uint64(32), x)
-        nx = ((x // fs) << np.uint64(PROB_BITS)) + (x % fs) + cs
-        x = np.where(active, nx, x)
+            x[emit] >>= shift32
+        q, r = np.divmod(x, fs)
+        x = (q << shift_pb) + r + cs_all[base:base + L]
     stream = (np.concatenate(step_words[::-1])
               if step_words else np.empty(0, dtype=np.uint32))
     core = (struct.pack("<IIQ", L, K, stream.nbytes)
@@ -121,8 +142,13 @@ def encode(codes: np.ndarray, K: int, n_lanes: int = 4096,
     return core, f
 
 
-def decode(core: bytes, n: int, freqs: np.ndarray) -> np.ndarray:
-    """Inverse of encode(); returns int64 codes of length n."""
+def decode(core: bytes, n: int, freqs: np.ndarray,
+           slot: np.ndarray | None = None) -> np.ndarray:
+    """Inverse of encode(); returns int64 codes of length n.
+
+    `slot`: optional precomputed symbol-lookup table (M int32 entries =
+    np.repeat(arange(K), freqs)) — shared-table decodes pass a cached one
+    so the 4 MB repeat isn't rebuilt per chunk."""
     L, K, stream_bytes = struct.unpack_from("<IIQ", core, 0)
     off = 16
     x = np.frombuffer(core, dtype=np.uint64, count=L, offset=off).copy()
@@ -132,31 +158,47 @@ def decode(core: bytes, n: int, freqs: np.ndarray) -> np.ndarray:
     f = freqs.astype(np.int64)
     cum = np.zeros(K + 1, dtype=np.int64)
     np.cumsum(f, out=cum[1:])
-    slot = np.repeat(np.arange(K, dtype=np.int32), f)  # M entries, 4 MB
+    if slot is None:
+        slot = np.repeat(np.arange(K, dtype=np.int32), f)  # M entries, 4 MB
     f_u = f.astype(np.uint64)
     cum_u = cum.astype(np.uint64)
 
     out = np.empty(n, dtype=np.int64)
-    lanes = np.arange(L, dtype=np.int64)
     mask_m = np.uint64(M - 1)
+    shift32 = np.uint64(32)
+    shift_pb = np.uint64(PROB_BITS)
     T = -(-n // L)
     ptr = 0
-    for t in range(T):
-        pos = t * L + lanes
-        active = pos < n
+    # mirror of the encode loop structure: T-1 unmasked full steps over
+    # contiguous L-wide slices, then the one partial tail step (decode
+    # walks FORWARD, so the tail comes last); renormalization refills
+    # in place instead of copying the state vector every step
+    for t in range(T - 1):
+        base = t * L
         d = x & mask_m
         s = slot[d]
-        out[pos[active]] = s[active]
-        fs = f_u[s]
-        cs = cum_u[s]
-        nx = fs * (x >> np.uint64(PROB_BITS)) + d - cs
-        x = np.where(active, nx, x)
-        need = active & (x < RANS_L)
+        out[base:base + L] = s
+        x = f_u[s] * (x >> shift_pb) + d - cum_u[s]
+        need = x < RANS_L
         cnt = int(need.sum())
         if cnt:
-            words = stream[ptr:ptr + cnt].astype(np.uint64)
+            x[need] = (x[need] << shift32) \
+                | stream[ptr:ptr + cnt].astype(np.uint64)
             ptr += cnt
-            xn = x.copy()
-            xn[need] = (x[need] << np.uint64(32)) | words
-            x = xn
+    tail = n - (T - 1) * L
+    if tail:
+        xa = x[:tail]
+        d = xa & mask_m
+        s = slot[d]
+        out[(T - 1) * L:] = s
+        # no renorm needed: these are the last symbols of their lanes
+        # (the final states were stored fully renormalized), but decode
+        # it anyway for parity with the masked formulation's state walk
+        xa = f_u[s] * (xa >> shift_pb) + d - cum_u[s]
+        need = xa < RANS_L
+        cnt = int(need.sum())
+        if cnt:
+            xa[need] = (xa[need] << shift32) \
+                | stream[ptr:ptr + cnt].astype(np.uint64)
+            ptr += cnt
     return out

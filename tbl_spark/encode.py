@@ -153,9 +153,16 @@ def audition_codec_hints(df: DataFrame,
         if codec is not None:
             hints[key] = codec
             if codec == Codec.RANS:
-                # wider column-pruned sample just for the shared table
+                # wider column-pruned sample just for the shared table.
+                # 16x the choice sample (~6.5M values at bench doc
+                # lengths): the table's cross-entropy gap over the
+                # corpus order-0 floor is estimator noise that shrinks
+                # with sample size — measured 0.0035 B/token at 1.6M
+                # sample values, 0.0016 at 6.4M, 0.0010 asymptote —
+                # while the driver-side cost stays a one-off sub-second
+                # column-pruned scan per dataset.
                 from .codecs.core import _primitive_np
-                wide = (df.select(name).limit(4 * sample_rows)
+                wide = (df.select(name).limit(16 * sample_rows)
                         .toArrow().column(name).combine_chunks())
                 wv = to_codec_input(wide).flatten()
                 if not wv.null_count:

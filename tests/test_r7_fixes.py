@@ -483,3 +483,57 @@ def test_cli_media_frame_sample_real(spark, tmp_path, capsys):
     lines = capsys.readouterr().out.strip().splitlines()
     assert lines[0].split(",")[:2] == ["media_id", "frame_idx"]
     assert len(lines) == 4          # frames 0, 2, 4
+
+
+# --------------------------------------------------------------------------
+# r7 second pass: gather-hoisted rANS loop, lane policy, slot cache
+# --------------------------------------------------------------------------
+
+def test_rans_fast_loop_roundtrip_and_lane_policy():
+    """The r7 gather-hoisted encode loop moved the shared-path
+    size/speed knee to 128 lanes at bench-size chunks: assert the state
+    block actually shrank (the blob layout leads with u32 n_lanes) and
+    the payload still roundtrips exactly, including the partial-step
+    tail and the lane floor at tiny n."""
+    import struct as _struct
+
+    import numpy as np
+    from tbl_spark.codecs import rans
+    from tbl_spark.codecs.core import (
+        _rans_shared_payload,
+        _decode_rans_shared,
+        _shared_slots,
+        build_shared_table,
+        register_shared_table,
+    )
+
+    rng = np.random.default_rng(11)
+    sample = ((rng.zipf(1.2, 1 << 17) - 1) % 5000).astype(np.int64)
+    fp = register_shared_table(build_shared_table(sample))
+    _shared_slots.pop(fp, None)
+    for n in (400_000, 65_537, 127, 1):
+        v = ((rng.zipf(1.2, n) - 1) % 5000).astype(np.int64)
+        payload = _rans_shared_payload(v, fp)
+        assert payload is not None
+        from tbl_spark.codecs.format import unframe
+        _exc, core = unframe(payload[8:], 2)   # u64 fp | frame(exc, core)
+        (n_lanes,) = _struct.unpack_from("<I", core, 0)
+        assert n_lanes <= 128, (n, n_lanes)
+        back = _decode_rans_shared(payload, n, v.dtype)
+        assert np.array_equal(back, v)
+    # decode populated the per-fingerprint slot cache exactly once
+    assert fp in _shared_slots and len(_shared_slots[fp]) == rans.M
+
+
+def test_rans_partial_tail_equals_padded_full_steps():
+    """Bit-level regression for the peeled partial step: an array whose
+    length is an exact lane multiple and the same array one element
+    short must both roundtrip and produce self-consistent streams."""
+    import numpy as np
+    from tbl_spark.codecs import rans
+
+    rng = np.random.default_rng(12)
+    for n in (128 * 7, 128 * 7 - 1, 128 * 7 + 1):
+        codes = rng.integers(0, 37, n).astype(np.int64)
+        core, f = rans.encode(codes, 37, n_lanes=128)
+        assert np.array_equal(rans.decode(core, n, f), codes)
