@@ -618,10 +618,12 @@ def _resize_nearest(px: np.ndarray, width: int, height: int) -> np.ndarray:
 def decode_image(payload: bytes, width: int, height: int,
                  fake_decode: bool = False) -> np.ndarray:
     """(H, W, 3) uint8 pixels. Real path: uncompressed PPM P6, any
-    legal PNG (depths 1-16, all color types, Adam7 interlace), and
+    legal PNG (depths 1-16, all color types, Adam7 interlace),
     full Huffman JPEG — baseline, multi-scan sequential, progressive
     (grayscale/YCbCr, any sampling, restart markers — see _jpeg.py) —
-    all decode with pure numpy/stdlib (no PIL);
+    GIF, BMP and baseline TIFF (strips/tiles, LZW/deflate/PackBits,
+    predictor, planar — see _tiff.py) — all with pure numpy/stdlib
+    (no PIL);
     anything else decodes with PIL, and without PIL in the environment
     the stub error is explicit (the deterministic fake keeps the
     Spark-side plumbing testable either way). The image is resized to
@@ -641,6 +643,9 @@ def decode_image(payload: bytes, width: int, height: int,
             px = got[1][0]
     if px is None:
         px = _decode_bmp(payload)
+    if px is None:
+        from ._tiff import decode_tiff
+        px = decode_tiff(payload)
     if px is not None:
         if width and height and px.shape[:2] != (height, width):
             return _resize_nearest(px, width, height)
@@ -650,11 +655,11 @@ def decode_image(payload: bytes, width: int, height: int,
         return px if px.flags.writeable else px.copy()
     if not HAVE_PIL:
         raise NotImplementedError(
-            "real decode of non-PPM/PNG/JPEG/GIF/BMP images requires "
-            "PIL, which is not installed in this container; pass "
-            "fake_decode=True for the deterministic fake decoder (PPM, "
-            "PNG, Huffman JPEG, GIF and BMP payloads decode without "
-            "PIL)")
+            "real decode of non-PPM/PNG/JPEG/GIF/BMP/TIFF images "
+            "requires PIL, which is not installed in this container; "
+            "pass fake_decode=True for the deterministic fake decoder "
+            "(PPM, PNG, Huffman JPEG, GIF, BMP and baseline TIFF "
+            "payloads decode without PIL)")
     from io import BytesIO
     img = Image.open(BytesIO(payload)).convert("RGB")
     if width and height and img.size != (width, height):
