@@ -5,13 +5,15 @@ format decodes without PIL. Scope — baseline and extended sequential
 Huffman DCT (SOF0/SOF1, one interleaved scan or per-component
 multi-scan) AND full progressive (SOF2, T.81 Annex G: spectral
 selection, successive approximation with DC/AC refinement scans, EOBn
-runs), 8-bit samples, grayscale or 3-component YCbCr (JFIF) with
+runs), 8- and 12-bit samples (12-bit scaled to 8 round-to-nearest),
+grayscale, 3-component YCbCr (JFIF) or flagged raw RGB, and 4-component
+Adobe CMYK/YCCK (APP14 transform 0/2, inverted-sample convention) with
 arbitrary integer sampling factors (4:4:4, 4:2:2, 4:2:0, 4:1:1, …),
 restart intervals, 8- and 16-bit quantization tables. Arithmetic
-coding, lossless/hierarchical modes, 12-bit precision and CMYK raise
-NotImplementedError so those payloads still fall through to the PIL
-gate; structurally broken payloads raise ValueError (the corrupt-input
-contract shared with `_decode_png`).
+coding and lossless/hierarchical modes raise NotImplementedError so
+those payloads still fall through to the PIL gate; structurally broken
+payloads raise ValueError (the corrupt-input contract shared with
+`_decode_png`).
 
 Execution shape mirrors the rest of the repo: the inherently sequential
 part (Huffman symbol stream) is a tight Python loop over precomputed
@@ -112,19 +114,27 @@ def _split_scan(buf: bytes, start: int) -> tuple[list[bytes], int]:
         return segs, ff
 
 
-def _idct_blocks(coefs_zz: np.ndarray, qtable_zz: np.ndarray) -> np.ndarray:
+def _idct_blocks(coefs_zz: np.ndarray, qtable_zz: np.ndarray,
+                 prec: int = 8) -> np.ndarray:
     """(nb, 64) zigzag-order quantized coefficients + zigzag-order quant
     table → (nb, 8, 8) uint8 samples. Dequant, de-zigzag, IDCT and level
-    shift are one batched pass over every block of a component."""
+    shift are one batched pass over every block of a component. 12-bit
+    frames (SOF1 extended sequential / SOF2, T.81 Table B.2) level-shift
+    by 2048, clip to 0..4095 and scale to 8-bit with exact
+    round-to-nearest — the repo's media features are 8-bit RGB."""
     nat = np.zeros_like(coefs_zz, dtype=np.float64)
     nat[:, ZIGZAG] = coefs_zz * qtable_zz.astype(np.int64)
     c = nat.reshape(-1, 8, 8)
     # two batched GEMMs (BLAS) instead of einsum: px = M.T @ C @ M
     px = (_M.T @ c) @ _M
     np.round(px, out=px)
-    px += 128.0
-    np.clip(px, 0, 255, out=px)
-    return px.astype(np.uint8)
+    top = (1 << prec) - 1
+    px += float(1 << (prec - 1))
+    np.clip(px, 0, top, out=px)
+    if prec == 8:
+        return px.astype(np.uint8)
+    v = px.astype(np.int64)
+    return ((v * 255 + top // 2) // top).astype(np.uint8)
 
 
 def _assemble_plane(blocks: np.ndarray, bh: int, bw: int) -> np.ndarray:
@@ -239,7 +249,7 @@ _SOF_UNSUPPORTED = {
 
 
 def _decode_scan(segs, comps, n_units, units_per_seg, Ss, Se, Ah, Al,
-                 mode):
+                 mode, dc_max=11):
     """Entropy-decode one scan into the components' coefficient grids.
 
     comps: list of (coef (n_blocks, 64) int32, didx (n_units, nb) int64
@@ -279,9 +289,10 @@ def _decode_scan(segs, comps, n_units, units_per_seg, Ss, Se, Ah, Al,
                                     "corrupt JPEG: invalid Huffman code")
                             pos += ln
                             if s:
-                                if s > 11:
+                                if s > dc_max:
                                     raise ValueError(
-                                        "corrupt JPEG: DC size > 11")
+                                        f"corrupt JPEG: DC size > "
+                                        f"{dc_max}")
                                 v = int(win[pos]) >> (16 - s)
                                 pos += s
                                 if v < (1 << (s - 1)):
@@ -328,9 +339,10 @@ def _decode_scan(segs, comps, n_units, units_per_seg, Ss, Se, Ah, Al,
                                     "corrupt JPEG: invalid Huffman code")
                             pos += ln
                             if s:
-                                if s > 11:
+                                if s > dc_max:
                                     raise ValueError(
-                                        "corrupt JPEG: DC size > 11")
+                                        f"corrupt JPEG: DC size > "
+                                        f"{dc_max}")
                                 v = int(win[pos]) >> (16 - s)
                                 pos += s
                                 if v < (1 << (s - 1)):
@@ -464,9 +476,10 @@ def decode_jpeg(payload: bytes,
     (SOF2: spectral selection + successive approximation, T.81 Annex
     G). `default_huffman=True` supplies the T.81 Annex K typical
     tables for any table slot 0/1 no DHT defined — the MJPEG-in-AVI
-    convention (_video.py). 12-bit precision, arithmetic coding,
-    lossless/hierarchical modes and CMYK stay behind the explicit
-    NotImplementedError gate."""
+    convention (_video.py). 12-bit frames scale to 8-bit output;
+    4-component frames follow the Adobe APP14 CMYK/YCCK convention.
+    Arithmetic coding and lossless/hierarchical modes stay behind the
+    explicit NotImplementedError gate."""
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         return None
     qtables: dict[int, np.ndarray] = {}
@@ -477,6 +490,8 @@ def decode_jpeg(payload: bytes,
     coefs: list[np.ndarray] = []
     restart_interval = 0
     n_scans = 0
+    prec_bits = 8
+    adobe_transform = None  # APP14 "Adobe" color-transform flag
     pos = 2
     while True:
         if pos + 2 > len(payload):
@@ -522,14 +537,15 @@ def decode_jpeg(payload: bytes,
             if frame is not None:
                 raise ValueError("corrupt JPEG: second SOF")
             prec, hh, ww, nc = struct.unpack(">BHHB", body[:6])
-            if prec != 8:
+            if prec not in (8, 12):
                 raise NotImplementedError(
                     f"JPEG sample precision {prec} not supported by the "
-                    "pure-numpy decoder (8-bit only); install PIL")
-            if nc not in (1, 3):
+                    "pure-numpy decoder (8- and 12-bit only); install "
+                    "PIL")
+            if nc not in (1, 3, 4):
                 raise NotImplementedError(
-                    f"JPEG with {nc} components (CMYK/unknown) not "
-                    "supported by the pure-numpy decoder; install PIL")
+                    f"JPEG with {nc} components not supported by the "
+                    "pure-numpy decoder; install PIL")
             if hh == 0 or ww == 0:
                 raise NotImplementedError(
                     "JPEG with DNL-deferred dimensions not supported")
@@ -569,12 +585,15 @@ def decode_jpeg(payload: bytes,
                                       dtype=np.int32))
             frame = (hh, ww, comps, marker == 0xC2,
                      hmax, vmax, mcus_x, mcus_y)
+            prec_bits = prec
         elif marker in _SOF_UNSUPPORTED:
             raise NotImplementedError(
                 f"JPEG {_SOF_UNSUPPORTED[marker]} (SOF{marker - 0xC0}) "
                 "not supported by the pure-numpy decoder; install PIL")
         elif marker == 0xDD:            # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xEE and body[:5] == b"Adobe" and len(body) >= 12:
+            adobe_transform = body[11]  # 0=CMYK/RGB, 1=YCbCr, 2=YCCK
         elif marker == 0xDA:            # SOS: decode this scan
             if frame is None:
                 raise ValueError("corrupt JPEG: SOS before SOF")
@@ -631,7 +650,8 @@ def decode_jpeg(payload: bytes,
             segs, end = _split_scan(payload, pos + 2 + seglen)
             _decode_scan(segs, scan_comps, n_units,
                          restart_interval or n_units,
-                         Ss, Se, Ah, Al, mode)
+                         Ss, Se, Ah, Al, mode,
+                         dc_max=11 if prec_bits == 8 else 15)
             n_scans += 1
             pos = end
             continue
@@ -646,7 +666,7 @@ def decode_jpeg(payload: bytes,
         if tq not in qtables:
             raise ValueError("corrupt JPEG: missing quantization table")
         g = geom[ci]
-        blocks = _idct_blocks(coefs[ci], qtables[tq])
+        blocks = _idct_blocks(coefs[ci], qtables[tq], prec=prec_bits)
         plane = _assemble_plane(blocks, g["bh_pad"], g["bw_pad"])
         # map image coordinates through the component's sampling ratio
         yi = np.arange(hh) * v // vmax
@@ -655,4 +675,20 @@ def decode_jpeg(payload: bytes,
     if len(planes) == 1:
         return np.ascontiguousarray(
             np.repeat(planes[0][:, :, None], 3, axis=2))
+    if len(planes) == 4:
+        # Adobe 4-component convention: samples are stored INVERTED
+        # (255 - ink), with or without the YCbCr transform on the first
+        # three (APP14 transform 2 = YCCK, 0/absent = CMYK). Inverted
+        # CMY is exactly the multiplicative factor CMYK->RGB needs:
+        # R = (255-C)(255-K)/255 = s_c * s_k / 255 (PIL's CMYK;I +
+        # ImageCms-free conversion, the libjpeg-compatible reading).
+        if adobe_transform == 2:
+            cmy = _ycbcr_to_rgb(planes[0], planes[1], planes[2])
+        else:
+            cmy = np.stack(planes[:3], axis=2)
+        k = planes[3].astype(np.uint32)[:, :, None]
+        return ((cmy.astype(np.uint32) * k + 127) // 255).astype(np.uint8)
+    if adobe_transform == 0:
+        # three components, explicitly flagged "no transform": raw RGB
+        return np.ascontiguousarray(np.stack(planes, axis=2))
     return _ycbcr_to_rgb(planes[0], planes[1], planes[2])

@@ -108,25 +108,37 @@ def _seg(marker, body):
     return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
 
-def encode_jpeg(components, W, H, qtables, restart=0, wide_dqt=False):
+def encode_jpeg(components, W, H, qtables, restart=0, wide_dqt=False,
+                precision=8, extra_segs=()):
     """components: list of (h, v, tq, blocks) where blocks is an
     (n_mcus, h*v, 8, 8) natural-order quantized coefficient array in
-    MCU order. Emits SOF0 + one interleaved scan (or single-component)."""
+    MCU order. Emits SOF0 + one interleaved scan (or single-component).
+    precision=12 writes an extended-sequential frame (wider DC/AC
+    symbol alphabets per T.81 Table B.2); extra_segs are raw
+    pre-assembled marker segments inserted before SOF (e.g. APP14)."""
     out = bytearray(b"\xff\xd8")
+    for seg in extra_segs:
+        out += seg
     for tq, q in sorted(qtables.items()):
         qz = np.asarray(q).reshape(64)[ZIGZAG]
-        if wide_dqt:
+        if wide_dqt or precision == 12:
             body = bytes([0x10 | tq]) + struct.pack(
                 ">64H", *[int(x) for x in qz])
         else:
             body = bytes([tq]) + bytes(int(x) for x in qz)
         out += _seg(0xDB, body)
-    sof = struct.pack(">BHHB", 8, H, W, len(components))
+    sof = struct.pack(">BHHB", precision, H, W, len(components))
     for i, (h, v, tq, _b) in enumerate(components):
         sof += struct.pack(">BBB", i + 1, (h << 4) | v, tq)
-    out += _seg(0xC0, sof)
-    dc_counts, dc_syms, dc_map = _make_huff(_DC_SYMS, 4)
-    ac_counts, ac_syms, ac_map = _make_huff(_AC_SYMS, 8)
+    out += _seg(0xC0 if precision == 8 else 0xC1, sof)
+    if precision == 12:
+        dc_counts, dc_syms, dc_map = _make_huff(list(range(16)), 5)
+        ac_counts, ac_syms, ac_map = _make_huff(
+            [0x00, 0xF0] + [(r << 4) | s for r in range(16)
+                            for s in range(1, 15)], 9)
+    else:
+        dc_counts, dc_syms, dc_map = _make_huff(_DC_SYMS, 4)
+        ac_counts, ac_syms, ac_map = _make_huff(_AC_SYMS, 8)
     out += _seg(0xC4, bytes([0x00]) + dc_counts + dc_syms)
     out += _seg(0xC4, bytes([0x10]) + ac_counts + ac_syms)
     if restart:
