@@ -238,7 +238,6 @@ def _std_huff(tc: int, th: int) -> _Huff:
 
 
 _SOF_UNSUPPORTED = {
-    0xC3: "lossless sequential",
     0xC5: "differential sequential", 0xC6: "differential progressive",
     0xC7: "differential lossless", 0xC9: "arithmetic sequential",
     0xCA: "arithmetic progressive", 0xCB: "arithmetic lossless",
@@ -246,6 +245,99 @@ _SOF_UNSUPPORTED = {
     0xCE: "differential arithmetic progressive",
     0xCF: "differential arithmetic lossless",
 }
+
+
+def _lossless_scan_diffs(seg, scan_list, total_units):
+    """Entropy-decode one lossless scan (T.81 Annex H): per sample, an
+    SSSS category from a DC-class Huffman table + extend bits, category
+    16 meaning a fixed 32768 difference. scan_list: (flat int32 diff
+    grid, huff) per scan component, interleaved one sample each per
+    unit. Per-sample Python like the DCT scan loops — the inherently
+    sequential Huffman walk over _bit_windows artifacts."""
+    win, nbits = _bit_windows(seg)
+    pos = 0
+    try:
+        for unit in range(total_units):
+            for d, huff in scan_list:
+                w = win[pos]
+                s = int(huff.sym[w])
+                ln = int(huff.ln[w])
+                if ln == 0:
+                    raise ValueError("corrupt JPEG: invalid Huffman code")
+                pos += ln
+                if s == 0:
+                    v = 0
+                elif s == 16:
+                    v = 32768
+                elif s > 16:
+                    raise ValueError("corrupt JPEG: lossless SSSS > 16")
+                else:
+                    v = int(win[pos]) >> (16 - s)
+                    pos += s
+                    if v < (1 << (s - 1)):
+                        v -= (1 << s) - 1
+                d[unit] = v
+            if pos > nbits:
+                raise ValueError("corrupt JPEG: entropy stream exhausted")
+    except IndexError:
+        raise ValueError("corrupt JPEG: entropy stream exhausted") \
+            from None
+
+
+def _lossless_reconstruct(d: np.ndarray, sel: int, prec: int,
+                          pt: int) -> np.ndarray:
+    """(h, w) int32 differences → (h, w) int64 samples (mod 2^16
+    arithmetic per T.81 H). First sample predicts 1 << (P - Pt - 1),
+    the rest of the first line uses Ra, the first sample of later
+    lines uses Rb (H.2.1); predictors 1-4 reconstruct as vectorized
+    row recurrences (4 telescopes: sum of Rb - Rc along a row
+    collapses), 5-7 carry a true per-sample dependency through the
+    >> 1 and run as Python rows — fixture-scale honest, noted as the
+    slow path for megapixel lossless corpora."""
+    h, w = d.shape
+    d = d.astype(np.int64)
+    s = np.zeros((h, w), dtype=np.int64)
+    s[0] = (np.cumsum(d[0]) + (1 << (prec - pt - 1))) & 0xFFFF
+    for y in range(1, h):
+        s0 = (s[y - 1, 0] + d[y, 0]) & 0xFFFF     # first col: Rb
+        s[y, 0] = s0
+        if w == 1:
+            continue
+        if sel == 1:
+            s[y] = (np.cumsum(d[y]) + s[y - 1, 0]) & 0xFFFF
+        elif sel == 2:
+            s[y, 1:] = (s[y - 1, 1:] + d[y, 1:]) & 0xFFFF
+        elif sel == 3:
+            s[y, 1:] = (s[y - 1, :-1] + d[y, 1:]) & 0xFFFF
+        elif sel == 4:
+            # Ra + Rb - Rc + d: the Ra recurrence telescopes along the
+            # row into cumsum(d) + (Rb - first Rb) + first Ra
+            s[y, 1:] = (s0 - s[y - 1, 0] + s[y - 1, 1:]
+                        + np.cumsum(d[y, 1:])) & 0xFFFF
+        else:
+            above = s[y - 1]
+            row = s[y]
+            ra = int(s0)
+            if sel == 5:
+                for x in range(1, w):
+                    ra = (ra + ((int(above[x]) - int(above[x - 1])) >> 1)
+                          + int(d[y, x])) & 0xFFFF
+                    row[x] = ra
+            elif sel == 6:
+                for x in range(1, w):
+                    ra = (int(above[x])
+                          + ((ra - int(above[x - 1])) >> 1)
+                          + int(d[y, x])) & 0xFFFF
+                    row[x] = ra
+            elif sel == 7:
+                for x in range(1, w):
+                    ra = (((ra + int(above[x])) >> 1)
+                          + int(d[y, x])) & 0xFFFF
+                    row[x] = ra
+            else:
+                raise ValueError(
+                    f"corrupt JPEG: lossless predictor {sel}")
+    return s
 
 
 def _decode_scan(segs, comps, n_units, units_per_seg, Ss, Se, Ah, Al,
@@ -533,16 +625,21 @@ def decode_jpeg(payload: bytes,
                     raise ValueError("corrupt JPEG: truncated DHT")
                 (huff_ac if tc else huff_dc)[th] = _Huff(counts, symbols)
                 off += 17 + nsym
-        elif marker in (0xC0, 0xC1, 0xC2):   # sequential / progressive
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # seq / prog / lossless
             if frame is not None:
                 raise ValueError("corrupt JPEG: second SOF")
             prec, hh, ww, nc = struct.unpack(">BHHB", body[:6])
-            if prec not in (8, 12):
+            lossless = marker == 0xC3
+            if lossless:
+                if not (2 <= prec <= 16):
+                    raise ValueError(
+                        "corrupt JPEG: lossless precision out of range")
+            elif prec not in (8, 12):
                 raise NotImplementedError(
                     f"JPEG sample precision {prec} not supported by the "
                     "pure-numpy decoder (8- and 12-bit only); install "
                     "PIL")
-            if nc not in (1, 3, 4):
+            if nc not in (1, 3, 4) or (lossless and nc == 4):
                 raise NotImplementedError(
                     f"JPEG with {nc} components not supported by the "
                     "pure-numpy decoder; install PIL")
@@ -559,6 +656,20 @@ def decode_jpeg(payload: bytes,
             if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
                 raise ValueError(
                     "corrupt JPEG: sampling factors out of range")
+            if lossless:
+                # no 8x8 blocking: per-component sample grids hold the
+                # Huffman-decoded DIFFERENCES until final reconstruction
+                geom = []
+                for cid, h, v, _tq in comps:
+                    cw = -(-ww * h // hmax)
+                    chh = -(-hh * v // vmax)
+                    geom.append({"h": h, "v": v, "cw": cw, "chh": chh})
+                    coefs.append(np.zeros(chh * cw, dtype=np.int32))
+                lossless_meta = [None] * nc     # (predictor, Pt) per comp
+                frame = (hh, ww, comps, "lossless", hmax, vmax, 0, 0)
+                prec_bits = prec
+                pos += 2 + seglen
+                continue
             mcus_x = -(-ww // (8 * hmax))
             mcus_y = -(-hh // (8 * vmax))
             geom = []
@@ -611,6 +722,41 @@ def decode_jpeg(payload: bytes,
                 scan_tabs.append((tt >> 4, tt & 0x0F))
             Ss, Se, AhAl = body[1 + 2 * ns:4 + 2 * ns]
             Ah, Al = AhAl >> 4, AhAl & 0x0F
+            if progressive == "lossless":
+                # T.81 Annex H scan: Ss is the predictor selector, Al
+                # the point transform; entropy coding is DC-class SSSS
+                if not (1 <= Ss <= 7) or Se != 0 or Ah != 0:
+                    raise ValueError(
+                        "corrupt JPEG: bad lossless scan header")
+                if Al >= prec_bits:
+                    raise ValueError(
+                        "corrupt JPEG: point transform >= precision")
+                if ns > 1 and any(geom[ci]["h"] != 1 or geom[ci]["v"] != 1
+                                  for ci in scan_cis):
+                    raise NotImplementedError(
+                        "interleaved lossless JPEG with subsampled "
+                        "components not supported; install PIL")
+                scan_list = []
+                for ci, (td, _ta) in zip(scan_cis, scan_tabs):
+                    if default_huffman and td not in huff_dc \
+                            and td in (0, 1):
+                        huff_dc[td] = _std_huff(0, td)
+                    if td not in huff_dc:
+                        raise ValueError(
+                            "corrupt JPEG: missing Huffman table")
+                    scan_list.append((coefs[ci], huff_dc[td]))
+                    lossless_meta[ci] = (Ss, Al)
+                g0 = geom[scan_cis[0]]
+                segs, end = _split_scan(payload, pos + 2 + seglen)
+                if len(segs) != 1 or restart_interval:
+                    raise NotImplementedError(
+                        "lossless JPEG with restart intervals not "
+                        "supported; install PIL")
+                _lossless_scan_diffs(segs[0], scan_list,
+                                     g0["chh"] * g0["cw"])
+                n_scans += 1
+                pos = end
+                continue
             if progressive:
                 if Ss == 0 and Se == 0:
                     mode = "dc_refine" if Ah else "dc_first"
@@ -661,6 +807,30 @@ def decode_jpeg(payload: bytes,
     if frame is None or n_scans == 0:
         raise ValueError("corrupt JPEG: no frame or no scan before EOI")
     hh, ww, comps, _prog, hmax, vmax, mcus_x, mcus_y = frame
+    if _prog == "lossless":
+        maxv = (1 << prec_bits) - 1
+        planes = []
+        for ci, (cid, h, v, _tq) in enumerate(comps):
+            if lossless_meta[ci] is None:
+                raise ValueError(
+                    "corrupt JPEG: component never scanned")
+            sel, pt = lossless_meta[ci]
+            g = geom[ci]
+            s = _lossless_reconstruct(
+                coefs[ci].reshape(g["chh"], g["cw"]), sel,
+                prec_bits, pt)
+            v8 = np.clip(((s << pt) * 255 + maxv // 2) // maxv,
+                         0, 255).astype(np.uint8)
+            yi = np.arange(hh) * v // vmax
+            xi = np.arange(ww) * h // hmax
+            planes.append(v8[yi][:, xi])
+        if len(planes) == 1:
+            return np.ascontiguousarray(
+                np.repeat(planes[0][:, :, None], 3, axis=2))
+        if adobe_transform == 1:
+            return _ycbcr_to_rgb(planes[0], planes[1], planes[2])
+        # lossless color defaults to no transform (DNG/DICOM practice)
+        return np.ascontiguousarray(np.stack(planes, axis=2))
     planes = []
     for ci, (cid, h, v, tq) in enumerate(comps):
         if tq not in qtables:

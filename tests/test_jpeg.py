@@ -329,9 +329,11 @@ def test_progressive_and_corrupt_gates():
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with pytest.raises(ValueError, match="spectral band"):
         decode_jpeg(prog)
-    # lossless mode stays behind the explicit gate
+    # lossless is REAL now (test_jpeg_ext covers values), but a
+    # sequential-shaped scan header (Ss=0 predictor) inside a lossless
+    # frame violates Annex H -> corrupt, not exotic
     lossless = good.replace(b"\xff\xc0", b"\xff\xc3", 1)
-    with pytest.raises(NotImplementedError, match="lossless"):
+    with pytest.raises(ValueError, match="lossless scan header"):
         decode_jpeg(lossless)
     # truncated scan: clean ValueError
     with pytest.raises(ValueError, match="corrupt JPEG"):

@@ -149,3 +149,127 @@ def test_unsupported_precision_still_gated():
     blob[i + 4] = 14
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(blob))
+
+
+# ---------------------------------------------------------------------------
+# lossless (SOF3, T.81 Annex H)
+
+from test_jpeg import _BitWriter, _make_huff  # noqa: E402
+
+
+def _spec_pred(s, y, x, sel, prec, pt):
+    """The seven Annex H predictors straight from the planted SAMPLE
+    array (ground-truth neighbors), so the encoder side is the spec
+    formula and not a mirror of the decoder's recurrences."""
+    if y == 0 and x == 0:
+        return 1 << (prec - pt - 1)
+    if y == 0:
+        return int(s[y, x - 1])
+    if x == 0:
+        return int(s[y - 1, x])
+    ra, rb, rc = int(s[y, x - 1]), int(s[y - 1, x]), int(s[y - 1, x - 1])
+    return [ra, rb, rc, ra + rb - rc, ra + ((rb - rc) >> 1),
+            rb + ((ra - rc) >> 1), (ra + rb) >> 1][sel - 1]
+
+
+def _emit_diff(bw, dc_map, d):
+    d &= 0xFFFF
+    if d > 32768:
+        d -= 65536
+    if d == 32768:
+        bw.put(*dc_map[16])
+        return
+    s = int(abs(d)).bit_length()
+    bw.put(*dc_map[s])
+    if s:
+        bw.put(d if d >= 0 else d + (1 << s) - 1, s)
+
+
+def encode_lossless(planes, prec, predictors, pt=0, interleaved=True,
+                    restart=0):
+    """planes: list of (H, W) int arrays (< 2^(prec-pt)). predictors:
+    per-scan selector (one per component when not interleaved, a single
+    int when interleaved)."""
+    H, W = planes[0].shape
+    out = bytearray(b"\xff\xd8")
+    sof = struct.pack(">BHHB", prec, H, W, len(planes))
+    for i in range(len(planes)):
+        sof += struct.pack(">BBB", i + 1, 0x11, 0)
+    out += _seg(0xC3, sof)
+    dc_counts, dc_syms, dc_map = _make_huff(list(range(17)), 5)
+    out += _seg(0xC4, bytes([0x00]) + dc_counts + dc_syms)
+    if restart:
+        out += _seg(0xDD, struct.pack(">H", restart))
+
+    def scan(comp_ids, sel):
+        sos = bytes([len(comp_ids)])
+        for c in comp_ids:
+            sos += struct.pack(">BB", c + 1, 0x00)
+        sos += bytes([sel, 0, pt])
+        body = bytearray(_seg(0xDA, sos))
+        bw = _BitWriter()
+        for y in range(H):
+            for x in range(W):
+                for c in comp_ids:
+                    s = planes[c]
+                    d = int(s[y, x]) - _spec_pred(s, y, x, sel, prec, pt)
+                    _emit_diff(bw, dc_map, d)
+        body += bw.flush()
+        return body
+
+    if interleaved:
+        out += scan(list(range(len(planes))), predictors)
+    else:
+        for c, sel in enumerate(predictors):
+            out += scan([c], sel)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+@pytest.mark.parametrize("sel", [1, 2, 3, 4, 5, 6, 7])
+def test_lossless_gray_all_predictors_exact(sel):
+    rng = np.random.default_rng(30 + sel)
+    s = rng.integers(0, 256, (9, 11), dtype=np.int64)
+    blob = encode_lossless([s], 8, sel)
+    got = decode_jpeg(blob)
+    assert np.array_equal(got, np.repeat(s[:, :, None].astype(np.uint8),
+                                         3, axis=2))
+
+
+def test_lossless_16bit_wraparound_and_scale():
+    rng = np.random.default_rng(40)
+    # full 16-bit range forces mod-2^16 diffs incl. the SSSS=16 escape
+    s = rng.integers(0, 65536, (6, 7), dtype=np.int64)
+    s[0, :3] = [0, 65535, 0]
+    blob = encode_lossless([s], 16, 4)
+    got = decode_jpeg(blob)
+    exp = ((s * 255 + 32767) // 65535).astype(np.uint8)
+    assert np.array_equal(got[:, :, 0], exp)
+
+
+def test_lossless_rgb_interleaved_and_multiscan():
+    rng = np.random.default_rng(41)
+    planes = [rng.integers(0, 256, (5, 8), dtype=np.int64)
+              for _ in range(3)]
+    exp = np.stack([p.astype(np.uint8) for p in planes], axis=2)
+    blob = encode_lossless(planes, 8, 2, interleaved=True)
+    assert np.array_equal(decode_jpeg(blob), exp)
+    # one scan per component, different predictor each
+    blob = encode_lossless(planes, 8, [1, 5, 7], interleaved=False)
+    assert np.array_equal(decode_jpeg(blob), exp)
+
+
+def test_lossless_point_transform():
+    rng = np.random.default_rng(42)
+    s = rng.integers(0, 64, (4, 6), dtype=np.int64)
+    blob = encode_lossless([s], 8, 1, pt=2)
+    got = decode_jpeg(blob)
+    assert np.array_equal(got[:, :, 0], (s << 2).astype(np.uint8))
+
+
+def test_lossless_restart_gated():
+    rng = np.random.default_rng(43)
+    s = rng.integers(0, 256, (4, 4), dtype=np.int64)
+    blob = encode_lossless([s], 8, 1, restart=64)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(blob)
