@@ -558,19 +558,21 @@ def _fake_decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
 def decode_audio(payload: bytes,
                  fake_decode: bool = False) -> tuple[np.ndarray, int]:
     """(samples (n_frames, n_channels) native dtype, sample_rate).
-    RIFF/PCM and IEEE-float WAV, AIFF/AIFF-C PCM, and Sun .au
-    (PCM/float/µ-law) decode with pure numpy/stdlib; other containers
-    (mp3, flac, ogg — their codecs need real audio libs) raise the
-    explicit stub error unless fake_decode swaps in the deterministic
-    fake."""
+    RIFF/PCM and IEEE-float WAV, AIFF/AIFF-C PCM, Sun .au
+    (PCM/float/µ-law) and FLAC (all subframe types and stereo
+    decorrelation modes — see _flac.py) decode with pure numpy/stdlib;
+    other containers (mp3, ogg — lossy codecs need real audio libs)
+    raise the explicit stub error unless fake_decode swaps in the
+    deterministic fake."""
     if fake_decode:
         return _fake_decode_audio(payload)
-    for dec in (_decode_wav, _decode_aiff, _decode_au):
+    from ._flac import decode_flac
+    for dec in (_decode_wav, _decode_aiff, _decode_au, decode_flac):
         got = dec(payload)
         if got is not None:
             return got
     raise NotImplementedError(
-        "real decode of non-WAV/AIFF/AU audio requires an audio "
+        "real decode of non-WAV/AIFF/AU/FLAC audio requires an audio "
         "library, which is not installed in this container; pass "
         "fake_decode=True for the deterministic fake decoder")
 
