@@ -21,13 +21,18 @@ audio: two public container formats decode with no video library.
   fixed-point recipe (298/409/100/208/516 >> 8), integer-deterministic
   so tests can assert pixel-exactness.
 
+MP4 (ISO BMFF) and Matroska/WebM containers are parsed by `_mp4.py`
+(metadata-only frame index + geometry + fps), with MJPEG tracks fully
+decodable through the same JPEG path; their modern inter-frame codecs
+(H.264/HEVC/VP8/VP9/AV1) genuinely need a video library and raise
+NotImplementedError naming the codec.
+
 Reference behavior parity: tbl stores media as opaque bytes
 (`types.rs`); decode lives in this repo's pipeline tier only.
-Compressed codecs inside AVI other than MJPEG, and every non-AVI/y4m
-container (mp4, mkv, webm — their codecs genuinely need a video
-library), raise NotImplementedError so callers fall through to the
-explicit stub gate. Structurally broken payloads raise ValueError (the
-corrupt-input contract shared with `_decode_png`/`_decode_wav`).
+Compressed codecs inside a container other than MJPEG raise
+NotImplementedError so callers fall through to the explicit stub gate.
+Structurally broken payloads raise ValueError (the corrupt-input
+contract shared with `_decode_png`/`_decode_wav`).
 """
 
 from __future__ import annotations
@@ -256,10 +261,12 @@ def _y4m_frame(payload: bytes, meta: dict, start: int) -> np.ndarray:
 
 def probe_video(payload: bytes) -> dict | None:
     """Metadata-only probe: {'format', 'n_frames', 'width', 'height',
-    'fps'} with zero frame decodes, or None when the payload is neither
-    AVI nor y4m (other containers fall through to the caller's stub
-    gate). This is what lets frame sampling plan WHICH frames to decode
-    without decoding any."""
+    'fps'} with zero frame decodes, or None when the payload is none of
+    the parsed containers (AVI, y4m, MP4, MKV/WebM, animated GIF —
+    everything else falls through to the caller's stub gate). This is
+    what lets frame sampling plan WHICH frames to decode without
+    decoding any; for MP4/MKV the probe works even when the embedded
+    codec itself is not decodable here."""
     avi = _parse_avi(payload)
     if avi is not None:
         return {"format": "avi", "n_frames": len(avi["frames"]),
@@ -270,6 +277,17 @@ def probe_video(payload: bytes) -> dict | None:
         return {"format": "y4m", "n_frames": len(y4m["frames"]),
                 "width": y4m["width"], "height": y4m["height"],
                 "fps": y4m["fps"]}
+    from ._mp4 import parse_mkv, parse_mp4
+    mp4 = parse_mp4(payload)
+    if mp4 is not None:
+        return {"format": "mp4", "n_frames": len(mp4["frames"]),
+                "width": mp4["width"], "height": mp4["height"],
+                "fps": mp4["fps"]}
+    mkv = parse_mkv(payload)
+    if mkv is not None:
+        return {"format": "mkv", "n_frames": len(mkv["frames"]),
+                "width": mkv["width"], "height": mkv["height"],
+                "fps": mkv["fps"]}
     from ._gif import parse_gif
     gif = parse_gif(payload)
     if gif is not None:                  # animated GIF as a video
@@ -285,10 +303,11 @@ def decode_video_frames(payload: bytes,
     """Decode selected frames → (indices, [(H, W, 3) uint8, ...]).
 
     `indices=None` decodes every frame. Only the requested frames are
-    decoded — container indexes (AVI idx1 / y4m fixed-size frames) make
-    the seek metadata-only. Returns None when the payload is neither
-    AVI nor y4m; raises NotImplementedError for AVI with a non-MJPEG
-    codec and ValueError for corrupt structure."""
+    decoded — container indexes (AVI idx1 / MP4 sample tables / MKV
+    block walk / y4m fixed-size frames) make the seek metadata-only.
+    Returns None when the payload is not a parsed container; raises
+    NotImplementedError for a non-MJPEG codec inside one and
+    ValueError for corrupt structure."""
     avi = _parse_avi(payload)
     if avi is not None:
         frames = avi["frames"]
@@ -314,5 +333,27 @@ def decode_video_frames(payload: bytes,
             [i for i in indices if 0 <= i < len(frames)]
         return idxs, [_y4m_frame(payload, y4m, frames[i][0])
                       for i in idxs]
+    from ._mp4 import parse_mkv, parse_mp4
+    for meta, fmt in ((parse_mp4(payload), "MP4"),
+                      (parse_mkv(payload), "MKV")):
+        if meta is None:
+            continue
+        frames = meta["frames"]
+        idxs = list(range(len(frames))) if indices is None else \
+            [i for i in indices if 0 <= i < len(frames)]
+        out = []
+        for i in idxs:
+            start, size = frames[i]
+            px = decode_jpeg(payload[start:start + size],
+                             default_huffman=True)
+            if px is None:
+                cid = meta["codec"].decode(errors="replace") or "?"
+                raise NotImplementedError(
+                    f"{fmt} track codec {cid!r} is not MJPEG — "
+                    "decoding it needs a video library, which is not "
+                    "installed in this container (frame indexing and "
+                    "probe remain metadata-only and work without one)")
+            out.append(px)
+        return idxs, out
     from ._gif import decode_gif_frames
     return decode_gif_frames(payload, indices)

@@ -7,18 +7,20 @@ legal PNG IHDR shape (depths 1-16, all color types, Adam7), and JPEG —
 baseline, multi-scan sequential, AND full progressive (pure numpy +
 stdlib — no imaging library needed), plus GIF87a/89a (LZW, interlace,
 animation compositing — see _gif.py) and BMP/DIB (palette/16/24/32-bit,
-bitfields, RLE8/RLE4); only genuinely exotic variants
-(arithmetic/lossless JPEG, CMYK, TIFF, …) fall back to PIL and raise
-NotImplementedError when it is absent, as in this container. Audio
-decode is REAL for RIFF/PCM and IEEE-float WAV, AIFF/AIFF-C PCM, and
-Sun .au incl. G.711 µ-law (pure numpy + stdlib struct); codec-bound
-audio (mp3/flac/ogg) raises the explicit stub error. Video decode is
-REAL for MJPEG-in-AVI (RIFF walk + the JPEG decoder, Annex K default
-tables for DHT-less MJPEG frames), uncompressed YUV4MPEG2, and
-animated GIF — see _video.py / _gif.py; AVI/y4m frame seeking is
-index-driven so sampling k of N frames decodes exactly k (GIF frames
-are canvas deltas, so a seek composites from frame 0). Codec-bound
-containers (mp4/mkv/webm) raise the explicit stub error.
+bitfields, RLE8/RLE4) and baseline TIFF; only genuinely exotic
+variants (arithmetic-coded JPEG, JPEG-in-TIFF, …) fall back to PIL and
+raise NotImplementedError when it is absent, as in this container.
+Audio decode is REAL for RIFF/PCM and IEEE-float WAV, AIFF/AIFF-C PCM,
+Sun .au incl. G.711 µ-law, and FLAC (pure numpy + stdlib struct);
+codec-bound audio (mp3/ogg/aac) raises the explicit stub error. Video
+decode is REAL for MJPEG in AVI, MP4 and MKV containers (container
+walk + the JPEG decoder, Annex K default tables for DHT-less MJPEG
+frames), uncompressed YUV4MPEG2, and animated GIF — see _video.py /
+_mp4.py / _gif.py; AVI/MP4/MKV/y4m frame seeking is index-driven so
+sampling k of N frames decodes exactly k (GIF frames are canvas
+deltas, so a seek composites from frame 0). MP4/MKV carrying a modern
+inter-frame codec (H.264/VP9/AV1 …) still probe and frame-index
+metadata-only; only their frame *decode* raises the stub error.
 `fake_decode=True` swaps in deterministic fake decoders so the batch
 plumbing can be exercised independently of any format.
 """
@@ -840,13 +842,13 @@ def decode_video(payload: bytes, frame_indices: list[int] | None = None,
                  ) -> tuple[list[int], list[np.ndarray]]:
     """Selected video frames → (frame indices, [(H, W, 3) uint8, ...]).
 
-    Real path: MJPEG-in-AVI and YUV4MPEG2 decode with pure numpy/stdlib
-    (_video.py); only the REQUESTED frames are decoded — the container
-    index makes the seek metadata-only, which is the scale contract at
-    corpus size (sampling k of N frames costs k decodes, not N). Other
-    containers raise the explicit stub error unless fake_decode swaps
-    in the deterministic fake (width/height/n_frames feed the fake's
-    geometry)."""
+    Real path: MJPEG in AVI/MP4/MKV, YUV4MPEG2 and animated GIF decode
+    with pure numpy/stdlib (_video.py, _mp4.py, _gif.py); only the
+    REQUESTED frames are decoded — the container index makes the seek
+    metadata-only, which is the scale contract at corpus size (sampling
+    k of N frames costs k decodes, not N). Other payloads raise the
+    explicit stub error unless fake_decode swaps in the deterministic
+    fake (width/height/n_frames feed the fake's geometry)."""
     if fake_decode:
         return _fake_decode_video(payload, width, height,
                                   n_frames, frame_indices)
@@ -855,10 +857,10 @@ def decode_video(payload: bytes, frame_indices: list[int] | None = None,
     if got is not None:
         return got
     raise NotImplementedError(
-        "real decode of non-AVI/y4m/GIF video requires a video "
-        "library, which is not installed in this container; pass "
-        "fake_decode=True for the deterministic fake decoder "
-        "(MJPEG-in-AVI, YUV4MPEG2 and animated GIF decode without one)")
+        "real decode of this video payload requires a video library, "
+        "which is not installed in this container; pass "
+        "fake_decode=True for the deterministic fake decoder (MJPEG in "
+        "AVI/MP4/MKV, YUV4MPEG2 and animated GIF decode without one)")
 
 
 def _image_features(stack: np.ndarray, dim: int) -> np.ndarray:

@@ -230,8 +230,11 @@ def test_avi_non_mjpeg_and_corrupt_gates():
         decode_video_frames(payload)
     with pytest.raises(ValueError, match="truncated"):
         decode_video_frames(payload[:40])
-    # neither AVI nor y4m -> None (the caller's stub gate handles it)
-    assert decode_video_frames(b"\x00\x00\x00 ftypisom....") is None
+    # a truncated MP4-identifying payload -> corrupt-input contract
+    with pytest.raises(ValueError, match="corrupt MP4"):
+        decode_video_frames(b"\x00\x00\x00 ftypisom....")
+    # no parsed container at all -> None (caller's stub gate handles it)
+    assert decode_video_frames(b"\x00\x00\x00\x08junkdata") is None
     assert probe_video(b"RIFF1234WAVE") is None
 
 
@@ -340,7 +343,7 @@ def test_decode_video_fake_and_stub_gate():
     # frames differ across indices (per-frame seeding)
     assert not np.array_equal(a1[1][0], a1[1][1])
     with pytest.raises(NotImplementedError, match="video library"):
-        decode_video(b"\x00\x00\x00 ftypisom....")
+        decode_video(b"no container signature here")
 
 
 def test_frame_sample_decoded_real_avi(spark):
