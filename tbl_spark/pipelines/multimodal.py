@@ -7,9 +7,11 @@ legal PNG IHDR shape (depths 1-16, all color types, Adam7), and JPEG —
 baseline, multi-scan sequential, AND full progressive (pure numpy +
 stdlib — no imaging library needed), plus GIF87a/89a (LZW, interlace,
 animation compositing — see _gif.py) and BMP/DIB (palette/16/24/32-bit,
-bitfields, RLE8/RLE4) and baseline TIFF; only genuinely exotic
-variants (arithmetic-coded JPEG, JPEG-in-TIFF, …) fall back to PIL and
-raise NotImplementedError when it is absent, as in this container.
+bitfields, RLE8/RLE4), baseline TIFF, and arithmetic-coded JPEG
+(SOF9/SOF10, T.81 Annex D — libjpeg-conformance-tested); only
+genuinely exotic variants (hierarchical / arithmetic-lossless JPEG,
+JPEG-in-TIFF, …) fall back to PIL and raise NotImplementedError when
+it is absent, as in this container.
 Audio decode is REAL for RIFF/PCM and IEEE-float WAV, AIFF/AIFF-C PCM,
 Sun .au incl. G.711 µ-law, and FLAC (pure numpy + stdlib struct);
 codec-bound audio (mp3/ogg/aac) raises the explicit stub error. Video
