@@ -2,8 +2,11 @@
 
 Scope: the first IFD (the "poster" image), strip or tile organization,
 chunky or planar sample layout, compression none(1) / LZW(5) /
-Deflate(8, 32946) / PackBits(32773), photometric WhiteIsZero(0) /
-BlackIsZero(1) / RGB(2) / Palette(3), bit depths 1/2/4/8/16 per sample,
+Deflate(8, 32946) / PackBits(32773) / JPEG(7, TIFF TechNote 2:
+abbreviated streams merged with the JPEGTables tag and decoded by
+_jpeg.py — libtiff-conformance-tested), photometric WhiteIsZero(0) /
+BlackIsZero(1) / RGB(2) / Palette(3) / YCbCr(6, JPEG only), bit
+depths 1/2/4/8/16 per sample,
 the horizontal-differencing predictor(2), FillOrder(2), and extra/alpha
 samples (dropped). Output mirrors the sibling PNG decoder's channel
 contract in multimodal.py: (H, W, 3) uint8, 16-bit samples scaled with
@@ -121,10 +124,30 @@ def _decompress(data: bytes, comp: int, cap: int) -> bytes:
     if comp == 32773:
         return _packbits_decode(data, cap)
     raise ValueError(f"unsupported TIFF compression {comp} "
-                     "(supported: none, LZW, deflate, PackBits)")
+                     "(supported: none, LZW, deflate, PackBits, JPEG)")
 
 
 _INLINE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 6: 1, 7: 1, 8: 2, 9: 4}
+
+
+def _decode_jpeg_unit(payload: bytes, o: int, c: int,
+                      jpeg_tables: bytes | None) -> np.ndarray:
+    """One compression-7 strip/tile → (h, w, 3) uint8 via the JPEG
+    decoder. Abbreviated streams (TIFF TechNote 2) carry their tables
+    in the JPEGTables tag: that blob is SOI..tables..EOI, the unit is
+    SOI..scan..EOI, and the full stream is the concatenation with the
+    boundary markers dropped."""
+    from ._jpeg import decode_jpeg
+    unit = payload[o:o + c]
+    if jpeg_tables is not None and len(jpeg_tables) >= 4:
+        if unit[:2] != b"\xff\xd8":
+            raise ValueError("corrupt TIFF: JPEG strip without SOI")
+        unit = jpeg_tables[:-2] + unit[2:]
+    px = decode_jpeg(unit)
+    if px is None:
+        raise ValueError("corrupt TIFF: compression-7 strip is not a "
+                         "JPEG stream")
+    return px
 
 
 def _read_ifd(buf: bytes, off: int, bo: str) -> dict[int, np.ndarray]:
@@ -133,7 +156,8 @@ def _read_ifd(buf: bytes, off: int, bo: str) -> dict[int, np.ndarray]:
         raise ValueError("corrupt TIFF: IFD offset past EOF")
     (n_entries,) = struct.unpack_from(bo + "H", buf, off)
     tags: dict[int, np.ndarray] = {}
-    dt_of = {1: "u1", 3: "u2", 4: "u4", 6: "i1", 8: "i2", 9: "i4"}
+    dt_of = {1: "u1", 3: "u2", 4: "u4", 6: "i1", 7: "u1",
+             8: "i2", 9: "i4"}
     for i in range(n_entries):
         e = off + 2 + 12 * i
         if e + 12 > len(buf):
@@ -214,9 +238,10 @@ def decode_tiff(payload: bytes) -> np.ndarray | None:
     depth = int(bps[0]) if bps is not None and len(bps) else 1
     if bps is not None and len(bps) and not (bps == depth).all():
         raise ValueError("unsupported TIFF: mixed bits-per-sample")
-    if depth not in (1, 2, 4, 8, 16):
-        raise ValueError(f"unsupported TIFF: {depth}-bit samples")
     comp = _tag1(tags, 259, 1)
+    if depth not in (1, 2, 4, 8, 16) \
+            and not (comp == 7 and depth == 12):
+        raise ValueError(f"unsupported TIFF: {depth}-bit samples")
     photo = _tag1(tags, 262, 1)
     planar = _tag1(tags, 284, 1)
     predictor = _tag1(tags, 317, 1)
@@ -245,6 +270,32 @@ def decode_tiff(payload: bytes) -> np.ndarray | None:
     ch_unit = 1 if planar == 2 else spp     # samples interleaved per unit
     if len(offs) < per_plane * n_planes:
         raise ValueError("corrupt TIFF: fewer strips/tiles than layout")
+
+    if comp == 7:                       # TechNote 2: JPEG-in-TIFF
+        if planar == 2:
+            raise ValueError("unsupported TIFF: planar JPEG strips")
+        if photo == 2:
+            raise NotImplementedError(
+                "TIFF with raw-RGB JPEG strips (photometric 2) needs "
+                "an imaging library; the standard YCbCr (6) and "
+                "grayscale (1) forms decode here")
+        if photo not in (1, 6):
+            raise ValueError(f"unsupported TIFF: photometric {photo} "
+                             "with JPEG compression")
+        jt = tags.get(347)
+        jpeg_tables = bytes(jt.astype(np.uint8)) if jt is not None \
+            else None
+        rgb = np.zeros((h, w, 3), dtype=np.uint8)
+        for t in range(per_plane):
+            o, c = int(offs[t]), int(cnts[t])
+            if o + c > len(payload):
+                raise ValueError("corrupt TIFF: strip/tile past EOF")
+            px = _decode_jpeg_unit(payload, o, c, jpeg_tables)
+            ty, tx = (t // across) * th, (t % across) * tw
+            vh = min(px.shape[0], h - ty)
+            vw = min(px.shape[1], w - tx)
+            rgb[ty:ty + vh, tx:tx + vw] = px[:vh, :vw]
+        return np.ascontiguousarray(rgb)
 
     stride = (tw * ch_unit * depth + 7) // 8
     out = np.zeros((h, w, spp), dtype=np.uint8)

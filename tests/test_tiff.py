@@ -331,3 +331,70 @@ def test_non_tiff_returns_none_corrupt_raises():
             break
     with pytest.raises(ValueError):
         decode_tiff(bytes(bad))
+
+
+# ---------------------------------------------------------------------------
+# JPEG-in-TIFF (compression 7, TIFF TechNote 2) — libtiff conformance
+
+
+import pathlib  # noqa: E402
+
+_JT_DATA = pathlib.Path(__file__).parent / "data" / "jpegtiff"
+
+
+def _read_ref_rgb(path):
+    b = pathlib.Path(path).read_bytes()
+    w, h = struct.unpack_from("<2H", b, 0)
+    return np.frombuffer(b, np.uint8, w * h * 3, 4).reshape(h, w, 3)
+
+
+@pytest.mark.parametrize("case,strict", [
+    (0, True),    # gray strips
+    (1, True),    # color 1x1 strips + JPEGTables
+    (2, False),   # color 2x2 strips: libtiff reads with fancy
+                  # (triangular) upsampling, this decoder replicates
+    (3, True),    # color 1x1 tiles incl. partial edge tiles
+])
+def test_jpeg_in_tiff_vs_libtiff(case, strict):
+    payload = (_JT_DATA / f"case{case}.tif").read_bytes()
+    px = decode_tiff(payload)
+    ref = _read_ref_rgb(_JT_DATA / f"case{case}.rgb")
+    assert px.shape == ref.shape
+    diff = np.abs(px.astype(np.int32) - ref.astype(np.int32))
+    if strict:
+        # entropy+tables path exact; residual is IDCT rounding
+        assert diff.mean() < 0.5 and diff.max() <= 4
+    else:
+        assert diff.mean() < 16 and diff.max() <= 128
+
+
+def test_jpeg_in_tiff_has_abbreviated_streams():
+    # the fixture really exercises the JPEGTables merge: tag 347
+    # present and the first strip is NOT a self-contained JPEG (no DQT)
+    payload = (_JT_DATA / "case1.tif").read_bytes()
+    from tbl_spark.pipelines._tiff import _read_ifd
+    bo = "<" if payload[:2] == b"II" else ">"
+    (off,) = struct.unpack_from(bo + "I", payload, 4)
+    tags = _read_ifd(payload, off, bo)
+    assert 347 in tags                      # JPEGTables
+    o, c = int(tags[273][0]), int(tags[279][0])
+    strip = payload[o:o + c]
+    assert strip[:2] == b"\xff\xd8" and b"\xff\xdb" not in strip[:40]
+    # decoding through the generic image path works too
+    px = decode_image(payload, 0, 0)
+    assert px.shape == (22, 33, 3)
+
+
+def test_jpeg_in_tiff_gates():
+    payload = bytearray((_JT_DATA / "case1.tif").read_bytes())
+    # flip photometric (262) to 2 (raw RGB JPEG): explicit PIL gate
+    bo = "<" if payload[:2] == b"II" else ">"
+    (off,) = struct.unpack_from(bo + "I", payload, 4)
+    (n,) = struct.unpack_from(bo + "H", payload, off)
+    for i in range(n):
+        e = off + 2 + 12 * i
+        if struct.unpack_from(bo + "H", payload, e)[0] == 262:
+            struct.pack_into(bo + "H", payload, e + 8, 2)
+            break
+    with pytest.raises(NotImplementedError, match="photometric 2"):
+        decode_tiff(bytes(payload))
