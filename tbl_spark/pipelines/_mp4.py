@@ -182,11 +182,19 @@ def parse_mp4(payload: bytes) -> dict | None:
                                                 b"moov"):
         return None
     moov = None
+    fragmented = False
     for tag, b, e in _mp4_boxes(payload, 0, len(payload)):
         if tag == b"moov":
             moov = (b, e)
+        elif tag == b"moof":
+            fragmented = True
     if moov is None:
         raise ValueError("corrupt MP4: no moov box")
+    if fragmented:
+        raise NotImplementedError(
+            "fragmented MP4 (moof boxes) is not supported — the frame "
+            "index lives in per-fragment trun boxes, not the moov "
+            "sample tables")
     for tag, b, e in _mp4_boxes(payload, *moov):
         if tag != b"trak":
             continue
@@ -390,8 +398,10 @@ def parse_mkv(payload: bytes) -> dict | None:
             raise ValueError("corrupt MKV: unknown-size non-Cluster "
                              "element in Segment")
         if eid == _INFO:
-            pass                            # TimestampScale unused: fps
-        elif eid == _TRACKS:                # comes from DefaultDuration
+            # TimestampScale/Duration not needed: fps comes from the
+            # track's DefaultDuration below
+            pass
+        elif eid == _TRACKS:
             for cid, b2, e2 in _mkv_children(payload, b, e):
                 if cid != 0xAE or track is not None:
                     continue

@@ -370,3 +370,13 @@ def test_multimodal_decode_video_mp4_path():
     assert idxs == [2] and np.array_equal(px[0], refs[2])
     idxs, px = decode_video(mux_mkv(frames, 8, 8), [1])
     assert idxs == [1] and np.array_equal(px[0], refs[1])
+
+
+def test_mp4_fragmented_gate():
+    rng = np.random.default_rng(35)
+    frames, _ = _gray_jpeg_frames(rng, 8, 8, 2)
+    payload = mux_mp4(frames, 8, 8)
+    # append an empty moof box: the fragmented-MP4 gate must fire
+    payload += struct.pack(">I", 8) + b"moof"
+    with pytest.raises(NotImplementedError, match="fragmented"):
+        parse_mp4(payload)
