@@ -139,3 +139,26 @@ def test_arith_through_image_pipeline():
     assert px.shape == ref.shape
     diff = np.abs(px.astype(np.int32) - ref.astype(np.int32))
     assert diff.mean() < 0.5
+
+
+def test_arith_garbage_entropy_never_hangs():
+    # corrupt entropy bytes must either decode (zero-fed tails are
+    # legal per D.2.6) or raise the corrupt-input ValueError — never
+    # hang or escape with a foreign exception. The structure (markers)
+    # is kept valid; only the scan body is replaced with noise.
+    import numpy as np
+    rng = np.random.default_rng(99)
+    base = (DATA / "case0.jpg").read_bytes()
+    sos = base.index(b"\xff\xda")
+    (slen,) = struct.unpack_from(">H", base, sos + 2)
+    body_start = sos + 2 + slen
+    eoi = len(base) - 2
+    for _ in range(25):
+        noise = bytes(int(b) if b != 0xFF else 0xFE
+                      for b in rng.integers(0, 256, eoi - body_start))
+        payload = base[:body_start] + noise + b"\xff\xd9"
+        try:
+            px = decode_jpeg(payload)
+            assert px is not None and px.ndim == 3
+        except ValueError:
+            pass
