@@ -216,7 +216,8 @@ _shared_tables: dict[int, tuple[int, int, np.ndarray]] = {}
 _shared_slots: dict[int, np.ndarray] = {}
 
 
-def build_shared_table(values: np.ndarray) -> bytes | None:
+def build_shared_table(values: np.ndarray,
+                       min_n: int | None = None) -> bytes | None:
     """Driver-side: build a shared rANS table blob from a column sample.
 
     Returns a self-describing blob (magic + lo/hi + entropy-coded
@@ -229,7 +230,7 @@ def build_shared_table(values: np.ndarray) -> bytes | None:
     if not np.issubdtype(values.dtype, np.integer):
         return None
     n = len(values)
-    if n < _SHARED_MIN_N:
+    if n < (_SHARED_MIN_N if min_n is None else min_n):
         return None
     v = values
     if v.dtype == np.uint64 and int(v.max()) > numeric._I64_MAX:
@@ -256,6 +257,48 @@ def build_shared_table(values: np.ndarray) -> bytes | None:
     import struct as _struct
     return (_SHARED_MAGIC + b"\x01"
             + _struct.pack("<qq", lo, hi) + _encode_table_int(freqs))
+
+
+def shared_table_hint(values: np.ndarray) -> bytes | None:
+    """Driver-side audition for SIDE streams (list lengths, scalar
+    metadata like n_tok): a shared-table blob when the expected
+    RANS_SHARED cost beats the best analytic per-chunk estimate, else
+    None.
+
+    Why this exists next to pick_int_codec: that audition compares
+    per-SAMPLE encoded sizes, where a per-chunk rANS table amortizes
+    over the whole 128k-value sample and looks cheap even though real
+    chunks hold ~1k of these values and would each repay the table —
+    so it correctly rejects per-chunk RANS, but the profitable SHARED
+    path never enters the comparison at all. This helper prices it
+    directly: sample cross-entropy under the quantized shared table
+    plus a conservative allowance for the 8-lane state block and
+    exception framing on a ~1k-value chunk, against the analytic
+    per-chunk minimum (bitpack/delta/RLE/dict)."""
+    values = np.asarray(values)
+    if not np.issubdtype(values.dtype, np.integer) or len(values) == 0:
+        return None
+    # side streams carry one value per ROW (not per token), so a whole
+    # dataset may offer fewer than _SHARED_MIN_N samples; a 32k sample
+    # over the (dense, <= _SHARED_MAX_K) alphabets this path accepts
+    # is statistically ample, and the pricing below still has to beat
+    # the analytic estimate before the table ships
+    blob = build_shared_table(values, min_n=1 << 15)
+    if blob is None:
+        return None
+    import struct as _struct
+    lo, hi = _struct.unpack_from("<qq", blob, len(_SHARED_MAGIC) + 1)
+    v = values.astype(np.int64, copy=False)
+    inr = (v >= lo) & (v <= hi)
+    counts = np.bincount(v[inr] - lo, minlength=hi - lo + 1)
+    freqs = rans.quantize_freqs(counts + 1).astype(np.float64)
+    nz = counts > 0
+    p = counts[nz] / counts[nz].sum()
+    bits = float(-(p * np.log2(freqs[nz] / freqs.sum())).sum())
+    bits += 0.7     # 8-lane states + exception slack on a ~1k chunk
+    est = _estimate_int_sizes(v)
+    best_bits = min(est.values()) * 8.0 / len(v)
+    return blob if bits < best_bits else None
 
 
 def shared_table_fp(blob: bytes) -> int:
@@ -323,7 +366,9 @@ def _rans_shared_payload(work: np.ndarray, fp: int) -> bytes | None:
     # of the values; big chunks keep 1024 — the state block is already
     # ~0.002 B/token there and the loop time dominates.
     cap = 1024 if n >= (1 << 21) else 128
-    n_lanes = min(cap, 1 << max(6, (n // 1568).bit_length() - 1))
+    # floor 8 (r7, matching rans.encode): small shared-table side
+    # streams keep states at ~1% instead of eating a 512 B block
+    n_lanes = min(cap, 1 << max(3, (n // 1568).bit_length() - 1))
     res = rans.encode(codes, len(freqs), n_lanes=n_lanes, freqs=freqs)
     if res is None:
         return None
@@ -928,9 +973,19 @@ def encode_array(values, valid: np.ndarray | None = None,
     # met rANS (entropy 8.9 bits) and shipped bit-packed (13 bits); the
     # audition cost is first-chunk-per-worker only (choice cache).
     n = len(work)
-    if try_zstd and n >= (1 << 12):
+    entry = _choice_cache.get(cache_key) \
+        if (try_zstd and cache_key) else None
+    # a seeded SHARED-table choice is honored at ANY size (r7): side
+    # streams — list lengths, n_tok — hold ~1k values per
+    # bench-geometry chunk, and their profitable choice is a
+    # driver-seeded shared table the analytic pick below can never
+    # discover. Other cached codecs keep the old size gate: a RANS
+    # pick auditioned on a big chunk must not be force-applied to a
+    # tiny tail chunk where its per-chunk table would dominate.
+    if try_zstd and (n >= (1 << 12)
+                     or (entry is not None
+                         and entry[0] == Codec.RANS_SHARED)):
         picked = None
-        entry = _choice_cache.get(cache_key) if cache_key else None
         keep_shared = False
         if entry is not None and entry[0] == Codec.RANS_SHARED:
             # shared-table choice (seeded by hints, never auditioned
@@ -971,10 +1026,18 @@ def encode_array(values, valid: np.ndarray | None = None,
                 picked = assemble(entry[0], dtype_code, n, payload,
                                   valid=valid, try_zstd=not self_comp)
         if picked is None:
-            picked = _encode_auto_large(work, dtype_code, valid)
-            if cache_key is not None and not keep_shared:
-                from .format import unpack_header
-                _choice_cache[cache_key] = [unpack_header(picked)[0], 0]
+            if n >= (1 << 12):
+                picked = _encode_auto_large(work, dtype_code, valid)
+                if cache_key is not None and not keep_shared:
+                    from .format import unpack_header
+                    _choice_cache[cache_key] = [
+                        unpack_header(picked)[0], 0]
+            else:
+                # small chunk with no usable cached choice: analytic
+                # pick, cache left alone (a 1k-value window is too
+                # noisy to overwrite a dataset-level seed)
+                inner = _encode_int_auto(work)
+                picked = _reheader(inner, dtype_code, valid, try_zstd)
     else:
         inner = _encode_int_auto(work)
         picked = _reheader(inner, dtype_code, valid, try_zstd)

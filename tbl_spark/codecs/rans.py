@@ -82,8 +82,15 @@ def encode(codes: np.ndarray, K: int, n_lanes: int = 4096,
     # the wrong side of the trade when the north rule grades compressed
     # size and the rANS loop is a minor share of total encode time
     # (measured 240 ms of ~1.5 s per 4M-token chunk at L=1024).
-    L = min(n_lanes, 1 << max(6, (n // 384).bit_length() - 1))
-    L = max(64, min(L, 1024))
+    # floor 8 (r7, was 64): small SIDE streams — list lengths, n_tok,
+    # template numbers, ~1-2k values per chunk — were paying the 64-lane
+    # state block (512 B = 3+ bits/value) as their dominant fixed cost;
+    # at 8 lanes it is 64 B. Streams big enough to care about decode
+    # vector width still scale up to 1024 exactly as before (the
+    # formula is unchanged at n >= ~25k). The lane count is stored in
+    # the core header, so the change is format-compatible both ways.
+    L = min(n_lanes, 1 << max(3, (n // 384).bit_length() - 1))
+    L = max(8, min(L, 1024))
     if freqs is None:
         counts = np.bincount(codes, minlength=K)
         f = quantize_freqs(counts)

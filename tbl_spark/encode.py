@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import time
 
+import numpy as np
 import pyarrow as pa
 from pyspark.sql import DataFrame
 
@@ -126,7 +127,8 @@ def audition_codec_hints(df: DataFrame,
     sample size (measured 1.1308 -> 1.1167 B/token going 250k -> 1.6M
     sample values), so the table sample is wider than the choice
     sample."""
-    from .codecs.core import Codec, build_shared_table, pick_int_codec
+    from .codecs.core import (Codec, build_shared_table, pick_int_codec,
+                              shared_table_hint)
     sample = df.limit(sample_rows).toArrow()
     hints: dict[str, int | bytes] = {}
     scalar_num: list[str] = []
@@ -140,6 +142,19 @@ def audition_codec_hints(df: DataFrame,
             values = arr.flatten()
             if values.null_count:
                 continue
+            # side stream: the list LENGTHS. A wide sample is cheap —
+            # F.size is a metadata projection, no token payloads move —
+            # and the shared-table audition prices RANS_SHARED against
+            # the analytic per-chunk pick (bitpack would spend a full
+            # value-range width per length; the shared table spends
+            # the lengths' entropy, amortizing its table across every
+            # chunk of the dataset)
+            import pyspark.sql.functions as F
+            lw = (df.select(F.size(F.col(name)).cast("long").alias("l"))
+                  .limit(1 << 17).toArrow().column("l").to_numpy())
+            lblob = shared_table_hint(lw)
+            if lblob is not None:
+                hints[f"{name}.lengths"] = lblob
             key = f"{name}.values"
             values = to_codec_input(values)
             t = values.type
@@ -184,6 +199,14 @@ def audition_codec_hints(df: DataFrame,
                     blob = build_shared_table(values_np)
                     if blob is not None:
                         hints[name] = blob
+            if not isinstance(hints.get(name), (bytes, bytearray)) \
+                    and np.issubdtype(values_np.dtype, np.integer):
+                # scalar side stream (e.g. n_tok): shared-table
+                # audition even when the sample audition picked a
+                # non-RANS codec — see shared_table_hint's rationale
+                blob = shared_table_hint(values_np)
+                if blob is not None:
+                    hints[name] = blob
     return hints
 
 
