@@ -328,3 +328,43 @@ def test_bench_size_bytes_per_token_gate(spark):
     df.unpersist()
     bpt = agg["enc"] / agg["tokens"]
     assert bpt <= 1.15, f"bench bytes/token {bpt:.4f} > 1.15"
+
+
+def test_side_stream_shared_tables_roundtrip_at_scale(spark):
+    """The r7 side-stream audition (shared tables for list LENGTHS and
+    scalar metadata like n_tok) only triggers above its 32k-row sample
+    floor — below it the hint path is dormant, which is exactly why
+    this test runs at 36k rows: the hints must actually ship, the
+    encode must emit RANS_SHARED side streams on ~1.1k-row chunks
+    (honoring a seeded shared choice below the audition size gate),
+    and the decode must reproduce every column bit-exactly."""
+    import pyspark.sql.functions as F
+
+    from tbl_spark.datagen import SPARK_SCHEMA_DDL, generate_df
+    from tbl_spark.decode import decode_chunks
+    from tbl_spark.encode import audition_codec_hints, encode_chunks
+
+    df = generate_df(spark, 36_000, 32).cache()
+    hints = audition_codec_hints(df)
+    assert isinstance(hints.get("tokens.lengths"), (bytes, bytearray)), \
+        "lengths side stream did not get a shared table hint"
+    assert isinstance(hints.get("n_tok"), (bytes, bytearray)), \
+        "n_tok did not get a shared table hint"
+    enc = encode_chunks(df, 32, codec_hints=hints).cache()
+    # the sentinel rows must deliver MULTIPLE distinct tables
+    n_tables = enc.where(F.col("part_id") == -1).count()
+    assert n_tables >= 2, n_tables
+    # and the scalar side stream must actually ride the shared table
+    # on every ~1.1k-row chunk (the seeded choice below the size gate)
+    ntok_codecs = {r["codec"] for r in
+                   enc.where("part_id >= 0 AND column = 'n_tok'")
+                   .select("codec").distinct().collect()}
+    assert ntok_codecs == {"rans_shared"}, ntok_codecs
+    back = decode_chunks(enc, SPARK_SCHEMA_DDL)
+    mism = (df.alias("x").join(back.alias("y"), "doc_id")
+            .where("x.n_tok != y.n_tok OR x.tokens != y.tokens "
+                   "OR x.source != y.source").count())
+    assert mism == 0
+    assert back.count() == 36_000
+    enc.unpersist()
+    df.unpersist()
