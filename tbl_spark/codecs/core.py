@@ -1130,10 +1130,20 @@ def seed_choice_cache(hints: dict[str, int | bytes]) -> None:
     the content-addressed worker registry and the column's choice
     becomes RANS_SHARED against that specific fingerprint — a stale
     same-named entry (even a RANS_SHARED one against an OLD table) is
-    overridden, because the blob names the table it was built from."""
+    overridden, because the blob names the table it was built from.
+
+    Call this at UDF start even with EMPTY hints: any cached
+    RANS_SHARED choice whose table this job does not ship is purged
+    (the table registry itself is kept — it is content-addressed and
+    harmless). Without the purge, a long-lived worker that encoded a
+    table-shipping dataset would keep encoding a SAME-NAMED column of
+    a hint-less later dataset against the old table, whose blob that
+    job's output never delivers — decodable only by accident."""
+    allowed: set[int] = set()
     for key, val in hints.items():
         if isinstance(val, (bytes, bytearray)):
             fp = register_shared_table(bytes(val))
+            allowed.add(fp)
             cur = _choice_cache.get(key)
             if cur is None or cur[0] != Codec.RANS_SHARED or cur[2] != fp:
                 # [codec, uses, table fp, consecutive declines]
@@ -1142,6 +1152,9 @@ def seed_choice_cache(hints: dict[str, int | bytes]) -> None:
         cur = _choice_cache.get(key)
         if cur is None or cur[0] != Codec(val):
             _choice_cache[key] = [Codec(val), 0]
+    for key in [k for k, e in _choice_cache.items()
+                if e[0] == Codec.RANS_SHARED and e[2] not in allowed]:
+        del _choice_cache[key]
 
 
 def _reheader(blob: bytes, dtype_code: DType, valid: np.ndarray | None,

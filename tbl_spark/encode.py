@@ -284,9 +284,8 @@ def encode_chunks_colocated(
         else (audition_codec_hints(df) if driver_audition else {})
 
     def run(batches):
-        if hints:
-            from .codecs.core import seed_choice_cache
-            seed_choice_cache(hints)
+        from .codecs.core import seed_choice_cache
+        seed_choice_cache(hints)   # also purges foreign shared choices
         for pid, tbl in cut_colocated_chunks(batches, tokens_per_chunk,
                                              has_tok, token_col):
             yield from encode_table(pid, tbl, spark_types).to_batches()
@@ -386,9 +385,8 @@ def encode_chunks(df: DataFrame, num_parts: int,
                    for f in df.schema.fields if f.name != PART_COL}
 
     def encode_group(key: tuple, tbl: pa.Table) -> pa.Table:
-        if hints:
-            from .codecs.core import seed_choice_cache
-            seed_choice_cache(hints)
+        from .codecs.core import seed_choice_cache
+        seed_choice_cache(hints)   # also purges foreign shared choices
         if sort_keys:
             tbl = tbl.sort_by(sort_keys)
         return encode_table(key[0].as_py(), tbl, spark_types)

@@ -1093,9 +1093,8 @@ def encode_to_store(df: DataFrame, store: ChunkStore, num_parts: int,
                      if c in sortable] or None
 
     def encode_commit(key: tuple, tbl: pa.Table) -> pa.Table:
-        if hints:
-            from .codecs.core import seed_choice_cache
-            seed_choice_cache(hints)
+        from .codecs.core import seed_choice_cache
+        seed_choice_cache(hints)   # also purges foreign shared choices
         part_id = key[0].as_py()
         t0 = time.perf_counter()
         if sort_keys:
@@ -1230,9 +1229,8 @@ def encode_to_store_colocated(df: DataFrame, store: ChunkStore,
         store.write_shared_tables(tbl_blobs)
 
     def run(batches):
-        if hints:
-            from .codecs.core import seed_choice_cache
-            seed_choice_cache(hints)
+        from .codecs.core import seed_choice_cache
+        seed_choice_cache(hints)   # also purges foreign shared choices
         local_store = ChunkStore(store_root)
         local_store.init_dirs()
         for pid, tbl in cut_colocated_chunks(batches, tokens_per_chunk,
