@@ -30,6 +30,26 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Defuse unsplittable-input scan parallelism (r8, guide §2.5).
+
+    The sf testdata tables are single-file, single-row-group parquet, so
+    every scan plans exactly ONE task and all heavy per-row work before
+    the first exchange (regexp gates, tokenization, shingle explodes)
+    runs single-threaded. A round-robin repartition straight after the
+    read spreads that work across the session's cores. Scale-adaptive:
+    it only fires when the scan's split count is below the session
+    parallelism — a many-file 100 TB corpus already scans wide and pays
+    nothing here. Row-set-identical: every consumer below is
+    order-insensitive (hash/min/agg/join semantics), so results cannot
+    change."""
+    sc = df.sparkSession.sparkContext
+    n = df.rdd.getNumPartitions()
+    if n >= sc.defaultParallelism:
+        return df
+    return df.repartition(sc.defaultParallelism)
+
+
 def _roundtrip(spark: SparkSession, sf_dir: str, table: str,
                key_cols: list[str], num_parts: int = 32) -> DataFrame:
     """encode → decode identity pipeline over a testdata table."""
@@ -206,7 +226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Jaccard ≥ 0.5, so the kept set is re-derivable by the all-pairs
         # DuckDB oracle (the corpus is bimodal: dup pairs ≥0.85, noise
         # ≤0.15, and LSH recall at ≥0.85 with 8×4 bands is ~1-1e-6).
-        out = dedup.minhash_lsh_dedup(_read(spark, sf, "documents"),
+        out = dedup.minhash_lsh_dedup(_spread(_read(spark, sf, "documents")),
                                       verify_threshold=0.5)
         return out.select("doc_id").orderBy("doc_id")
 
@@ -214,18 +234,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # md5-derived 60-bit simhash (re-derivable in DuckDB) + Manku-style
         # hamming ≤ 3 verification of chunk-LSH candidates — integer-exact
         # end-to-end, so the oracle reproduces the simhashes bit-for-bit.
-        out = dedup.simhash_dedup(_read(spark, sf, "documents"),
+        out = dedup.simhash_dedup(_spread(_read(spark, sf, "documents")),
                                   hd_max=3, hash_fn="md5_60")
         return out.select("doc_id").orderBy("doc_id")
 
     def dedup_ngram_jaccard(spark, sf):
         out = dedup.ngram_jaccard_dedup(
-            _read(spark, sf, "documents"), threshold=0.8)
+            _spread(_read(spark, sf, "documents")), threshold=0.8)
         return out.select("doc_id").orderBy("doc_id")
 
     def dedup_embedding_cosine(spark, sf):
         out = dedup.embedding_cosine_dedup(
-            _read(spark, sf, "embeddings"), threshold=0.98)
+            _spread(_read(spark, sf, "embeddings")), threshold=0.98)
         return out.select("vec_id").orderBy("vec_id")
 
     # cross-engine deterministic tokenizer: word → ascii(first char)*131 +
@@ -235,7 +255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _TOKENS = "transform(split(text, '\\\\s+'), w -> ascii(w) * 131 + length(w))"
 
     def dedup_exact_tokens(spark, sf):
-        docs = _read(spark, sf, "documents")
+        docs = _spread(_read(spark, sf, "documents"))
         toks = docs.withColumn("tokens", F.expr(_TOKENS))
         out = dedup.exact_dedup_tokens(toks, verify=True)
         return out.select("doc_id").orderBy("doc_id")
@@ -245,7 +265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # recall ~1-1e-7 at the corpus's ≥0.8 dup similarity); exact
         # 3-gram Jaccard ≥ 0.5 confirms, so the all-pairs DuckDB twin
         # re-derives the kept set value-exactly.
-        docs = _read(spark, sf, "documents")
+        docs = _spread(_read(spark, sf, "documents"))
         toks = docs.withColumn("tokens", F.expr(_TOKENS))
         out = dedup.ngram_dedup_tokens(toks, n=3, k=32, bands=16,
                                        verify_threshold=0.5)
@@ -290,9 +310,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """Quality-gate → language-gate → exact dedup → token budget: the
         canonical pre-training curation chain, composed from the same
         operators the individual queries verify — and still fully
-        re-derivable in SQL end-to-end."""
-        docs = _read(spark, sf, "documents")
-        scored = textstats.with_lang_id(textstats.with_quality_score(docs))
+        re-derivable in SQL end-to-end.
+
+        r8: the scoring prefix (quality regexps + lang id) is computed
+        once into a ring-persisted slim frame — exact_dedup references
+        its input from two branches and re-derived the whole scoring
+        chain per branch — and the single-task scan is spread first;
+        the gate filters on the persisted COLUMNS, so no regexp
+        re-evaluation survives downstream. Results identical."""
+        from tbl_spark.pipelines._cache import ring_persist
+        docs = _spread(_read(spark, sf, "documents").select(
+            "doc_id", "text"))
+        scored = ring_persist(
+            textstats.with_lang_id(textstats.with_quality_score(docs))
+            .select("doc_id", "text", "quality", "lang_pred"))
         gated = scored.filter((F.col("quality") >= 0.5)
                               & (F.col("lang_pred") == "en"))
         unique = dedup.exact_dedup(gated.select("doc_id", "text"))
@@ -305,7 +336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-doc duplicated-window stats over the cross-engine token
         # arrays; gram_repr='string' so the DuckDB twin re-derives the
         # exact same gram identities
-        docs = _read(spark, sf, "documents")
+        docs = _spread(_read(spark, sf, "documents"))
         toks = docs.withColumn("tokens", F.expr(_TOKENS))
         out = dedup.substring_dup_stats(toks, k=8, gram_repr="string")
         return (out.select("doc_id", "n_windows", "dup_windows",
@@ -316,7 +347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus-repeated 8-token window except its canonical occurrence;
         # verified by doc-level removed-count plus a full value checksum
         # of the surviving tokens
-        docs = _read(spark, sf, "documents")
+        docs = _spread(_read(spark, sf, "documents"))
         toks = docs.withColumn("tokens", F.expr(_TOKENS))
         out = dedup.substring_excise(toks, k=8, gram_repr="string")
         return (out.select(
@@ -341,7 +372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def pack_training_sequences(spark, sf):
         from tbl_spark.pipelines.packing import pack_sequences
-        docs = _read(spark, sf, "documents").withColumn(
+        docs = _spread(_read(spark, sf, "documents")).withColumn(
             "n_tok", F.size(F.expr(_TOKENS)))
         out = pack_sequences(docs, n_tok_col="n_tok",
                              order_col="doc_id", seq_len=512)
@@ -354,7 +385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pairs straddle the boundary); every train doc sharing ANY
         # 8-token window with the eval set is dropped (GPT-3 appendix C
         # / The Pile n-gram rule)
-        docs = _read(spark, sf, "documents").withColumn(
+        docs = _spread(_read(spark, sf, "documents")).withColumn(
             "tokens", F.expr(_TOKENS))
         ev = docs.filter(F.col("doc_id") % 20 == 0)
         tr = docs.filter(F.col("doc_id") % 20 != 0)
@@ -362,7 +393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("doc_id").orderBy("doc_id")
 
     def text_token_frequencies(spark, sf):
-        docs = _read(spark, sf, "documents").withColumn(
+        docs = _spread(_read(spark, sf, "documents")).withColumn(
             "tokens", F.expr(_TOKENS))
         return textstats.token_frequencies(docs, top_n=100)
 
@@ -371,7 +402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 512-token sequences (docs split across boundaries); verified
         # per sequence by exact length + token checksum
         from tbl_spark.pipelines.packing import materialize_sequences
-        docs = _read(spark, sf, "documents").withColumn(
+        docs = _spread(_read(spark, sf, "documents")).withColumn(
             "tokens", F.expr(_TOKENS))
         seqs = materialize_sequences(docs, seq_len=512)
         # pos_sum is POSITION-weighted (sum of i·token, 1-based), so a
@@ -412,18 +443,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         excision → sequence packing — every stage one of the verified
         operators, and the WHOLE chain re-derived in SQL by the oracle
         (gate formula, both regexes, tokenizer, span excision and the
-        packing prefix sum included)."""
+        packing prefix sum included).
+
+        r8 optimization (results identical): the redact→gate→tokenize
+        prefix used to be re-derived at every downstream scan site (the
+        excision chain references its input from four branches and the
+        packer adds a bounded-materialization pass — the before-plan
+        shows five parquet scans each re-running the regexp gate), and
+        the full documents schema rode through the Arrow surgery
+        boundary. Now the prefix is computed ONCE into a ring-persisted
+        frame slimmed to the columns the rest of the chain reads
+        (guide §4.1 'pass only the columns the function needs', §5
+        'persist when recomputing is more expensive'), and the
+        single-task scan is spread first (_spread). The gate value is
+        kept as a projected COLUMN through the persist and filtered
+        after it: a direct filter would be pushed below the repartition
+        exchange by the optimizer and the regexp gate would run back in
+        the single scan task."""
+        from tbl_spark.pipelines._cache import ring_persist
         from tbl_spark.pipelines.packing import pack_sequences
-        docs = _read(spark, sf, "documents").withColumn(
+        docs = _spread(
+            _read(spark, sf, "documents").select("doc_id", "text")
+        ).withColumn(
             "text", F.expr("concat('reach ', doc_id, '@example.com or "
                            "+1 555 867 5309 says ', text)"))
         red = textstats.with_pii_redacted(docs)
         words = "regexp_extract_all(text, '\\\\S+', 0)"
         mwl = (F.expr(f"aggregate({words}, 0L, (a, w) -> a + length(w))")
                / F.greatest(F.expr(f"size({words})"), F.lit(1)))
-        gated = red.withColumn("_mwl", mwl).filter(
-            (F.col("_mwl") >= 4.5) & (F.col("_mwl") <= 12)).drop("_mwl")
-        toks = gated.withColumn("tokens", F.expr(_TOKENS))
+        toks_all = ring_persist(
+            red.withColumn("_mwl", mwl)
+            .withColumn("tokens", F.expr(_TOKENS))
+            .select("doc_id", "tokens", "_mwl"))
+        toks = (toks_all.filter((F.col("_mwl") >= 4.5)
+                                & (F.col("_mwl") <= 12)).drop("_mwl"))
         exc = dedup.substring_excise(toks, k=8, gram_repr="string")
         counted = exc.withColumn("n_tok_clean", F.size("tokens"))
         packed = pack_sequences(counted, n_tok_col="n_tok_clean",
@@ -434,7 +487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def text_corpus_stats(spark, sf):
         # per-source corpus report: docs / chars / words / exact vocab
-        return textstats.corpus_stats(_read(spark, sf, "documents"))
+        return textstats.corpus_stats(_spread(_read(spark, sf, "documents")))
 
     def text_gopher_gate(spark, sf):
         # the combined Table A1 keep/drop decision; same multi-line text
@@ -455,7 +508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus-level paragraph dedup: synthesize 3-paragraph docs where
         # the header repeats per source and the footer repeats corpus-wide
         # — only the globally-first occurrence of each survives
-        docs = _read(spark, sf, "documents").withColumn(
+        docs = _spread(_read(spark, sf, "documents")).withColumn(
             "text", F.expr("concat('hdr ', source, '\\n\\n', text, "
                            "'\\n\\n', 'shared footer')"))
         out = dedup.paragraph_dedup(docs)
@@ -467,7 +520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # count: big sources are downsampled toward uniform mixture,
         # rates derived from the corpus itself (no hand-set dict)
         from tbl_spark.pipelines.sampling import temperature_sample
-        docs = _read(spark, sf, "documents").withColumn(
+        docs = _spread(_read(spark, sf, "documents")).withColumn(
             "n_tok", F.size(F.expr(_TOKENS)))
         kept = temperature_sample(docs, "source", key_col="doc_id",
                                   temperature=2.0, weight_col="n_tok")
