@@ -14,7 +14,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 CACHE_RING: list = []
-RING_MAX = 4
+# r8: a single pipeline_curate_v2 invocation now holds four live persist
+# points (gated tokens, dup-gram occurrences, bad-window lists, the
+# packer input); the ring must not evict a frame its own invocation is
+# still reading, so the cap clears that with headroom. Eviction is
+# still always safe — an evicted frame recomputes from lineage.
+RING_MAX = 6
 
 
 def _session_dead(df: DataFrame) -> bool:

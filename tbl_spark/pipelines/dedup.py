@@ -60,8 +60,16 @@ def _candidate_pairs(exploded: DataFrame, id_col: str,
     bands with different bucket compositions, the probability that a true
     dup pair is interposed by noise in EVERY shared band is negligible —
     'auto' keeps the all-pairs recall at test scale with the min-edge
-    bound at corpus scale."""
-    slim = exploded.select(id_col, "band", "band_hash")
+    bound at corpus scale.
+
+    r8: the slim (id, band, band_hash) frame is ring-persisted — the
+    'auto' edge construction references it from four branches (all-pairs
+    left+right, min edges, chain edges), and without a materialization
+    each branch re-derived the ENTIRE upstream signature computation
+    (shingle explode + k minhash aggregation — the dominant cost of
+    every LSH dedup). The frame is n·bands rows of three fixed-width
+    columns, orders of magnitude smaller than the corpus."""
+    slim = _ring_persist(exploded.select(id_col, "band", "band_hash"))
 
     def _all_pairs(df: DataFrame) -> DataFrame:
         left = df.select(F.col(id_col).alias("a_id"), "band", "band_hash")
@@ -188,10 +196,13 @@ def ngram_dedup_tokens(df: DataFrame, tokens_col: str = "tokens",
                     .select(id_col).distinct())
     else:
         pairs = _candidate_pairs(exploded, id_col, pair_mode)
-        sets = df.select(F.col(id_col),
-                         F.array_distinct(grams).alias("_sh"))
-        dups = _jaccard_filter_on_sets(pairs, sets, id_col,
-                                       verify_threshold)
+        # r8: gram sets only for candidate docs, persisted once for the
+        # two per-side joins (see _candidate_id_filter)
+        sets = (_candidate_id_filter(pairs, df, id_col)
+                .select(F.col(id_col),
+                        F.array_distinct(grams).alias("_sh")))
+        dups = _jaccard_filter_on_sets(pairs, _ring_persist(sets),
+                                       id_col, verify_threshold)
         drop_ids = dups.select(F.col("b_id").alias(id_col)).distinct()
     return df.join(drop_ids, id_col, "left_anti")
 
@@ -265,15 +276,34 @@ def _jaccard_filter_on_sets(pairs: DataFrame, sets: DataFrame,
             .select("a_id", "b_id"))
 
 
+def _candidate_id_filter(pairs: DataFrame, df: DataFrame,
+                         id_col: str) -> DataFrame:
+    """Restrict `df` to rows that appear in a candidate pair (r8).
+
+    The verify step only ever reads shingle sets of CANDIDATE docs, but
+    building the sets from the full corpus computed (and, via the two
+    per-side joins, computed TWICE) the distinct-shingle arrays of every
+    document. Semi-joining the ids first — before the expensive shingle
+    projection is attached — shingles only the candidates; at corpus
+    scale candidates are a vanishing fraction of documents."""
+    cand = (pairs.select(F.col("a_id").alias(id_col))
+            .unionByName(pairs.select(F.col("b_id").alias(id_col)))
+            .distinct())
+    return df.join(cand, id_col, "left_semi")
+
+
 def _exact_jaccard_filter(pairs: DataFrame, df: DataFrame, text_col: str,
                           id_col: str, shingle_n: int,
                           threshold: float) -> DataFrame:
     """Word-shingle specialization of _jaccard_filter_on_sets."""
-    sets = (df.withColumn("_w", F.split(F.col(text_col), r"\s+"))
+    base = _candidate_id_filter(pairs, df, id_col)
+    sets = (base.withColumn("_w", F.split(F.col(text_col), r"\s+"))
             .select(F.col(id_col),
                     F.array_distinct(
                         _shingles_of_words("_w", shingle_n)).alias("_sh")))
-    return _jaccard_filter_on_sets(pairs, sets, id_col, threshold)
+    # candidates only — small; both per-side joins read this frame
+    return _jaccard_filter_on_sets(pairs, _ring_persist(sets), id_col,
+                                   threshold)
 
 
 def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
@@ -371,6 +401,12 @@ def simhash_dedup(df: DataFrame, text_col: str = "text",
     paper's actual semantics — the id-only candidate join stays slim and
     the verify is one integer op per candidate pair."""
     sim = simhash_values(df, text_col, id_col, nbits, hash_fn)
+    if hd_max is not None:
+        # r8: the verify path reads `sim` from three branches (the band
+        # explode and the two per-side joins); without a materialization
+        # each re-derived the full word-explode + nbits-aggregate
+        # computation. (id, simhash) is 16 bytes/doc — tiny vs corpus.
+        sim = _ring_persist(sim)
     nbits = min(nbits, 60) if hash_fn == "md5_60" else nbits
     chunk_w = nbits // 4
     chunk_mask = (1 << chunk_w) - 1
@@ -599,12 +635,23 @@ def substring_excise(df: DataFrame, tokens_col: str = "tokens",
                       F.lpad(F.col("_pos").cast("string"), 10, "0"))
     ex = (df.select(F.col(id_col), F.explode(grams).alias("_w"))
           .select(id_col, F.col("_w.pos").alias("_pos"),
-                  F.col("_w.gram").alias("_g"))
-          .withColumn("_key", key))
-    agg = (ex.groupBy("_g").agg(F.count("*").alias("_cnt"),
-                                F.min("_key").alias("_canon")))
-    bad = (ex.join(agg, "_g")
-           .filter((F.col("_cnt") > 1) & (F.col("_key") != F.col("_canon")))
+                  F.col("_w.gram").alias("_g")))
+    # r8: the canonical-occurrence pick is TWO-PHASE. A single
+    # groupBy(gram).agg(count, min(string_key)) plans as SortAggregate —
+    # a string-valued agg buffer is not hash-aggregable — which sorted
+    # the full gram explosion twice (partial+final) by the gram string.
+    # Counting first is a pure HashAggregate (no sorts anywhere), and
+    # the string min then runs only over occurrences of REPEATED grams —
+    # a small fraction of a real corpus. `_key`'s string ordering is
+    # unchanged (it is the oracle's canon contract); only WHERE it is
+    # aggregated moved. The dup-gram occurrence frame is ring-persisted:
+    # it feeds both the canon agg and the drop filter.
+    dup_grams = (ex.groupBy("_g").agg(F.count(F.lit(1)).alias("_cnt"))
+                 .filter(F.col("_cnt") > 1).select("_g"))
+    exd = _ring_persist(ex.join(dup_grams, "_g").withColumn("_key", key))
+    canon = exd.groupBy("_g").agg(F.min("_key").alias("_canon"))
+    bad = (exd.join(canon, "_g")
+           .filter(F.col("_key") != F.col("_canon"))
            .groupBy(id_col)
            .agg(F.sort_array(F.collect_list("_pos")).alias("_bad")))
     # the clean/affected union below references `bad` from BOTH branches;

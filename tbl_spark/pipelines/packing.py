@@ -44,24 +44,38 @@ def pack_sequences(df: DataFrame, n_tok_col: str = "n_tok",
 
     Docs are ordered by `order_col` (must be unique for a deterministic
     pack). Scale shape: one shuffle (the per-bucket window); driver
-    materialization is bounded — a P·64-value boundary sample and the P
-    bucket totals. Poorly balanced boundaries cost wall-clock on the
-    bucket windows, never correctness."""
+    materialization is bounded — P-1 boundary values and the P bucket
+    totals. Poorly balanced boundaries cost wall-clock on the bucket
+    windows, never correctness (start_offset is a pure function of the
+    global `order_col` order, whatever the bucket split).
+
+    r8: the driver choreography shrank from three actions + a discarded
+    persist to TWO actions over a ring-persisted input. Boundaries for
+    numeric order columns come from percentile_approx computed IN the
+    count job (one pass instead of count + sampled collect); non-numeric
+    order columns keep the sampled-collect path. The input persist goes
+    through the shared cache ring instead of an immediate unpersist, so
+    the caller's output job reads the materialized frame rather than
+    re-deriving the full upstream lineage (in pipeline_curate_v2 that
+    lineage is the whole excision chain — the old pattern paid it
+    twice). Ring eviction stays safe: an evicted frame recomputes."""
+    from pyspark.sql.types import NumericType
+    from ._cache import ring_persist
     P = num_parts or df.sparkSession.sparkContext.defaultParallelism
-    # the three bounded driver actions below (count, boundary sample,
-    # bucket totals) would otherwise each recompute the caller's full
-    # upstream lineage (in pipeline_curate_v2 that is the whole excision
-    # chain); a persist scoped to EXACTLY these actions caps upstream
-    # execution at 2× (one materialization + the caller's output job
-    # after the unpersist) with no cache left behind
-    cached = df.persist()
-    try:
+    cached = ring_persist(df)
+    numeric = isinstance(df.schema[order_col].dataType, NumericType)
+    boundaries: list = []
+    if P > 1 and numeric:
+        qs = [i / P for i in range(1, P)]
+        row = (cached.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.percentile_approx(order_col, qs, 10_000).alias("_bs"))
+            .collect()[0])
+        n = row["_n"]
+        boundaries = sorted({b for b in (row["_bs"] or [])
+                             if b is not None})
+    else:
         n = cached.count()
-        if n == 0:
-            return (df.withColumn("start_offset",
-                                  F.lit(0).cast("bigint"))
-                    .withColumn("seq_id", F.lit(0).cast("bigint")))
-        boundaries: list = []
         if P > 1 and n > 1:
             frac = min(1.0, (P * 64) / n)
             sample = sorted(
@@ -72,15 +86,17 @@ def pack_sequences(df: DataFrame, n_tok_col: str = "n_tok",
                 boundaries = sorted({sample[i] for i in
                                      range(step - 1, len(sample) - 1,
                                            step)})
-        if boundaries:
-            bucket = _bucket_expr(boundaries, F.col(order_col))
-        else:
-            bucket = F.lit(0)
-        bdf = df.withColumn("_bk", bucket)
-        totals = (cached.withColumn("_bk", bucket).groupBy("_bk")
-                  .agg(F.sum(n_tok_col).alias("_t")).collect())
-    finally:
-        cached.unpersist(blocking=False)
+    if n == 0:
+        return (df.withColumn("start_offset",
+                              F.lit(0).cast("bigint"))
+                .withColumn("seq_id", F.lit(0).cast("bigint")))
+    if boundaries:
+        bucket = _bucket_expr(boundaries, F.col(order_col))
+    else:
+        bucket = F.lit(0)
+    bdf = df.withColumn("_bk", bucket)
+    totals = (cached.withColumn("_bk", bucket).groupBy("_bk")
+              .agg(F.sum(n_tok_col).alias("_t")).collect())
     base, prefix = 0, {}
     for r in sorted(totals, key=lambda r: r["_bk"]):
         prefix[r["_bk"]] = base
