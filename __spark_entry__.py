@@ -295,9 +295,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # -- similarity search ---------------------------------------------------
 
     def ann_cosine_topk(spark, sf):
+        # r8: the query vector rides a broadcast single-row join instead
+        # of a collected list — one job instead of a .first() driver job
+        # plus the scan; scoring arithmetic identical (similarity.py).
         emb = _read(spark, sf, "embeddings")
-        q = emb.filter("vec_id = 1").select("embedding").first()[0]
-        return similarity.brute_force_topk(emb, q, k=20)
+        q = (emb.filter("vec_id = 1")
+             .select(F.col("embedding").alias("_q")))
+        return similarity.brute_force_topk_join(emb, q, k=20)
 
     def ann_ivf_topk(spark, sf):
         emb = _read(spark, sf, "embeddings")

@@ -118,6 +118,19 @@ def decode_chunks_colocated(chunk_df: DataFrame, output_ddl: str,
     the chunks (e.g. an in-flight encode stage)."""
     from pyspark.sql.types import StructType
     tables = _resolve_shared_tables(chunk_df, shared_tables)
+    if target_partitions is None and chunk_df.is_cached:
+        # r8 auto-coalesce: a CACHED chunk frame often carries the
+        # encode's full shuffle-partition count (hundreds of partitions
+        # holding a handful of chunk rows each), and every mapInArrow
+        # partition pays a python-worker round trip — 160 partitions of
+        # a 513-row chunk table decoded in 5 task waves of overhead.
+        # The upstream is already materialized, so coalescing cannot
+        # narrow any producer's parallelism (the docstring's caveat
+        # below applies only to in-flight producers, which are never
+        # `is_cached`); concatenation keeps every part contiguous.
+        sc = chunk_df.sparkSession.sparkContext
+        if chunk_df.rdd.getNumPartitions() > sc.defaultParallelism:
+            target_partitions = sc.defaultParallelism
     if target_partitions is not None:
         chunk_df = chunk_df.coalesce(target_partitions)
     schema = StructType.fromDDL(output_ddl) if isinstance(output_ddl, str) \

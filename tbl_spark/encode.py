@@ -216,26 +216,43 @@ def audition_codec_hints(df: DataFrame,
                         hints[key] = blob
     if scalar_num:
         wide = df.select(*scalar_num).limit(_SCALAR_SAMPLE_ROWS).toArrow()
-        for name in scalar_num:
+
+        def _audit_scalar(name: str):
+            """Trial-encode one column; returns its hint value or None.
+            Pure numpy over column-local arrays (pick_int_codec,
+            build_shared_table and shared_table_hint write no module
+            state), so columns audit concurrently — the heavy kernels
+            release the GIL."""
             arr = to_codec_input(wide.column(name).combine_chunks())
             if arr.null_count:
                 arr = arr.drop_null()
             values_np = arr.to_numpy(zero_copy_only=False)
+            hint: int | bytes | None = None
             codec = pick_int_codec(values_np)
             if codec is not None:
-                hints[name] = codec
+                hint = codec
                 if codec == Codec.RANS:
                     blob = build_shared_table(values_np)
                     if blob is not None:
-                        hints[name] = blob
-            if not isinstance(hints.get(name), (bytes, bytearray)) \
+                        hint = blob
+            if not isinstance(hint, (bytes, bytearray)) \
                     and np.issubdtype(values_np.dtype, np.integer):
                 # scalar side stream (e.g. n_tok): shared-table
                 # audition even when the sample audition picked a
                 # non-RANS codec — see shared_table_hint's rationale
                 blob = shared_table_hint(values_np)
                 if blob is not None:
-                    hints[name] = blob
+                    hint = blob
+            return hint
+
+        # r8: audit columns in a small thread pool — the per-column
+        # trials were serial driver work (0.4 s on an 11-column table)
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(min(8, len(scalar_num))) as pool:
+            for name, hint in zip(scalar_num,
+                                  pool.map(_audit_scalar, scalar_num)):
+                if hint is not None:
+                    hints[name] = hint
     return hints
 
 

@@ -62,14 +62,13 @@ def _candidate_pairs(exploded: DataFrame, id_col: str,
     'auto' keeps the all-pairs recall at test scale with the min-edge
     bound at corpus scale.
 
-    r8: the slim (id, band, band_hash) frame is ring-persisted — the
-    'auto' edge construction references it from four branches (all-pairs
-    left+right, min edges, chain edges), and without a materialization
-    each branch re-derived the ENTIRE upstream signature computation
-    (shingle explode + k minhash aggregation — the dominant cost of
-    every LSH dedup). The frame is n·bands rows of three fixed-width
-    columns, orders of magnitude smaller than the corpus."""
-    slim = _ring_persist(exploded.select(id_col, "band", "band_hash"))
+    r8 note: the 'auto' edge construction references the slim frame
+    from four branches (all-pairs left+right, min edges, chain edges),
+    but NO materialization is needed — every branch sits above the same
+    canonicalized band-bucket exchange, which AQE's stage reuse computes
+    exactly once (verified by interleaved A/B: a ring-persist here only
+    added a cache-write barrier and cost ~0.5 s at bench scale)."""
+    slim = exploded.select(id_col, "band", "band_hash")
 
     def _all_pairs(df: DataFrame) -> DataFrame:
         left = df.select(F.col(id_col).alias("a_id"), "band", "band_hash")
@@ -193,17 +192,18 @@ def ngram_dedup_tokens(df: DataFrame, tokens_col: str = "tokens",
         w = Window.partitionBy("band", "band_hash")
         drop_ids = (exploded.withColumn("_keep", F.min(id_col).over(w))
                     .filter(F.col(id_col) != F.col("_keep"))
-                    .select(id_col).distinct())
+                    .select(id_col))
     else:
         pairs = _candidate_pairs(exploded, id_col, pair_mode)
-        # r8: gram sets only for candidate docs, persisted once for the
-        # two per-side joins (see _candidate_id_filter)
+        # r8: gram sets only for candidate docs (_candidate_id_filter)
         sets = (_candidate_id_filter(pairs, df, id_col)
                 .select(F.col(id_col),
                         F.array_distinct(grams).alias("_sh")))
-        dups = _jaccard_filter_on_sets(pairs, _ring_persist(sets),
+        dups = _jaccard_filter_on_sets(pairs, sets,
                                        id_col, verify_threshold)
-        drop_ids = dups.select(F.col("b_id").alias(id_col)).distinct()
+        # r8: no .distinct() before the anti-join — it is duplicate-
+        # insensitive, and the dedup cost a whole exchange+agg stage
+        drop_ids = dups.select(F.col("b_id").alias(id_col))
     return df.join(drop_ids, id_col, "left_anti")
 
 
@@ -301,9 +301,7 @@ def _exact_jaccard_filter(pairs: DataFrame, df: DataFrame, text_col: str,
             .select(F.col(id_col),
                     F.array_distinct(
                         _shingles_of_words("_w", shingle_n)).alias("_sh")))
-    # candidates only — small; both per-side joins read this frame
-    return _jaccard_filter_on_sets(pairs, _ring_persist(sets), id_col,
-                                   threshold)
+    return _jaccard_filter_on_sets(pairs, sets, id_col, threshold)
 
 
 def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
@@ -329,14 +327,16 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
         w = Window.partitionBy("band", "band_hash")
         dupped = exploded.withColumn("_keep", F.min(id_col).over(w))
         drop_ids = (dupped.filter(F.col(id_col) != F.col("_keep"))
-                    .select(id_col).distinct())
+                    .select(id_col))
     else:
         pairs = _candidate_pairs(exploded.select(id_col, "band",
                                                  "band_hash"), id_col,
                                  pair_mode)
         dups = _exact_jaccard_filter(pairs, df, text_col, id_col,
                                      shingle_n, verify_threshold)
-        drop_ids = dups.select(F.col("b_id").alias(id_col)).distinct()
+        # r8: anti-join consumers are duplicate-insensitive — skip the
+        # exchange+agg stage a .distinct() cost on every drop list
+        drop_ids = dups.select(F.col("b_id").alias(id_col))
     return df.join(drop_ids, id_col, "left_anti")
 
 
@@ -401,12 +401,6 @@ def simhash_dedup(df: DataFrame, text_col: str = "text",
     paper's actual semantics — the id-only candidate join stays slim and
     the verify is one integer op per candidate pair."""
     sim = simhash_values(df, text_col, id_col, nbits, hash_fn)
-    if hd_max is not None:
-        # r8: the verify path reads `sim` from three branches (the band
-        # explode and the two per-side joins); without a materialization
-        # each re-derived the full word-explode + nbits-aggregate
-        # computation. (id, simhash) is 16 bytes/doc — tiny vs corpus.
-        sim = _ring_persist(sim)
     nbits = min(nbits, 60) if hash_fn == "md5_60" else nbits
     chunk_w = nbits // 4
     chunk_mask = (1 << chunk_w) - 1
@@ -420,7 +414,7 @@ def simhash_dedup(df: DataFrame, text_col: str = "text",
         w = Window.partitionBy("band", "band_hash")
         drop_ids = (exploded.withColumn("_keep", F.min(id_col).over(w))
                     .filter(F.col(id_col) != F.col("_keep"))
-                    .select(id_col).distinct())
+                    .select(id_col))
     else:
         pairs = _candidate_pairs(exploded, id_col, pair_mode)
         sims = sim.select(F.col(id_col), F.col("simhash"))
@@ -431,7 +425,7 @@ def simhash_dedup(df: DataFrame, text_col: str = "text",
                                     F.col("simhash").alias("b_sim")), "b_id"))
         hd = F.bit_count(F.col("a_sim").bitwiseXOR(F.col("b_sim")))
         drop_ids = (joined.filter(hd <= hd_max)
-                    .select(F.col("b_id").alias(id_col)).distinct())
+                    .select(F.col("b_id").alias(id_col)))
     return df.join(drop_ids, id_col, "left_anti")
 
 
@@ -451,7 +445,7 @@ def ngram_jaccard_dedup(df: DataFrame, text_col: str = "text",
     pairs = _candidate_pairs(exploded, id_col, pair_mode)
     dups = _exact_jaccard_filter(pairs, df, text_col, id_col,
                                  shingle_n, threshold)
-    drop_ids = dups.select(F.col("b_id").alias(id_col)).distinct()
+    drop_ids = dups.select(F.col("b_id").alias(id_col))
     return df.join(drop_ids, id_col, "left_anti")
 
 
@@ -512,7 +506,7 @@ def embedding_cosine_dedup(df: DataFrame, vec_col: str = "embedding",
             "aggregate(b_v, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * x)")))
     drop_ids = (joined.withColumn("_cos", dot / norm)
                 .filter(F.col("_cos") >= threshold)
-                .select(F.col("b_id").alias(id_col)).distinct())
+                .select(F.col("b_id").alias(id_col)))
     return df.join(drop_ids, id_col, "left_anti")
 
 
@@ -644,11 +638,13 @@ def substring_excise(df: DataFrame, tokens_col: str = "tokens",
     # the string min then runs only over occurrences of REPEATED grams —
     # a small fraction of a real corpus. `_key`'s string ordering is
     # unchanged (it is the oracle's canon contract); only WHERE it is
-    # aggregated moved. The dup-gram occurrence frame is ring-persisted:
-    # it feeds both the canon agg and the drop filter.
+    # aggregated moved. No materialization of the dup-gram occurrences:
+    # both consumers sit above the same canonicalized count exchange,
+    # which AQE stage reuse computes once (interleaved A/B showed a
+    # ring-persist here is a wash at best).
     dup_grams = (ex.groupBy("_g").agg(F.count(F.lit(1)).alias("_cnt"))
                  .filter(F.col("_cnt") > 1).select("_g"))
-    exd = _ring_persist(ex.join(dup_grams, "_g").withColumn("_key", key))
+    exd = ex.join(dup_grams, "_g").withColumn("_key", key)
     canon = exd.groupBy("_g").agg(F.min("_key").alias("_canon"))
     bad = (exd.join(canon, "_g")
            .filter(F.col("_key") != F.col("_canon"))
@@ -841,5 +837,7 @@ def decontaminate(train_df: DataFrame, eval_df: DataFrame,
     tr = (train_df.select(F.col(id_col), F.explode(
         _window_grams(tokens_col, k, gram_repr)).alias("_w"))
         .select(id_col, F.col("_w.gram").alias("_g")))
-    contaminated = tr.join(ev, "_g", "left_semi").select(id_col).distinct()
+    # r8: no .distinct() — the anti-join is duplicate-insensitive and
+    # the dedup cost an exchange+agg stage per invocation
+    contaminated = tr.join(ev, "_g", "left_semi").select(id_col)
     return train_df.join(contaminated, id_col, "left_anti")

@@ -44,6 +44,24 @@ def brute_force_topk(df: DataFrame, query_vec: list[float], k: int = 10,
             .orderBy(F.desc("cos"), F.col(id_col)).limit(k))
 
 
+def brute_force_topk_join(df: DataFrame, query_df: DataFrame, k: int = 10,
+                          vec_col: str = "embedding",
+                          id_col: str = "vec_id") -> DataFrame:
+    """brute_force_topk with the query vector supplied as a ONE-ROW
+    DataFrame (column `_q`) instead of a collected list (r8).
+
+    Collecting the query vector first costs a whole extra driver job
+    before the scan even starts; broadcast-cross-joining the single
+    query row folds both into one job with identical arithmetic — the
+    scoring expression, rounding and (cos desc, id) TakeOrdered are
+    unchanged, so results are value-identical to brute_force_topk."""
+    scored = (df.crossJoin(F.broadcast(query_df))
+              .withColumn("cos", F.round(_cos_expr(vec_col, "_q"), 4))
+              .drop("_q"))
+    return (scored.select(id_col, "cos")
+            .orderBy(F.desc("cos"), F.col(id_col)).limit(k))
+
+
 def train_centroids(df: DataFrame, nlist: int, vec_col: str = "embedding",
                     id_col: str = "vec_id") -> np.ndarray:
     """Deterministic 'training': evenly-strided sample by id as centroids
