@@ -118,6 +118,50 @@ _NUMERIC_DDL = frozenset((
     "date", "timestamp", "timestamp_ntz"))
 
 
+def _local_parquet_sample(df: DataFrame, columns: list[str],
+                          n_rows: int) -> pa.Table | None:
+    """First `n_rows` of `columns` read DIRECTLY with pyarrow, or None.
+
+    r8: every audition sample was a Spark driver job (scan → limit →
+    collect) whose single-task scan decodes the input's whole row group
+    and serializes it over the py4j socket — ~0.3 s per job even for a
+    69k-row sample. When the frame is a BARE parquet relation over
+    local files (the leaf-plan guard rejects any projection, filter or
+    transformation), the driver can read the same leading rows from the
+    first file(s) in-process for the cost of one row-group decode, no
+    JVM involvement. Any surprise — remote scheme, schema drift,
+    reader error — returns None and the caller falls back to the
+    Spark job; the sample feeds only codec CHOICE heuristics, never
+    correctness."""
+    try:
+        if df._jdf.queryExecution().logical().children().size() != 0:
+            return None
+        files = df.inputFiles()
+        if not files or not all(f.startswith("file:") for f in files):
+            return None
+        from urllib.parse import unquote, urlparse
+        import pyarrow.parquet as pq
+        paths = sorted(unquote(urlparse(f).path) for f in files)
+        batches, got = [], 0
+        for p in paths:
+            pf = pq.ParquetFile(p)
+            if not set(columns) <= set(pf.schema_arrow.names):
+                return None
+            for batch in pf.iter_batches(columns=list(columns),
+                                         batch_size=min(n_rows, 1 << 16)):
+                batches.append(batch)
+                got += batch.num_rows
+                if got >= n_rows:
+                    break
+            if got >= n_rows:
+                break
+        if not batches:
+            return None
+        return pa.Table.from_batches(batches).slice(0, n_rows)
+    except Exception:  # noqa: BLE001 — best-effort fast path only
+        return None
+
+
 def audition_codec_hints(df: DataFrame,
                          sample_rows: int = 1024) -> dict[str, int]:
     """ONE driver-side codec audition per column over a bounded sample,
@@ -162,8 +206,11 @@ def audition_codec_hints(df: DataFrame,
     list_cols = [f.name for f in df.schema.fields
                  if f.name != PART_COL
                  and f.dataType.simpleString().startswith("array<")]
-    sample = (df.select(*list_cols).limit(sample_rows).toArrow()
-              if list_cols else None)
+    sample = None
+    if list_cols:
+        sample = _local_parquet_sample(df, list_cols, sample_rows)
+        if sample is None:
+            sample = df.select(*list_cols).limit(sample_rows).toArrow()
     for name in list_cols:
         arr = sample.column(name).combine_chunks()
         arr = to_codec_input(arr)
@@ -179,10 +226,19 @@ def audition_codec_hints(df: DataFrame,
             # value-range width per length; the shared table spends
             # the lengths' entropy, amortizing its table across every
             # chunk of the dataset)
-            import pyspark.sql.functions as F
-            lw = (df.select(F.size(F.col(name)).cast("long").alias("l"))
-                  .limit(_SCALAR_SAMPLE_ROWS).toArrow().column("l")
-                  .to_numpy())
+            lw = None
+            ltbl = _local_parquet_sample(df, [name], _SCALAR_SAMPLE_ROWS)
+            if ltbl is not None:
+                larr = ltbl.column(name).combine_chunks()
+                if larr.null_count == 0:
+                    lw = (larr.value_lengths().cast(pa.int64())
+                          .to_numpy(zero_copy_only=False))
+            if lw is None:
+                import pyspark.sql.functions as F
+                lw = (df.select(F.size(F.col(name)).cast("long")
+                                .alias("l"))
+                      .limit(_SCALAR_SAMPLE_ROWS).toArrow().column("l")
+                      .to_numpy())
             lblob = shared_table_hint(lw)
             if lblob is not None:
                 hints[f"{name}.lengths"] = lblob
@@ -206,8 +262,12 @@ def audition_codec_hints(df: DataFrame,
                 # while the driver-side cost stays a one-off sub-second
                 # column-pruned scan per dataset.
                 from .codecs.core import _primitive_np
-                wide = (df.select(name).limit(16 * sample_rows)
-                        .toArrow().column(name).combine_chunks())
+                wtbl = _local_parquet_sample(df, [name],
+                                             16 * sample_rows)
+                if wtbl is None:
+                    wtbl = (df.select(name).limit(16 * sample_rows)
+                            .toArrow())
+                wide = wtbl.column(name).combine_chunks()
                 wv = to_codec_input(wide).flatten()
                 if not wv.null_count:
                     blob = build_shared_table(
@@ -215,7 +275,10 @@ def audition_codec_hints(df: DataFrame,
                     if blob is not None:
                         hints[key] = blob
     if scalar_num:
-        wide = df.select(*scalar_num).limit(_SCALAR_SAMPLE_ROWS).toArrow()
+        wide = _local_parquet_sample(df, scalar_num, _SCALAR_SAMPLE_ROWS)
+        if wide is None:
+            wide = (df.select(*scalar_num)
+                    .limit(_SCALAR_SAMPLE_ROWS).toArrow())
 
         def _audit_scalar(name: str):
             """Trial-encode one column; returns its hint value or None.
