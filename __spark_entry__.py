@@ -226,7 +226,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Jaccard ≥ 0.5, so the kept set is re-derivable by the all-pairs
         # DuckDB oracle (the corpus is bimodal: dup pairs ≥0.85, noise
         # ≤0.15, and LSH recall at ≥0.85 with 8×4 bands is ~1-1e-6).
-        out = dedup.minhash_lsh_dedup(_spread(_read(spark, sf, "documents")),
+        # r8: NO _spread here — interleaved A/B at sf0.1 showed the
+        # repartition stage costs more than the shingle map work it
+        # parallelizes for this op (2.47 s plain vs 2.70 s spread, and
+        # far lower variance); the signature's own aggregation exchange
+        # already spreads everything downstream of the scan.
+        out = dedup.minhash_lsh_dedup(_read(spark, sf, "documents"),
                                       verify_threshold=0.5)
         return out.select("doc_id").orderBy("doc_id")
 
@@ -240,7 +245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def dedup_ngram_jaccard(spark, sf):
         out = dedup.ngram_jaccard_dedup(
-            _spread(_read(spark, sf, "documents")), threshold=0.8)
+            _read(spark, sf, "documents"), threshold=0.8)
         return out.select("doc_id").orderBy("doc_id")
 
     def dedup_embedding_cosine(spark, sf):
