@@ -30,23 +30,44 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
-def _spread(df: DataFrame) -> DataFrame:
+def _spread(df: DataFrame, min_bytes: int = 1 << 20) -> DataFrame:
     """Defuse unsplittable-input scan parallelism (r8, guide §2.5).
 
     The sf testdata tables are single-file, single-row-group parquet, so
     every scan plans exactly ONE task and all heavy per-row work before
     the first exchange (regexp gates, tokenization, shingle explodes)
     runs single-threaded. A round-robin repartition straight after the
-    read spreads that work across the session's cores. Scale-adaptive:
-    it only fires when the scan's split count is below the session
-    parallelism — a many-file 100 TB corpus already scans wide and pays
-    nothing here. Row-set-identical: every consumer below is
-    order-insensitive (hash/min/agg/join semantics), so results cannot
-    change."""
+    read spreads that work across the session's cores.
+
+    Two adaptive gates keep it honest at every scale:
+    - split count: a many-file 100 TB corpus already scans wide — no-op.
+    - input size: the repartition exchange costs a fixed ~0.2 s stage,
+      so tiny inputs whose single-task map work is cheaper than that
+      stay un-spread. Interleaved A/B at sf0.1 put the crossover for
+      hash/shingle pipelines between the 0.6 MB documents table (plain
+      wins, 2.47 s vs 2.70 s) and its 1.8 MB 3x twin (spread wins,
+      3.28 s vs 3.75 s) — hence the 1 MiB default. Regexp-gate chains
+      do ~5x the work per byte and pass min_bytes=0 (spread always won
+      there: 1.5 s vs 3.6 s clean reps).
+
+    Row-set-identical: every consumer below is order-insensitive
+    (hash/min/agg/join semantics), so results cannot change."""
     sc = df.sparkSession.sparkContext
     n = df.rdd.getNumPartitions()
     if n >= sc.defaultParallelism:
         return df
+    if min_bytes:
+        try:
+            import os as _os
+            from urllib.parse import unquote, urlparse
+            files = df.inputFiles()
+            if files and all(f.startswith("file:") for f in files):
+                total = sum(_os.path.getsize(unquote(urlparse(f).path))
+                            for f in files)
+                if total < min_bytes:
+                    return df
+        except Exception:  # noqa: BLE001 — sizing is best-effort
+            pass
     return df.repartition(sc.defaultParallelism)
 
 
@@ -226,12 +247,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Jaccard ≥ 0.5, so the kept set is re-derivable by the all-pairs
         # DuckDB oracle (the corpus is bimodal: dup pairs ≥0.85, noise
         # ≤0.15, and LSH recall at ≥0.85 with 8×4 bands is ~1-1e-6).
-        # r8: NO _spread here — interleaved A/B at sf0.1 showed the
-        # repartition stage costs more than the shingle map work it
-        # parallelizes for this op (2.47 s plain vs 2.70 s spread, and
-        # far lower variance); the signature's own aggregation exchange
-        # already spreads everything downstream of the scan.
-        out = dedup.minhash_lsh_dedup(_read(spark, sf, "documents"),
+        # r8: size-gated _spread — at sf0.1 (0.6 MB) the repartition
+        # stage costs more than the shingle map work it parallelizes
+        # (2.47 s plain vs 2.70 s spread) and _spread stays a no-op; at
+        # 3x the input it flips (3.28 s vs 3.75 s) and the repartition
+        # fires. See _spread's crossover note.
+        out = dedup.minhash_lsh_dedup(_spread(_read(spark, sf,
+                                                    "documents")),
                                       verify_threshold=0.5)
         return out.select("doc_id").orderBy("doc_id")
 
@@ -245,7 +267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def dedup_ngram_jaccard(spark, sf):
         out = dedup.ngram_jaccard_dedup(
-            _read(spark, sf, "documents"), threshold=0.8)
+            _spread(_read(spark, sf, "documents")), threshold=0.8)
         return out.select("doc_id").orderBy("doc_id")
 
     def dedup_embedding_cosine(spark, sf):
@@ -329,7 +351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         re-evaluation survives downstream. Results identical."""
         from tbl_spark.pipelines._cache import ring_persist
         docs = _spread(_read(spark, sf, "documents").select(
-            "doc_id", "text"))
+            "doc_id", "text"), min_bytes=0)
         scored = ring_persist(
             textstats.with_lang_id(textstats.with_quality_score(docs))
             .select("doc_id", "text", "quality", "lang_pred"))
@@ -472,7 +494,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from tbl_spark.pipelines._cache import ring_persist
         from tbl_spark.pipelines.packing import pack_sequences
         docs = _spread(
-            _read(spark, sf, "documents").select("doc_id", "text")
+            _read(spark, sf, "documents").select("doc_id", "text"),
+            min_bytes=0,
         ).withColumn(
             "text", F.expr("concat('reach ', doc_id, '@example.com or "
                            "+1 555 867 5309 says ', text)"))

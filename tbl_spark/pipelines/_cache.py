@@ -14,11 +14,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 CACHE_RING: list = []
-# r8: a single pipeline_curate_v2 invocation now holds four live persist
-# points (gated tokens, dup-gram occurrences, bad-window lists, the
-# packer input); the ring must not evict a frame its own invocation is
-# still reading, so the cap clears that with headroom. Eviction is
-# still always safe — an evicted frame recomputes from lineage.
+# r8: a single pipeline_curate_v2 invocation holds three live persist
+# points (gated tokens, bad-window lists, the packer input); the ring
+# must not evict a frame its own invocation is still reading, so the
+# cap clears that with headroom. Eviction is still always safe — an
+# evicted frame recomputes from lineage.
 RING_MAX = 6
 
 
