@@ -619,26 +619,40 @@ def substring_excise(df: DataFrame, tokens_col: str = "tokens",
     ex = (df.select(F.col(id_col), F.explode(grams).alias("_w"))
           .select(id_col, F.col("_w.pos").alias("_pos"),
                   F.col("_w.gram").alias("_g")))
-    # r8: the canonical-occurrence pick is TWO-PHASE. A single
-    # groupBy(gram).agg(count, min(string_key)) plans as SortAggregate —
-    # a string-valued agg buffer is not hash-aggregable — which sorted
-    # the full gram explosion twice (partial+final) by the gram string.
-    # Counting first is a pure HashAggregate (no sorts anywhere), and
-    # the string min then runs only over occurrences of REPEATED grams —
-    # a small fraction of a real corpus. `_key`'s string ordering is
-    # unchanged (it is the oracle's canon contract); only WHERE it is
-    # aggregated moved. No materialization of the dup-gram occurrences:
-    # both consumers sit above the same canonicalized count exchange,
-    # which AQE stage reuse computes once (interleaved A/B showed a
-    # ring-persist here is a wash at best).
-    dup_grams = (ex.groupBy("_g").agg(F.count(F.lit(1)).alias("_cnt"))
-                 .filter(F.col("_cnt") > 1).select("_g"))
-    exd = ex.join(dup_grams, "_g").withColumn("_key", key)
-    canon = exd.groupBy("_g").agg(F.min("_key").alias("_canon"))
-    bad = (exd.join(canon, "_g")
-           .filter(F.col("_key") != F.col("_canon"))
-           .groupBy(id_col)
-           .agg(F.sort_array(F.collect_list("_pos")).alias("_bad")))
+    # r8: for STRING grams the canonical-occurrence pick is TWO-PHASE.
+    # A single groupBy(gram).agg(count, min(string_key)) plans as
+    # SortAggregate — a string-valued agg buffer is not hash-aggregable
+    # — and with string grams that sorts the full explosion twice
+    # (partial+final) BY THE GRAM STRING (~40 B keys). Counting first
+    # is a pure HashAggregate, and the string min then runs only over
+    # occurrences of REPEATED grams — a small fraction of a real
+    # corpus. `_key`'s string ordering is unchanged (it is the oracle's
+    # canon contract); only WHERE it is aggregated moved. For
+    # HASH-keyed grams the SortAggregate sorts by a plain bigint —
+    # cheap — and the extra join of the two-phase shape measurably
+    # loses (interleaved A/B at 100k docs: 0.68 s combined vs 0.80 s
+    # two-phase), so those keep the one-pass agg. No materialization of
+    # the dup-gram occurrences either way: both consumers sit above the
+    # same canonicalized count exchange, which AQE stage reuse computes
+    # once (a ring-persist here A/B'd as a wash at best).
+    if gram_repr == "string":
+        dup_grams = (ex.groupBy("_g").agg(F.count(F.lit(1)).alias("_cnt"))
+                     .filter(F.col("_cnt") > 1).select("_g"))
+        exd = ex.join(dup_grams, "_g").withColumn("_key", key)
+        canon = exd.groupBy("_g").agg(F.min("_key").alias("_canon"))
+        bad = (exd.join(canon, "_g")
+               .filter(F.col("_key") != F.col("_canon"))
+               .groupBy(id_col)
+               .agg(F.sort_array(F.collect_list("_pos")).alias("_bad")))
+    else:
+        exk = ex.withColumn("_key", key)
+        agg = (exk.groupBy("_g").agg(F.count(F.lit(1)).alias("_cnt"),
+                                     F.min("_key").alias("_canon")))
+        bad = (exk.join(agg, "_g")
+               .filter((F.col("_cnt") > 1)
+                       & (F.col("_key") != F.col("_canon")))
+               .groupBy(id_col)
+               .agg(F.sort_array(F.collect_list("_pos")).alias("_bad")))
     # the clean/affected union below references `bad` from BOTH branches;
     # without a persist each branch re-derives the whole explode→gram-agg
     # subtree — the single most expensive shuffle in the op — from scratch
