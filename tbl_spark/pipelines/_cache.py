@@ -55,6 +55,24 @@ def ring_persist(df: DataFrame) -> DataFrame:
     # from the (dead) CacheManager — drop them without unpersist, so a
     # later eviction never raises into an unrelated healthy-session op
     CACHE_RING[:] = [c for c in CACHE_RING if not _session_dead(c)]
+    # Spark's CacheManager keys entries by canonicalized plan, so
+    # re-persisting a semantically identical frame (the same op invoked
+    # again in one session) shares ONE cache entry with the ring's older
+    # handle. Keeping both handles would let the ring's eviction
+    # unpersist that shared entry out from under the frame just
+    # registered — the op would then run fully uncached (the exact
+    # multi-scan recomputation the persist exists to prevent). Drop the
+    # older duplicate handle WITHOUT unpersist (same entry, now owned by
+    # the new handle); any comparison error keeps the frame.
+    keep = []
+    for c in CACHE_RING:
+        try:
+            if c.sameSemantics(df):
+                continue
+        except Exception:  # noqa: BLE001 — cross-session/py4j: not a dup
+            pass
+        keep.append(c)
+    CACHE_RING[:] = keep
     CACHE_RING.append(df)
     while len(CACHE_RING) > RING_MAX:
         old = CACHE_RING.pop(0)
