@@ -87,10 +87,16 @@ def _candidate_pairs(exploded: DataFrame, id_col: str,
         return edges.dropDuplicates(["a_id", "b_id"])
     if pair_mode != "auto":
         raise ValueError(f"unknown pair_mode {pair_mode!r}")
-    w = Window.partitionBy("band", "band_hash")
-    wo = w.orderBy(id_col)
-    sized = (slim.withColumn("_sz", F.count(F.lit(1)).over(w))
-             .withColumn("_min", F.min(id_col).over(w))
+    # r8: count/min ride the ORDERED window with a full-partition frame
+    # so all three functions share one Window operator and one sort
+    # (count/min are order-independent — results identical; the
+    # unordered-window variant planned a second Sort over the same
+    # exchange, A/B: 1.41 s vs 1.54 s min on the bench minhash query)
+    wo = Window.partitionBy("band", "band_hash").orderBy(id_col)
+    full = wo.rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing)
+    sized = (slim.withColumn("_sz", F.count(F.lit(1)).over(full))
+             .withColumn("_min", F.min(id_col).over(full))
              .withColumn("_prev", F.lag(id_col).over(wo)))
     small = (sized.filter(F.col("_sz") <= small_bucket_cap)
              .select(id_col, "band", "band_hash"))
