@@ -210,10 +210,18 @@ _SHARED_MIN_N = 1 << 16       # below this a per-chunk table is fine anyway
 _SHARED_MAX_K = rans.M // 8
 
 # worker-local, content-addressed: fingerprint -> (lo, hi, freqs)
+# (unbounded by design: entries are small — K<=M/8 int64 freqs, typically
+# KBs — and in-flight blobs name them by fingerprint, so evicting one
+# mid-job would fail a decode; content-addressing keeps them harmless)
 _shared_tables: dict[int, tuple[int, int, np.ndarray]] = {}
 # lazily-built decode symbol-lookup tables (M int32 entries ≈ 4 MB each):
-# one per registered table, shared across every chunk decoded against it
+# one per registered table, shared across every chunk decoded against it.
+# LRU-capped (ADVICE r7): a long-lived executor decoding many datasets
+# would otherwise accumulate 4 MB per table forever. Eviction is always
+# safe — a slot table rebuilds from its registered freqs in ~0.5 ms —
+# so the cap bounds worker memory at ~64 MB with no correctness risk.
 _shared_slots: dict[int, np.ndarray] = {}
+_SHARED_SLOTS_MAX = 16
 
 
 def build_shared_table(values: np.ndarray,
@@ -389,11 +397,15 @@ def _decode_rans_shared(payload: bytes, n: int,
             f"shared_tables.json) to the decode")
     lo, _hi, freqs = entry
     exc_blob, core = unframe(payload[8:], 2)
-    slot = _shared_slots.get(fp)
+    # pop+reinsert keeps the dict in LRU order (insertion-ordered dicts);
+    # worst case of a race in a threaded caller is a benign double build
+    slot = _shared_slots.pop(fp, None)
     if slot is None:
         slot = np.repeat(np.arange(len(freqs), dtype=np.int32),
                          freqs.astype(np.int64))
-        _shared_slots[fp] = slot
+    _shared_slots[fp] = slot
+    while len(_shared_slots) > _SHARED_SLOTS_MAX:
+        _shared_slots.pop(next(iter(_shared_slots)))
     codes = rans.decode(core, n, freqs, slot=slot)
     out = codes + lo
     bpos, bval = unframe(exc_blob, 2)

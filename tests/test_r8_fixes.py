@@ -8,9 +8,15 @@
    older one unpersisted the shared entry out from under the frame the
    current invocation had just registered — the op then ran fully
    uncached (measured 1.5 s → 8-15 s per rep on pipeline_curate_v2).
+2. Shared-table decode slot LRU (ADVICE r7): the worker-local
+   `_shared_slots` registry holds M int32 (~4 MB) per table and grew
+   without bound on long-lived executors; it is now LRU-capped, and an
+   evicted slot table must rebuild transparently on the next decode.
 """
 
 from __future__ import annotations
+
+import numpy as np
 
 
 def _drain_ring():
@@ -50,6 +56,48 @@ def test_ring_repersist_same_plan_keeps_one_live_handle(spark):
             "handle's eviction")
     finally:
         _drain_ring()
+
+
+def test_shared_slot_registry_lru_capped_and_rebuilds():
+    from tbl_spark.codecs import core
+
+    rng = np.random.default_rng(8)
+    n_tables = core._SHARED_SLOTS_MAX + 4
+    blobs = []
+    for i in range(n_tables):
+        # distinct dense distributions -> distinct fingerprints
+        vals = rng.integers(i * 1000, i * 1000 + 200,
+                            size=core._SHARED_MIN_N).astype(np.int64)
+        blob = core.build_shared_table(vals)
+        assert blob is not None
+        blobs.append(blob)
+
+    fps, payloads, expected = [], [], []
+    for i, blob in enumerate(blobs):
+        fp = core.register_shared_table(blob)
+        fps.append(fp)
+        work = rng.integers(i * 1000, i * 1000 + 200,
+                            size=4096).astype(np.int64)
+        payload = core._rans_shared_payload(work, fp)
+        assert payload is not None
+        payloads.append(payload)
+        expected.append(work)
+
+    # decode all: touches every slot table, forcing evictions past the cap
+    for payload, work in zip(payloads, expected):
+        out = core._decode_rans_shared(payload, len(work),
+                                       np.dtype(np.int64))
+        np.testing.assert_array_equal(out, work)
+    assert len(core._shared_slots) <= core._SHARED_SLOTS_MAX
+
+    # the FIRST table's slot was evicted (LRU); decoding against it again
+    # must rebuild transparently and stay value-exact
+    assert fps[0] not in core._shared_slots
+    out = core._decode_rans_shared(payloads[0], len(expected[0]),
+                                   np.dtype(np.int64))
+    np.testing.assert_array_equal(out, expected[0])
+    assert fps[0] in core._shared_slots  # rebuilt, now most-recent
+    assert len(core._shared_slots) <= core._SHARED_SLOTS_MAX
 
 
 def test_ring_distinct_plans_still_evict(spark):
