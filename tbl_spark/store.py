@@ -171,20 +171,39 @@ class ChunkStore:
         return os.path.join(self.root, "shared_tables.json")
 
     def write_shared_tables(self, blobs) -> None:
-        """Merge table blobs into the sidecar (atomic tmp+rename)."""
+        """Merge table blobs into the sidecar (atomic tmp+rename).
+
+        The read-merge-rename is serialized by an exclusive lock file
+        (ADVICE r7): without it, two concurrent encode runs against the
+        same store could each read the old sidecar and the LAST rename
+        would drop the other run's tables — leaving that run's
+        persisted chunks undecodable. Each writer re-reads under the
+        lock, so every merge lands. On a filesystem without flock
+        support the lock degrades to best-effort (the rename stays
+        atomic either way)."""
         import base64
 
         from .codecs.core import shared_table_fp
-        cur = self._read_shared_tables_raw()
-        for b in blobs:
-            b = bytes(b)
-            cur[f"{shared_table_fp(b):016x}"] = \
-                base64.b64encode(b).decode("ascii")
-        token = uuid.uuid4().hex[:8]
-        tmp = os.path.join(self.staging_dir, f"shared_tables.{token}.json")
-        with open(tmp, "w") as f:
-            json.dump(cur, f)
-        os.replace(tmp, self.shared_tables_path)
+        lock = open(self.shared_tables_path + ".lock", "w")
+        try:
+            try:
+                import fcntl
+                fcntl.flock(lock, fcntl.LOCK_EX)
+            except (ImportError, OSError):
+                pass  # non-POSIX FS: keep the pre-lock best-effort merge
+            cur = self._read_shared_tables_raw()
+            for b in blobs:
+                b = bytes(b)
+                cur[f"{shared_table_fp(b):016x}"] = \
+                    base64.b64encode(b).decode("ascii")
+            token = uuid.uuid4().hex[:8]
+            tmp = os.path.join(self.staging_dir,
+                               f"shared_tables.{token}.json")
+            with open(tmp, "w") as f:
+                json.dump(cur, f)
+            os.replace(tmp, self.shared_tables_path)
+        finally:
+            lock.close()  # releases the flock
 
     def _read_shared_tables_raw(self) -> dict:
         if not os.path.exists(self.shared_tables_path):

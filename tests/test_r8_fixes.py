@@ -12,6 +12,9 @@
    `_shared_slots` registry holds M int32 (~4 MB) per table and grew
    without bound on long-lived executors; it is now LRU-capped, and an
    evicted slot table must rebuild transparently on the next decode.
+3. Sidecar merge lock (ADVICE r7): concurrent `write_shared_tables`
+   calls were a lost-update race (read-modify-rename); under the lock
+   every writer's tables must land in the final sidecar.
 """
 
 from __future__ import annotations
@@ -98,6 +101,40 @@ def test_shared_slot_registry_lru_capped_and_rebuilds():
     np.testing.assert_array_equal(out, expected[0])
     assert fps[0] in core._shared_slots  # rebuilt, now most-recent
     assert len(core._shared_slots) <= core._SHARED_SLOTS_MAX
+
+
+def test_shared_tables_sidecar_concurrent_merge(tmp_path):
+    import threading
+
+    from tbl_spark.codecs import core
+    from tbl_spark.store import ChunkStore
+
+    store = ChunkStore(str(tmp_path / "store"))
+    store.init_dirs()
+    rng = np.random.default_rng(88)
+    blobs = []
+    for i in range(24):
+        vals = rng.integers(i * 500, i * 500 + 100,
+                            size=core._SHARED_MIN_N).astype(np.int64)
+        blob = core.build_shared_table(vals)
+        assert blob is not None
+        blobs.append(blob)
+
+    # 8 writers × 3 tables each, racing the read-merge-rename
+    threads = [threading.Thread(
+        target=store.write_shared_tables, args=(blobs[i * 3:i * 3 + 3],))
+        for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    merged = store.read_shared_tables()
+    expected = {core.shared_table_fp(b) for b in blobs}
+    assert set(merged) == expected, (
+        f"lost-update race dropped {len(expected) - len(merged)} tables")
+    for b in blobs:
+        assert merged[core.shared_table_fp(b)] == b
 
 
 def test_ring_distinct_plans_still_evict(spark):
